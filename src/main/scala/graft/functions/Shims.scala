@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-function shims reproducing the reference's scalar semantics
+  * (SURVEY.md §2.8) where Spark's built-ins differ from PostgreSQL /
+  * pandas. All are plain `Column` compositions — codegen'd end to end,
+  * no UDFs — so they stay inside whole-stage codegen at 100 TB.
+  */
+object Shims {
+
+  /** PostgreSQL `EXTRACT(DOW)`: 0 = Sunday .. 6 = Saturday.
+    * Spark's `dayofweek` is 1 = Sunday, hence the −1.
+    * Ref: scripts/02_queries_analysis.sql:124,252. */
+  def pgDow(ts: Column): Column = dayofweek(ts) - lit(1)
+
+  /** PostgreSQL `TO_CHAR(ts,'Day')` blank-pads to 9 chars; we expose the
+    * trimmed day name (the comparison-stable form).
+    * Ref: scripts/02_queries_analysis.sql:123. */
+  def dayName(ts: Column): Column = date_format(ts, "EEEE")
+
+  /** `EXTRACT(EPOCH FROM (a - b))` in seconds.
+    * Ref: scripts/02_queries_analysis.sql:134; etl_pipeline.py:572,747. */
+  def epochDiff(a: Column, b: Column): Column =
+    unix_timestamp(a) - unix_timestamp(b)
+
+  /** The reference's month arithmetic: `days / 30.44`, floored — NOT SQL
+    * `months_between`. Ref: etl_pipeline.py:707,769. */
+  def monthsBetween3044(asOf: Column, d: Column): Column =
+    floor(datediff(asOf, d) / lit(30.44))
+
+  /** `NULLIF(x, 0)` guard for ratio-of-aggregates.
+    * Ref: scripts/02_queries_analysis.sql:86,106,171-172. */
+  def nullIfZero(x: Column): Column = when(x === lit(0), lit(null)).otherwise(x)
+
+  /** Floor a timestamp's minute to its 15-minute bucket.
+    * Ref: etl_pipeline.py:835-840. */
+  def minuteBucket15(ts: Column): Column = (floor(minute(ts) / 15) * 15).cast("int")
+
+  /** `time_key = hour*100 + 15-min bucket`. Ref: etl_pipeline.py:835-840. */
+  def timeKey(ts: Column): Column = hour(ts) * lit(100) + minuteBucket15(ts)
+
+  /** `date_key` as yyyymmdd int. Ref: etl_pipeline.py:345,831. */
+  def dateKey(d: Column): Column = date_format(d, "yyyyMMdd").cast("int")
+
+  /** Equirectangular geo distance in km — the reference's approximation
+    * (`sqrt(Δlat² + Δlon²) × 111`), deliberately NOT haversine, kept for
+    * result parity. Ref: scripts/07_lambda_functions.py:95-99,178-180. */
+  def approxGeoDistKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+    sqrt(pow(lat1 - lat2, 2) + pow(lon1 - lon2, 2)) * lit(111.0)
+
+  /** Clamp below, e.g. `max(0, x)`. Ref: etl_pipeline.py:849,876,880. */
+  def clampMin(x: Column, lo: Double): Column = greatest(lit(lo), x)
+
+  /** Half-up rounding to `n` decimals, cast to double so the output type
+    * is engine-portable (DuckDB's round(double) is double). */
+  def round2(x: Column, n: Int): Column = round(x, n).cast("double")
+}
