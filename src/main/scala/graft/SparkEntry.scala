@@ -12,6 +12,7 @@ object SparkEntry {
   /** All operator registries, in SURVEY §2 order. */
   def registries: Seq[Seq[QueryDef]] = Seq(
     operators.Relational.defs,
+    operators.Temporal.defs,
   )
 
   def allDefs: Seq[QueryDef] = registries.flatten

@@ -1,0 +1,315 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+
+import graft.{Tables, QueryDef}
+import graft.functions.Shims._
+import graft.plans.{AsOfJoin, BandJoin}
+
+/** Temporal / calendar / event-time operator surface: date-part shims
+  * (SURVEY §2.8 F2–F6, F12–F15), calendar-dimension generation, the
+  * 24×4 time grid (J9), manual pivot (PV1), as-of and band joins (J8),
+  * JSON extraction (F21), z-score outlier detection (A10), and
+  * asOf-parameterized horizon filters (P2/P3).
+  *
+  * `events.ts` is nanosecond parquet which Spark truncates to µs —
+  * timestamps are therefore always surfaced as epoch millis (both
+  * engines floor identically) and never as raw timestamps.
+  */
+object Temporal {
+
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    /** F14/F15 — calendar dimension derived from the data's own date
+      * span (ref etl_pipeline.py:328-364 dim_date build; deterministic:
+      * bounds come from the data, not CURRENT_DATE). */
+    QueryDef.sql(
+      "q18_date_dim",
+      """WITH span AS (
+        |  SELECT CAST(MIN(o_orderdate) AS DATE) AS lo, CAST(MAX(o_orderdate) AS DATE) AS hi FROM orders
+        |), days AS (
+        |  SELECT unnest(generate_series((SELECT lo FROM span), (SELECT hi FROM span), INTERVAL 1 DAY)) AS d
+        |)
+        |SELECT CAST(d AS DATE) AS full_date,
+        |       CAST(strftime(d, '%Y%m%d') AS INTEGER) AS date_key,
+        |       CAST(year(d) AS INTEGER) AS year, CAST(month(d) AS INTEGER) AS month,
+        |       CAST(day(d) AS INTEGER) AS day_of_month,
+        |       dayname(d) AS day_name,
+        |       CAST(dayofweek(d) AS INTEGER) AS pg_dow,
+        |       CAST(dayofyear(d) AS INTEGER) AS day_of_year,
+        |       CAST(weekofyear(d) AS INTEGER) AS week_of_year,
+        |       CAST(quarter(d) AS INTEGER) AS quarter,
+        |       dayofweek(d) IN (0, 6) AS is_weekend
+        |FROM days
+        |ORDER BY full_date""".stripMargin) { (s, d) =>
+      val span = Tables.orders(s, d)
+        .agg(min($"o_orderdate".cast("date")).as("lo"),
+          max($"o_orderdate".cast("date")).as("hi"))
+      span
+        .select(explode(sequence($"lo", $"hi", expr("INTERVAL 1 DAY"))).as("d"))
+        .select(
+          $"d".as("full_date"),
+          dateKey($"d").as("date_key"),
+          year($"d").as("year"), month($"d").as("month"),
+          dayofmonth($"d").as("day_of_month"),
+          dayName($"d").as("day_name"),
+          pgDow($"d").as("pg_dow"),
+          dayofyear($"d").as("day_of_year"),
+          weekofyear($"d").as("week_of_year"),
+          quarter($"d").as("quarter"),
+          pgDow($"d").isin(0, 6).as("is_weekend"))
+        .orderBy($"full_date")
+    },
+
+    /** J9/F17 — 24h × 15-min cross-product time grid with shift and
+      * business-hour attributes (ref etl_pipeline.py:374-423, 96 rows). */
+    QueryDef.sql(
+      "q19_time_grid",
+      """SELECT CAST(h AS INTEGER) AS hour, CAST(m AS INTEGER) AS minute,
+        |       CAST(h * 100 + m AS INTEGER) AS time_key,
+        |       CASE WHEN h BETWEEN 6 AND 11 THEN 'Morning'
+        |            WHEN h BETWEEN 12 AND 17 THEN 'Afternoon'
+        |            WHEN h BETWEEN 18 AND 21 THEN 'Evening'
+        |            ELSE 'Night' END AS time_of_day,
+        |       CASE WHEN h BETWEEN 6 AND 13 THEN 'Morning Shift'
+        |            WHEN h BETWEEN 14 AND 21 THEN 'Afternoon Shift'
+        |            ELSE 'Night Shift' END AS shift,
+        |       h BETWEEN 9 AND 17 AS is_business_hour
+        |FROM range(24) t(h), (VALUES (0), (15), (30), (45)) v(m)
+        |ORDER BY time_key""".stripMargin) { (s, d) =>
+      val hours = s.range(24).select(col("id").cast("int").as("hour"))
+      val quarters = s.range(4).select((col("id") * 15).cast("int").as("minute"))
+      hours.crossJoin(quarters)
+        .select(
+          $"hour", $"minute",
+          ($"hour" * 100 + $"minute").as("time_key"),
+          when($"hour".between(6, 11), "Morning")
+            .when($"hour".between(12, 17), "Afternoon")
+            .when($"hour".between(18, 21), "Evening")
+            .otherwise("Night").as("time_of_day"),
+          when($"hour".between(6, 13), "Morning Shift")
+            .when($"hour".between(14, 21), "Afternoon Shift")
+            .otherwise("Night Shift").as("shift"),
+          $"hour".between(9, 17).as("is_business_hour"))
+        .orderBy($"time_key")
+    },
+
+    /** PV1 — manual pivot hour × day-of-week via 7× SUM(CASE)
+      * (ref 02:259-268, replicated column-for-column incl. the weekly
+      * total used for the row-sum invariant). */
+    QueryDef.sql(
+      "q20_pivot_hour_dow",
+      """SELECT CAST(hour(ts) AS INTEGER) AS hora,
+        |       SUM(CASE WHEN dayofweek(ts) = 0 THEN 1 ELSE 0 END) AS domingo,
+        |       SUM(CASE WHEN dayofweek(ts) = 1 THEN 1 ELSE 0 END) AS lunes,
+        |       SUM(CASE WHEN dayofweek(ts) = 2 THEN 1 ELSE 0 END) AS martes,
+        |       SUM(CASE WHEN dayofweek(ts) = 3 THEN 1 ELSE 0 END) AS miercoles,
+        |       SUM(CASE WHEN dayofweek(ts) = 4 THEN 1 ELSE 0 END) AS jueves,
+        |       SUM(CASE WHEN dayofweek(ts) = 5 THEN 1 ELSE 0 END) AS viernes,
+        |       SUM(CASE WHEN dayofweek(ts) = 6 THEN 1 ELSE 0 END) AS sabado,
+        |       COUNT(*) AS total_semana
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY hora""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      def dow(k: Int, name: String) =
+        sum(when(pgDow($"ts") === k, 1).otherwise(0)).as(name)
+      ev.groupBy(hour($"ts").as("hora"))
+        .agg(
+          dow(0, "domingo"), dow(1, "lunes"), dow(2, "martes"),
+          dow(3, "miercoles"), dow(4, "jueves"), dow(5, "viernes"),
+          dow(6, "sabado"), count(lit(1)).as("total_semana"))
+        .orderBy($"hora")
+    },
+
+    /** J8 — as-of join (point-in-time lookup): each purchase event gets
+      * the latest preceding click of the same user. Implemented with the
+      * single-shuffle union+window AsOfJoin operator (no nested loop);
+      * oracle is the equivalent correlated MAX subquery. */
+    QueryDef.sql(
+      "q21_asof_join",
+      """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id,
+        |       epoch_ms(p.ts) AS purchase_ms,
+        |       epoch_ms((SELECT MAX(c.ts) FROM c
+        |                 WHERE c.user_id = p.user_id AND c.ts <= p.ts)) AS last_click_ms
+        |FROM events p
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("click_ts"), $"event_id".as("click_id"))
+      AsOfJoin(purchases, clicks, Seq("user_id"), "ts", "click_ts",
+        rightCols = Seq("click_ts"), tieBreak = Some("click_id"))
+        .select(
+          $"event_id", $"user_id",
+          unix_millis($"ts").as("purchase_ms"),
+          unix_millis($"click_ts").as("last_click_ms"))
+        .orderBy($"event_id")
+    },
+
+    /** J8 — band join: clicks of the same user within the hour before
+      * each purchase, via the bucketed-equi-join rewrite (no nested
+      * loop); oracle is the raw inequality join. */
+    QueryDef.sql(
+      "q22_band_join",
+      """SELECT p.event_id, COUNT(c.event_id) AS n_clicks_1h
+        |FROM events p
+        |LEFT JOIN events c
+        |  ON c.event_type = 'click' AND c.user_id = p.user_id
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id
+        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("click_ts"), $"event_id".as("click_id"))
+      val hits = BandJoin.lookback(
+        purchases, clicks, Seq("user_id"), "ts", "click_ts", 3600000L)
+        .groupBy($"event_id").agg(count($"click_id").as("n"))
+      purchases
+        .join(hits, Seq("event_id"), "left")
+        .select($"event_id", coalesce($"n", lit(0L)).as("n_clicks_1h"))
+        .orderBy($"event_id")
+    },
+
+    /** F21 — JSON extraction from the semi-structured props column
+      * (ref VARIANT staging, etl_pipeline.py:969-972; from_json ↔
+      * PARSE_JSON). */
+    QueryDef.sql(
+      "q23_json_extract",
+      """SELECT event_type,
+        |       CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+        |       COUNT(CASE WHEN CAST(props->>'k' AS INTEGER) > 50 THEN 1 END) AS n_high
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types._
+      val kSchema = StructType(Seq(StructField("k", IntegerType)))
+      Tables.events(s, d)
+        .withColumn("k", from_json($"props", kSchema).getField("k"))
+        .groupBy($"event_type")
+        .agg(
+          sum($"k").cast("long").as("sum_k"),
+          count(when($"k" > 50, lit(1))).as("n_high"))
+        .orderBy($"event_type")
+    },
+
+    /** A10 — z-score outlier detection (ref etl_pipeline.py:313-322,
+      * population σ like scipy.stats.zscore). Variance is computed from
+      * exact integer-cent sums so both engines evaluate the identical
+      * IEEE-754 expression — no stddev_samp/pop implementation drift. */
+    QueryDef.sql(
+      "q24_zscore_outliers",
+      """WITH c AS (
+        |  SELECT event_id, event_type, value,
+        |         CAST(ROUND(value*100,0) AS BIGINT) AS vc
+        |  FROM events
+        |), s AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |         CAST(SUM(vc) AS BIGINT) AS s1,
+        |         CAST(SUM(vc*vc) AS BIGINT) AS s2
+        |  FROM c GROUP BY event_type
+        |)
+        |SELECT c.event_id, c.event_type, c.value,
+        |       CAST(ROUND((c.vc - s.s1 * 1.0 / s.n)
+        |            / sqrt(s.s2 * 1.0 / s.n - (s.s1 * 1.0 / s.n) * (s.s1 * 1.0 / s.n)), 4) AS DOUBLE) AS z
+        |FROM c JOIN s ON c.event_type = s.event_type
+        |WHERE abs((c.vc - s.s1 * 1.0 / s.n)
+        |          / sqrt(s.s2 * 1.0 / s.n - (s.s1 * 1.0 / s.n) * (s.s1 * 1.0 / s.n))) > 3
+        |ORDER BY c.event_id""".stripMargin) { (s, d) =>
+      val c = Tables.events(s, d)
+        .select($"event_id", $"event_type", $"value", cents($"value").as("vc"))
+      val stats = c.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"vc").cast("long").as("s1"),
+          sum($"vc" * $"vc").cast("long").as("s2"))
+      val mean = $"s1" * lit(1.0) / $"n"
+      val z = ($"vc" - mean) / sqrt($"s2" * lit(1.0) / $"n" - mean * mean)
+      c.join(broadcast(stats), Seq("event_type"))
+        .filter(abs(z) > 3)
+        .select($"event_id", $"event_type", $"value", round2(z, 4).as("z"))
+        .orderBy($"event_id")
+    },
+
+    /** P2/P3 — asOf-parameterized date-horizon filter (ref 02:58,91,137
+      * `>= CURRENT_DATE - INTERVAL 'k days'`, made deterministic: asOf =
+      * MAX(o_orderdate) per SURVEY §7.4#4). */
+    QueryDef.sql(
+      "q25_horizon_filter",
+      """WITH mx AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS as_of FROM orders)
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |       CAST(MIN(CAST(o_orderdate AS DATE)) AS DATE) AS first_day
+        |FROM orders, mx
+        |WHERE CAST(o_orderdate AS DATE) >= as_of - INTERVAL 90 DAY
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val mx = o.agg(max($"o_orderdate".cast("date")).as("as_of"))
+      o.crossJoin(broadcast(mx))
+        .filter($"o_orderdate".cast("date") >= date_sub($"as_of", 90))
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          min($"o_orderdate".cast("date")).as("first_day"))
+        .orderBy($"o_orderstatus")
+    },
+
+    /** F1/F24 — string surface: concat with separators, substring
+      * truncation, case mapping (ref 02:68,83,102; etl 'VARCHAR(n)'
+      * truncations :348,415-420). */
+    QueryDef.sql(
+      "q26_string_funcs",
+      """SELECT c_custkey,
+        |       c_name || ' [' || c_mktsegment || ']' AS label,
+        |       substr(c_name, 1, 10) AS short_name,
+        |       upper(c_mktsegment) AS segment_uc,
+        |       CAST(length(c_name) AS INTEGER) AS name_len
+        |FROM customer
+        |ORDER BY c_custkey
+        |LIMIT 25""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .select(
+          $"c_custkey",
+          concat($"c_name", lit(" ["), $"c_mktsegment", lit("]")).as("label"),
+          substring($"c_name", 1, 10).as("short_name"),
+          upper($"c_mktsegment").as("segment_uc"),
+          length($"c_name").as("name_len"))
+        .orderBy($"c_custkey")
+        .limit(25)
+    },
+
+    /** F25/F26 — equirectangular geo distance + min-distance-over-
+      * waypoints (ref scripts/07_lambda_functions.py:95-99,176-181),
+      * exercised over embedding coordinates as synthetic lat/lon pairs. */
+    QueryDef.sql(
+      "q27_geo_min_waypoint",
+      """SELECT vec_id,
+        |       CAST(ROUND(LEAST(
+        |         sqrt((CAST(embedding[1] AS DOUBLE) - CAST(embedding[3] AS DOUBLE)) * (CAST(embedding[1] AS DOUBLE) - CAST(embedding[3] AS DOUBLE))
+        |            + (CAST(embedding[2] AS DOUBLE) - CAST(embedding[4] AS DOUBLE)) * (CAST(embedding[2] AS DOUBLE) - CAST(embedding[4] AS DOUBLE))) * 111.0,
+        |         sqrt((CAST(embedding[1] AS DOUBLE) - CAST(embedding[5] AS DOUBLE)) * (CAST(embedding[1] AS DOUBLE) - CAST(embedding[5] AS DOUBLE))
+        |            + (CAST(embedding[2] AS DOUBLE) - CAST(embedding[6] AS DOUBLE)) * (CAST(embedding[2] AS DOUBLE) - CAST(embedding[6] AS DOUBLE))) * 111.0,
+        |         sqrt((CAST(embedding[1] AS DOUBLE) - CAST(embedding[7] AS DOUBLE)) * (CAST(embedding[1] AS DOUBLE) - CAST(embedding[7] AS DOUBLE))
+        |            + (CAST(embedding[2] AS DOUBLE) - CAST(embedding[8] AS DOUBLE)) * (CAST(embedding[2] AS DOUBLE) - CAST(embedding[8] AS DOUBLE))) * 111.0), 4) AS DOUBLE) AS min_dist_km
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      def e(i: Int): Column = element_at($"embedding", i).cast("double")
+      val dists = Seq(3, 5, 7).map(i =>
+        approxGeoDistKm(e(1), e(2), e(i), e(i + 1)))
+      Tables.embeddings(s, d)
+        .select($"vec_id", round2(least(dists: _*), 4).as("min_dist_km"))
+        .orderBy($"vec_id")
+    },
+  )
+
+  private implicit class ColSyntax(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+}
