@@ -13,6 +13,8 @@ object SparkEntry {
   def registries: Seq[Seq[QueryDef]] = Seq(
     operators.Relational.defs,
     operators.Temporal.defs,
+    operators.TextOps.defs,
+    operators.SimilarityOps.defs,
   )
 
   def allDefs: Seq[QueryDef] = registries.flatten

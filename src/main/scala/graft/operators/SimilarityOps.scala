@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Tables, QueryDef}
+import graft.dedup.Dedup
+import graft.sim.Vectors
+import graft.text.TextFunctions._
+
+/** Dedup + similarity-search operator surface over `documents` and
+  * `embeddings`: exact n-gram Jaccard near-dups, MinHash+LSH, SimHash,
+  * embedding-cosine near-dups, brute-force ANN baseline, LSH ANN.
+  *
+  * Oracle SQL for vector math is generated with the embedding
+  * dimensionality unrolled into a left-associative term chain so DuckDB
+  * evaluates the exact same IEEE-754 operation sequence as the Spark
+  * `aggregate` fold — hashes match bitwise, no tolerance needed.
+  */
+object SimilarityOps {
+
+  private val DIM = 64
+
+  /** `CAST(x.embedding[i] AS DOUBLE)` term chains, left-associative. */
+  private def dotSql(a: String, b: String): String =
+    (1 to DIM).map(i =>
+      s"CAST($a.embedding[$i] AS DOUBLE) * CAST($b.embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+
+  private val normSql: String =
+    "sqrt(" + (1 to DIM).map(i =>
+      s"CAST(embedding[$i] AS DOUBLE) * CAST(embedding[$i] AS DOUBLE)")
+      .mkString(" + ") + ")"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    /** Exact word-3-gram Jaccard near-dup pairs (threshold 0.5) via
+      * shingle explode + equi-join on shingle — the verification
+      * ground-truth for MinHash. Never materializes the pair space:
+      * only docs sharing ≥1 shingle meet in the join. */
+    QueryDef.sql(
+      "q33_ngram_jaccard",
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        |  FROM w, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
+        |), sz AS (
+        |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT p.id_a, p.id_b,
+        |       CAST(ROUND(p.inter * 1.0 / (sa.n_sh + sb.n_sh - p.inter), 4) AS DOUBLE) AS jaccard
+        |FROM pairs p
+        |JOIN sz sa ON sa.doc_id = p.id_a
+        |JOIN sz sb ON sb.doc_id = p.id_b
+        |WHERE p.inter * 1.0 / (sa.n_sh + sb.n_sh - p.inter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .select($"doc_id", explode(wordShingles($"text", 3)).as("shingle"))
+      val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+      val pairs = sh.as("a")
+        .join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("inter"))
+      val jac = $"inter" * lit(1.0) / ($"sa.n_sh" + $"sb.n_sh" - $"inter")
+      pairs
+        .join(sz.as("sa"), $"id_a" === $"sa.doc_id")
+        .join(sz.as("sb"), $"id_b" === $"sb.doc_id")
+        .filter(jac >= 0.5)
+        .select($"id_a", $"id_b", round(jac, 4).cast("double").as("jaccard"))
+        .orderBy($"id_a", $"id_b")
+    },
+
+    /** MinHash+LSH near-dups (banded signatures → candidate equi-join →
+      * exact verify). Hash family is engine-specific ⇒ rows-only here;
+      * the ScalaTest spec checks recall against q33's exact pairs. */
+    QueryDef.rowsOnly("q34_minhash_lsh") { (s, d) =>
+      Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text")
+        .orderBy($"id_a", $"id_b")
+    },
+
+    /** SimHash 64-bit signatures + block keys (pigeonhole candidate
+      * scheme). Signature values are hash-family-specific ⇒ rows-only. */
+    QueryDef.rowsOnly("q35_simhash_signatures") { (s, d) =>
+      Tables.documents(s, d)
+        .select($"doc_id", Dedup.simhash($"text").as("simhash"))
+        .withColumn("block0", shiftrightunsigned($"simhash", 0).bitwiseAND(lit(0xFFFFL)))
+        .withColumn("block1", shiftrightunsigned($"simhash", 16).bitwiseAND(lit(0xFFFFL)))
+        .withColumn("block2", shiftrightunsigned($"simhash", 32).bitwiseAND(lit(0xFFFFL)))
+        .withColumn("block3", shiftrightunsigned($"simhash", 48).bitwiseAND(lit(0xFFFFL)))
+        .orderBy($"doc_id")
+    },
+
+    /** Embedding-cosine near-dup pairs (threshold 0.4). Norms are
+      * precomputed per row; the pair predicate and output evaluate the
+      * identical fold-ordered expression in both engines. */
+    QueryDef.sql(
+      "q36_embedding_neardup",
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings
+         |)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       CAST(ROUND((${dotSql("a", "b")}) / (a.nrm * b.nrm), 4) AS DOUBLE) AS cosine
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE (${dotSql("a", "b")}) / (a.nrm * b.nrm) > 0.4
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", $"embedding", Vectors.norm($"embedding").as("nrm"))
+      val cos = Vectors.dot($"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm")
+      e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+        .filter(cos > 0.4)
+        .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
+          round(cos, 4).cast("double").as("cosine"))
+        .orderBy($"id_a", $"id_b")
+    },
+
+    /** Brute-force cosine top-3 for the first 20 probe vectors — the
+      * exact ANN baseline (broadcast probes × all candidates). */
+    QueryDef.sql(
+      "q37_ann_bruteforce",
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings
+         |), scored AS (
+         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+         |         (${dotSql("a", "b")}) / (a.nrm * b.nrm) AS cos
+         |  FROM n a JOIN n b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 20
+         |), ranked AS (
+         |  SELECT probe_id, neighbor_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM scored
+         |)
+         |SELECT probe_id, rnk, neighbor_id, CAST(ROUND(cos, 4) AS DOUBLE) AS cosine
+         |FROM ranked WHERE rnk <= 3
+         |ORDER BY probe_id, rnk""".stripMargin) { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Vectors.bruteForceTopK(
+        e.filter($"vec_id" < 20), e, "vec_id", "embedding", 3)
+        .orderBy($"probe_id", $"rnk")
+    },
+
+    /** LSH-bucketed ANN (random-hyperplane signatures, multi-table) —
+      * the 100 TB path: equi-join on bucket, exact rerank inside. Hash-
+      * family-specific buckets ⇒ rows-only; the spec measures recall
+      * against q37. */
+    QueryDef.rowsOnly("q38_ann_lsh") { (s, d) =>
+      Vectors.annTopK(Tables.embeddings(s, d), "vec_id", "embedding", k = 3)
+        .filter($"probe_id" < 20)
+        .orderBy($"probe_id", $"rnk")
+    },
+  )
+
+  private implicit class ColSyntax(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale corpus pipelines:
+  * tokenization, quality metrics, language-ID scoring, fingerprints.
+  * All pure Column compositions (codegen'd, no UDFs) — they run inside
+  * whole-stage codegen over a 100 TB documents table.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Token count (whitespace-delimited words). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Count of tokens found in a stop-list. */
+  def stopwordCount(text: Column, stops: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(stops.map(lit(_)): _*)))
+
+  /** Sum of token lengths (chars excluding whitespace). */
+  def tokenCharCount(text: Column): Column =
+    aggregate(transform(tokens(text), t => length(t)), lit(0), (acc, x) => acc + x)
+
+  /** Ratio of characters matching a regex character class. */
+  def charClassRatio(text: Column, clazz: String): Column =
+    length(regexp_replace(text, s"[^$clazz]", "")) * lit(1.0) /
+      nullif(length(text), lit(0))
+
+  /** Canonical-form fingerprint: md5 of lower-cased,
+    * whitespace-collapsed text — the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Word n-gram shingles (space-joined), distinct per document —
+    * the unit set for Jaccard/MinHash near-dup detection. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    // slide an index window: shingle i = tokens[i..i+n-1]; sequence()
+    // descends when stop < start, so guard short documents explicitly
+    when(size(ts) >= n,
+      array_distinct(
+        transform(sequence(lit(0), size(ts) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + j + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Simple stop-list language scorer: hits per language stop-list.
+    * Deterministic heuristic (n-gram/statistical LID is a model concern;
+    * the engine-side capability is the scoring plumbing). */
+  val langStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "es" -> Seq("el", "la", "los", "de", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  /** Predicted language: argmax of stop-list hits with deterministic
+    * precedence (first in `langStops` wins ties); "und" if no hits. */
+  def langPredict(text: Column): Column = {
+    val scores = langStops.map { case (l, stops) => l -> stopwordCount(text, stops) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, sc), acc) =>
+      when(sc === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+}
