@@ -15,6 +15,7 @@ object SparkEntry {
     operators.Temporal.defs,
     operators.TextOps.defs,
     operators.SimilarityOps.defs,
+    operators.FleetOps.defs,
   )
 
   def allDefs: Seq[QueryDef] = registries.flatten

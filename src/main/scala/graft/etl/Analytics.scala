@@ -1,0 +1,258 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.Shims._
+
+/** The reference's 12 analytical KPI queries
+  * (scripts/02_queries_analysis.sql), re-expressed as DataFrame plans.
+  *
+  * Differences from the reference, by design (SURVEY §7.4):
+  *  - every `CURRENT_DATE` becomes the explicit `asOf` parameter so
+  *    results are deterministic and testable (ref 02:29,58,91,137,195,256);
+  *  - Q9's LEFT-join fan-out quirk (trips × maintenance inflating SUMs,
+  *    ref 02:158-161) is REPLICATED faithfully, not fixed;
+  *  - PG semantics shims: EXTRACT(DOW) (pgDow), TO_CHAR 'Day' trimmed
+  *    (dayName), NULLIF guards, half-up rounding.
+  *
+  * Scale notes: vehicles/drivers/routes are dimension-sized ⇒ broadcast;
+  * trips/deliveries aggregate with partial+final HashAggregate; the
+  * unpartitioned ranking windows in Q10 only run on the ≤hundreds of
+  * rows surviving the HAVING, which is exactly where a global window is
+  * acceptable.
+  */
+final case class Oltp(
+    vehicles: DataFrame, drivers: DataFrame, routes: DataFrame,
+    trips: DataFrame, deliveries: DataFrame, maintenance: DataFrame)
+
+object Analytics {
+
+  /** Q1 — fleet mix (ref 02:12-17). */
+  def q1FleetMix(t: Oltp): DataFrame =
+    t.vehicles.groupBy(col("vehicle_type"))
+      .agg(count(lit(1)).as("cantidad"))
+      .orderBy(col("cantidad").desc, col("vehicle_type"))
+
+  /** Q2 — licenses expiring within 30 days of asOf (ref 02:22-30). */
+  def q2ExpiringLicenses(t: Oltp, asOf: Column): DataFrame =
+    t.drivers
+      .filter(col("license_expiry") < date_add(asOf, 30))
+      .select(col("first_name"), col("last_name"),
+        col("license_number"), col("license_expiry"))
+      .orderBy(col("license_expiry"), col("license_number"))
+
+  /** Q3 — trips by status (ref 02:36-40). */
+  def q3TripsByStatus(t: Oltp): DataFrame =
+    t.trips.groupBy(col("status")).agg(count(lit(1)).as("total_viajes"))
+      .orderBy(col("status"))
+
+  /** Q4 — deliveries per destination city, last 60 days (ref 02:48-60). */
+  def q4DeliveriesByCity(t: Oltp, asOf: Column): DataFrame =
+    t.routes
+      .join(t.trips, "route_id")
+      .join(t.deliveries, "trip_id")
+      .filter(col("departure_datetime") >= date_sub(asOf, 60))
+      .groupBy(col("destination_city"))
+      .agg(
+        countDistinct(col("trip_id")).as("total_viajes"),
+        count(col("delivery_id")).as("total_entregas"),
+        sum(col("package_weight_kg")).as("peso_total_kg"))
+      .orderBy(col("total_entregas").desc, col("destination_city"))
+
+  /** Q5 — active drivers' workload (ref 02:65-77). */
+  def q5DriverWorkload(t: Oltp): DataFrame =
+    t.drivers.filter(col("status") === "active").drop("status")
+      .join(t.trips, Seq("driver_id"), "left")
+      .groupBy(col("driver_id"),
+        concat_ws(" ", col("first_name"), col("last_name")).as("nombre_completo"),
+        col("license_expiry"))
+      .agg(
+        count(col("trip_id")).as("viajes_totales"),
+        sum(when(col("status") === "completed", 1).otherwise(0)).as("viajes_completados"))
+      .filter(col("viajes_totales") > 0)
+      .orderBy(col("viajes_completados").desc, col("driver_id"))
+
+  /** Q6 — deliveries per driver, last 6 months ≈ 180 days (ref 02:82-95). */
+  def q6DriverProductivity(t: Oltp, asOf: Column): DataFrame =
+    t.drivers
+      .join(t.trips.filter(
+        col("departure_datetime") >= date_sub(asOf, 180) &&
+          col("status") === "completed"), "driver_id")
+      .join(t.deliveries, "trip_id")
+      .groupBy(col("driver_id"),
+        concat_ws(" ", col("first_name"), col("last_name")).as("conductor"))
+      .agg(
+        countDistinct(col("trip_id")).as("total_viajes"),
+        count(col("delivery_id")).as("total_entregas"),
+        round(count(col("delivery_id")) /
+          nullIfZero(countDistinct(col("trip_id"))), 2).as("promedio_entregas_por_viaje"),
+        round(count(col("delivery_id")) / lit(180.0), 2).as("promedio_entregas_diarias"))
+      .filter(col("total_viajes") >= 10)
+      .orderBy(col("promedio_entregas_por_viaje").desc, col("driver_id"))
+
+  /** Q7 — fuel per 100 km by route, HAVING ≥50 trips, top 10 (ref 02:100-116). */
+  def q7RouteFuel(t: Oltp): DataFrame =
+    t.routes
+      .join(t.trips.filter(
+        col("fuel_consumed_liters").isNotNull && col("status") === "completed"),
+        "route_id")
+      .filter(col("distance_km") > 0)
+      .groupBy(col("route_id"), col("route_code"),
+        concat(col("origin_city"), lit(" -> "), col("destination_city")).as("ruta"),
+        col("distance_km"))
+      .agg(
+        count(col("trip_id")).as("viajes_realizados"),
+        avg(col("fuel_consumed_liters")).as("promedio_combustible_litros"),
+        round(avg(col("fuel_consumed_liters") / nullIfZero(col("distance_km"))) * 100, 2)
+          .as("litros_por_100km"),
+        sum(col("fuel_consumed_liters")).as("combustible_total"))
+      .filter(col("viajes_realizados") >= 50)
+      .orderBy(col("litros_por_100km").desc, col("route_id"))
+      .limit(10)
+      .drop("route_id")
+
+  /** Q8 — delayed deliveries by day of week, 90-day window (ref 02:121-139). */
+  def q8DelaysByWeekday(t: Oltp, asOf: Column): DataFrame = {
+    val delayed = col("delivered_datetime") >
+      col("scheduled_datetime") + expr("INTERVAL 30 MINUTES")
+    t.deliveries
+      .filter(col("delivery_status") === "delivered" &&
+        col("scheduled_datetime") >= date_sub(asOf, 90))
+      .groupBy(
+        dayName(col("scheduled_datetime")).as("dia_semana"),
+        pgDow(col("scheduled_datetime")).as("num_dia"))
+      .agg(
+        count(lit(1)).as("total_entregas"),
+        count(when(delayed, lit(1))).as("entregas_retrasadas"),
+        round(lit(100.0) * count(when(delayed, lit(1))) / count(lit(1)), 2)
+          .as("porcentaje_retrasos"),
+        avg(epochDiff(col("delivered_datetime"), col("scheduled_datetime")) / 60)
+          .as("minutos_promedio_diferencia"))
+      .orderBy(col("num_dia"))
+  }
+
+  /** Q9 — maintenance cost per km by vehicle type, WITH the reference's
+    * trips×maintenance fan-out quirk preserved (ref 02:144-176). */
+  def q9MaintenanceCostPerKm(t: Oltp): DataFrame = {
+    val metrics = t.vehicles
+      .join(t.trips.filter(col("status") === "completed"), Seq("vehicle_id"), "left")
+      .join(t.routes, Seq("route_id"), "left")
+      .join(t.maintenance.withColumnRenamed("cost", "m_cost"), Seq("vehicle_id"), "left")
+      .groupBy(col("vehicle_id"), col("vehicle_type"), col("license_plate"))
+      .agg(
+        countDistinct(col("trip_id")).as("total_viajes"),
+        sum(col("distance_km")).as("km_totales"),
+        sum(col("m_cost")).as("costo_mantenimiento_total"),
+        countDistinct(col("maintenance_id")).as("cantidad_mantenimientos"))
+    metrics
+      .filter(col("km_totales") > 0 && col("costo_mantenimiento_total") > 0)
+      .groupBy(col("vehicle_type"))
+      .agg(
+        count(col("vehicle_id")).as("cantidad_vehiculos"),
+        sum(col("total_viajes")).as("viajes_totales"),
+        sum(col("km_totales")).as("kilometros_totales"),
+        sum(col("costo_mantenimiento_total")).as("costo_total_mantenimiento"),
+        round(sum(col("costo_mantenimiento_total")) / nullIfZero(sum(col("km_totales"))), 2)
+          .as("costo_por_km"),
+        round(avg(col("costo_mantenimiento_total") /
+          nullIfZero(col("cantidad_mantenimientos"))), 2)
+          .as("costo_promedio_por_mantenimiento"))
+      .orderBy(col("costo_por_km").desc, col("vehicle_type"))
+  }
+
+  /** Q10 — driver efficiency ranking (triple RANK + composite score,
+    * 3-month window, HAVING ≥20 trips; ref 02:181-213). */
+  def q10DriverRanking(t: Oltp, asOf: Column): DataFrame = {
+    val metrics = t.drivers
+      .join(t.trips.filter(col("departure_datetime") >= date_sub(asOf, 90)), "driver_id")
+      .join(t.routes, "route_id")
+      .join(t.deliveries, Seq("trip_id"), "left")
+      .groupBy(col("driver_id"),
+        concat_ws(" ", col("first_name"), col("last_name")).as("nombre"))
+      .agg(
+        countDistinct(col("trip_id")).as("viajes"),
+        countDistinct(col("delivery_id")).as("entregas"),
+        (avg(col("fuel_consumed_liters") / nullIfZero(col("distance_km"))) * 100)
+          .as("consumo_100km"),
+        (count(when(col("delivered_datetime") <= col("scheduled_datetime"), lit(1)))
+          / nullIfZero(count(col("delivery_id"))) * 100).as("puntualidad_pct"))
+      .filter(col("viajes") >= 20)
+    val rPunt = rank().over(Window.orderBy(col("puntualidad_pct").desc))
+    val rEff = rank().over(Window.orderBy(col("consumo_100km").asc))
+    val rProd = rank().over(Window.orderBy(col("entregas").desc))
+    metrics.select(
+      col("nombre"), col("viajes"), col("entregas"),
+      round(col("consumo_100km"), 2).as("consumo_100km"),
+      round(col("puntualidad_pct"), 2).as("puntualidad_pct"),
+      rPunt.as("rank_puntualidad"),
+      rEff.as("rank_eficiencia"),
+      rProd.as("rank_productividad"),
+      ((rPunt + rEff + rProd) / 3.0).as("score_promedio"))
+      .orderBy(col("score_promedio").asc, col("nombre"))
+      .limit(20)
+  }
+
+  /** Q11 — monthly trip trend with LAG/LEAD + 3-month moving average
+    * (ref 02:218-244). */
+  def q11MonthlyTrend(t: Oltp): DataFrame = {
+    val monthly = t.trips.filter(col("status") === "completed")
+      .groupBy(date_trunc("month", col("departure_datetime")).as("mes"))
+      .agg(
+        count(lit(1)).as("total_viajes"),
+        sum(col("total_weight_kg")).as("peso_total"),
+        avg(col("fuel_consumed_liters")).as("combustible_promedio"))
+    val w = Window.orderBy(col("mes"))
+    monthly.select(
+      col("mes"),
+      date_format(col("mes"), "yyyy-MM").as("periodo"),
+      col("total_viajes"),
+      lag(col("total_viajes"), 1).over(w).as("viajes_mes_anterior"),
+      lead(col("total_viajes"), 1).over(w).as("viajes_mes_siguiente"),
+      (col("total_viajes") - lag(col("total_viajes"), 1).over(w)).as("cambio_absoluto"),
+      round((col("total_viajes") - lag(col("total_viajes"), 1).over(w)) /
+        nullIfZero(lag(col("total_viajes"), 1).over(w)) * 100, 2).as("cambio_porcentual"),
+      round(col("peso_total") / 1000, 2).as("toneladas_transportadas"),
+      round(col("combustible_promedio"), 2).as("combustible_promedio_viaje"),
+      avg(col("total_viajes")).over(w.rowsBetween(-2, Window.currentRow))
+        .as("promedio_movil_3m"))
+      .orderBy(col("mes").desc)
+      .limit(12)
+      .drop("mes")
+  }
+
+  /** Q12 — deliveries pivot hour × day-of-week, 60-day window, hours
+    * 6–22 (ref 02:249-272). */
+  def q12HourDowPivot(t: Oltp, asOf: Column): DataFrame = {
+    val base = t.deliveries
+      .filter(col("scheduled_datetime") >= date_sub(asOf, 60))
+      .groupBy(
+        pgDow(col("scheduled_datetime")).as("dia_semana"),
+        hour(col("scheduled_datetime")).as("hora"))
+      .agg(count(lit(1)).as("cantidad_entregas"))
+    def d(k: Int, name: String) =
+      sum(when(col("dia_semana") === k, col("cantidad_entregas")).otherwise(0)).as(name)
+    base.filter(col("hora").between(6, 22))
+      .groupBy(col("hora"))
+      .agg(d(0, "domingo"), d(1, "lunes"), d(2, "martes"), d(3, "miercoles"),
+        d(4, "jueves"), d(5, "viernes"), d(6, "sabado"),
+        sum(col("cantidad_entregas")).as("total_semana"))
+      .orderBy(col("hora"))
+  }
+
+  /** All twelve, keyed like the reference's numbering. */
+  def all(t: Oltp, asOf: Column): Map[String, DataFrame] = Map(
+    "fl_q01_fleet_mix" -> q1FleetMix(t),
+    "fl_q02_expiring_licenses" -> q2ExpiringLicenses(t, asOf),
+    "fl_q03_trips_by_status" -> q3TripsByStatus(t),
+    "fl_q04_deliveries_by_city" -> q4DeliveriesByCity(t, asOf),
+    "fl_q05_driver_workload" -> q5DriverWorkload(t),
+    "fl_q06_driver_productivity" -> q6DriverProductivity(t, asOf),
+    "fl_q07_route_fuel" -> q7RouteFuel(t),
+    "fl_q08_delays_by_weekday" -> q8DelaysByWeekday(t, asOf),
+    "fl_q09_maintenance_cost_km" -> q9MaintenanceCostPerKm(t),
+    "fl_q10_driver_ranking" -> q10DriverRanking(t, asOf),
+    "fl_q11_monthly_trend" -> q11MonthlyTrend(t),
+    "fl_q12_hour_dow_pivot" -> q12HourDowPivot(t, asOf))
+}

@@ -1,0 +1,118 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Shims._
+
+/** fact_deliveries build (reference etl_pipeline.py:817-944): time keys,
+  * delay math, QA correction flags, derived financial measures, and
+  * dimension-key lookups. Runs as one codegen'd projection over the
+  * day's extract plus broadcast joins to route/customer dims.
+  */
+object FactDeliveries {
+
+  /** Incremental extract: delivered deliveries of one day, joined to
+    * their trip and route (ref extract_deliveries, etl_pipeline.py:
+    * 230-277 — the 3-way join pushed to the source). On a
+    * date-partitioned lake this filter IS the partition prune. */
+  def extractDay(t: Oltp, day: Column): DataFrame =
+    t.deliveries
+      .filter(col("delivery_status") === "delivered" &&
+        to_date(col("delivered_datetime")) === day)
+      .join(t.trips.select(
+        col("trip_id"), col("vehicle_id"), col("driver_id"), col("route_id"),
+        col("fuel_consumed_liters"), col("departure_datetime"), col("arrival_datetime")),
+        Seq("trip_id"))
+      .join(broadcast(t.routes.select(
+        col("route_id"), col("distance_km"), col("toll_cost"))), Seq("route_id"))
+
+  /** The fact transform proper (ref :817-944). `extract` must carry the
+    * columns produced by [[extractDay]]. */
+  def build(
+      extract: DataFrame,
+      dimRoute: DataFrame,
+      dimCustomer: DataFrame,
+      etlBatchId: Long): DataFrame = {
+
+    val deliveryMinutes =
+      (epochDiff(col("delivered_datetime"), col("scheduled_datetime")) / 60).cast("int")
+
+    val withTimes = extract
+      .withColumn("date_key", dateKey(col("delivered_datetime")))
+      .withColumn("scheduled_time_key", timeKey(col("scheduled_datetime")))
+      .withColumn("delivered_time_key", timeKey(col("delivered_datetime")))
+      .withColumn("delivery_time_minutes_raw", deliveryMinutes)
+      // QA: negative durations → corrected to 0 + flagged (ref :855-865)
+      .withColumn("qa_time_flag", col("delivery_time_minutes_raw") < 0)
+      .withColumn("delivery_time_minutes",
+        greatest(lit(0), col("delivery_time_minutes_raw")))
+      .withColumn("delay_minutes", greatest(lit(0), col("delivery_time_minutes")))
+      .withColumn("qa_distance_flag", col("distance_km") < 0)
+      .withColumn("distance_km_c",
+        when(col("distance_km") < 0, lit(0.0)).otherwise(col("distance_km")))
+      .withColumn("qa_fuel_flag", col("fuel_consumed_liters") < 0)
+      .withColumn("fuel_c",
+        when(col("fuel_consumed_liters") < 0, lit(0.0))
+          .otherwise(col("fuel_consumed_liters")))
+
+    withTimes
+      // measures (ref :876-896): clips exactly as pandas .clip
+      .withColumn("deliveries_per_hour",
+        round(lit(60.0) / greatest(lit(1), col("delivery_time_minutes")), 2))
+      .withColumn("fuel_efficiency_km_per_liter",
+        round(col("distance_km_c") / greatest(lit(0.1), col("fuel_c")), 2))
+      .withColumn("cost_per_delivery",
+        round(col("fuel_c") * 3.5 + col("toll_cost") + 5, 2))
+      .withColumn("revenue_per_delivery",
+        round(lit(10) + col("package_weight_kg") * 0.5 + col("distance_km_c") * 0.1, 2))
+      .withColumn("is_on_time", col("delay_minutes") <= 30)
+      .withColumn("is_damaged", lit(false))
+      .withColumn("has_signature", col("recipient_signature").isNotNull)
+      // key lookups: route/customer have keys now; vehicle/driver keep
+      // natural ids for post-load SCD2 resolution (ref :920-933)
+      .join(broadcast(dimRoute.select(col("route_id"), col("route_key"))),
+        Seq("route_id"), "left")
+      .join(dimCustomer.select(col("customer_name"), col("customer_key")),
+        Seq("customer_name"), "left")
+      .withColumn("etl_batch_id", lit(etlBatchId))
+      .withColumn("qa_passed",
+        !(col("qa_time_flag") || col("qa_distance_flag") || col("qa_fuel_flag")))
+      .select(
+        col("date_key"), col("scheduled_time_key"), col("delivered_time_key"),
+        col("vehicle_id").as("vehicle_key"), col("driver_id").as("driver_key"),
+        col("route_key"), col("customer_key"),
+        col("delivery_id"), col("trip_id"), col("tracking_number"),
+        col("package_weight_kg"),
+        col("distance_km_c").as("distance_km"),
+        col("fuel_c").as("fuel_consumed_liters"),
+        col("delivery_time_minutes"), col("delay_minutes"),
+        col("deliveries_per_hour"), col("fuel_efficiency_km_per_liter"),
+        col("cost_per_delivery"), col("revenue_per_delivery"),
+        col("is_on_time"), col("is_damaged"), col("has_signature"),
+        col("delivery_status"), col("etl_batch_id"),
+        col("qa_time_flag"), col("qa_distance_flag"), col("qa_fuel_flag"),
+        col("qa_passed"))
+  }
+}
+
+/** Pre-aggregated report tables (reference etl_pipeline.py:1100-1132;
+  * DDL scripts/04_dimensional_model.sql:178-190). */
+object Reports {
+
+  def driverTotals(fact: DataFrame): DataFrame =
+    fact.groupBy(col("driver_key"))
+      .agg(
+        count(lit(1)).as("total_deliveries"),
+        round(avg(col("delivery_time_minutes")), 2).as("avg_delivery_time_minutes"),
+        round(sum(col("revenue_per_delivery")), 2).as("total_revenue"))
+      .orderBy(col("driver_key"))
+
+  def routeTotals(fact: DataFrame): DataFrame =
+    fact.groupBy(col("route_key"))
+      .agg(
+        count(lit(1)).as("total_deliveries"),
+        round(avg(col("fuel_efficiency_km_per_liter")), 2).as("avg_fuel_efficiency"),
+        round(sum(col("cost_per_delivery")), 2).as("total_cost"))
+      .orderBy(col("route_key"))
+}
