@@ -16,6 +16,7 @@ object SparkEntry {
     operators.TextOps.defs,
     operators.SimilarityOps.defs,
     operators.FleetOps.defs,
+    operators.StreamingOps.defs,
   )
 
   def allDefs: Seq[QueryDef] = registries.flatten

@@ -1,0 +1,80 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus batch-shaped feature extraction.
+  *
+  * The container has no media codecs, so the DECODE step is a
+  * deterministic byte-level stand-in (histogram/sampling over the raw
+  * bytes) behind the same interface a real decoder would use — the
+  * Spark-side contract (schema, partition-parallel batch iteration,
+  * feature vector shape) is real and tested; swap [[decodeFeatures]]'s
+  * inner function for an actual codec to productionize.
+  *
+  * Scale: content stays columnar parquet binary; feature extraction is
+  * `mapPartitions` (one JVM-side loop per partition, the Scala analog
+  * of batch-shaped pandas UDFs) so per-row overhead is amortized and
+  * the 100 TB scan parallelizes by partition.
+  */
+object Multimodal {
+
+  final case class Asset(
+      asset_id: Long, media_type: String, content: Array[Byte],
+      source: String)
+
+  final case class AssetFeatures(
+      asset_id: Long, media_type: String, byte_len: Long,
+      histogram: Array[Double], sample_rate: Double)
+
+  /** Build an asset table from any (id, text-ish payload) table —
+    * deterministic binary content for tests/fixtures. */
+  def fromDocuments(docs: DataFrame): Dataset[Asset] = {
+    import docs.sparkSession.implicits._
+    docs.select(
+      col("doc_id").as("asset_id"),
+      lit("application/octet-stream").as("media_type"),
+      col("text").cast("binary").as("content"),
+      col("source"))
+      .as[Asset]
+  }
+
+  /** Batch-shaped feature extraction: 16-bin byte histogram (the
+    * deterministic decode stand-in — a real image decoder slots in
+    * here, same signature). */
+  def decodeFeatures(assets: Dataset[Asset], bins: Int = 16): Dataset[AssetFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { batch =>
+      batch.map { a =>
+        val h = new Array[Double](bins)
+        var i = 0
+        while (i < a.content.length) {
+          h(((a.content(i) & 0xFF) * bins) / 256) += 1.0
+          i += 1
+        }
+        val n = math.max(1, a.content.length).toDouble
+        AssetFeatures(a.asset_id, a.media_type, a.content.length.toLong,
+          h.map(_ / n), bins.toDouble / 256.0)
+      }
+    }
+  }
+
+  /** Frame sampling: every `stride`-th byte window of width `frame` —
+    * the shape of video frame-sampling, on raw bytes. Pure column
+    * expressions over binary substring. */
+  def frameSample(assets: DataFrame, frame: Int, stride: Int): DataFrame =
+    assets
+      .withColumn("byte_len", octet_length(col("content")))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0),
+          greatest(lit(0), floor((col("byte_len") - frame) / stride).cast("int")))))
+      .withColumn("frame",
+        expr(s"substring(content, frame_idx * $stride + 1, $frame)"))
+      .select(col("asset_id"), col("frame_idx"), col("frame"))
+
+  /** Resize-to-length: truncate or zero-pad the content column. */
+  def resize(assets: DataFrame, len: Int): DataFrame =
+    assets.withColumn("content_resized",
+      expr(s"""rpad(substring(content, 1, $len), $len, X'00')"""))
+}

@@ -1,0 +1,130 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.Shims
+
+/** Real-time layer (SURVEY §2.11 R1–R4), re-expressed as Structured
+  * Streaming over the reference's event-at-a-time Lambda semantics
+  * (scripts/07_lambda_functions.py):
+  *
+  *  - R1 delivery verification = stream-static join against the status
+  *    snapshot (ref :18-71, DynamoDB point get);
+  *  - R2 ETA = per-event distance/speed math + 5-minute trigger upsert
+  *    (ref :76-138, EventBridge cadence is the trigger interval);
+  *  - R3 route deviation = broadcast join to waypoints + min-distance
+  *    fold + threshold filter (ref :143-226, 5 km);
+  *  - R4 keyed live state = last-write-wins flatMapGroupsWithState
+  *    (ref DynamoDB put_item upserts, 06_aws_setup.py:105-146).
+  *
+  * The reference has no watermark/late-data policy (state is
+  * last-write-wins); watermarks here exist only to bound state — an
+  * engine extension, documented as such. All transforms are
+  * source-agnostic DataFrame→DataFrame so the same code runs on a
+  * kafka/file/rate/memory source, batch or streaming.
+  */
+object Streams {
+
+  /** GPS position event (ref :158-171 payload shape). */
+  final case class GpsEvent(
+      vehicle_id: Long, route_id: Long,
+      lat: Double, lon: Double, speed_kmh: Double,
+      ts: java.sql.Timestamp)
+
+  /** Latest-known vehicle state (R4 `vehicle_tracking`). */
+  final case class VehicleState(
+      vehicle_id: Long, route_id: Long,
+      lat: Double, lon: Double, speed_kmh: Double,
+      last_update: java.sql.Timestamp, n_updates: Long)
+
+  /** R3 — per-event min distance to the route's waypoints with the
+    * reference's equirectangular approximation (kept, NOT haversine,
+    * for parity — ref :95-99,176-181); alert when > thresholdKm.
+    *
+    * `waypoints` is a static dim: route_id, waypoints array<struct
+    * <lat,lon>> — broadcast, so the stream never shuffles.
+    */
+  def routeDeviationAlerts(
+      gps: DataFrame, waypoints: DataFrame, thresholdKm: Double = 5.0): DataFrame = {
+    val minDist = aggregate(
+      col("waypoints"), lit(Double.MaxValue),
+      (acc, w) => least(acc,
+        Shims.approxGeoDistKm(col("lat"), col("lon"),
+          w.getField("lat"), w.getField("lon"))))
+    gps.join(broadcast(waypoints), Seq("route_id"))
+      .withColumn("min_distance_km", round(minDist, 3))
+      .filter(col("min_distance_km") > thresholdKm)
+      .select(col("vehicle_id"), col("route_id"), col("ts"),
+        col("lat"), col("lon"), col("min_distance_km"),
+        lit("ROUTE_DEVIATION").as("alert_type"))
+  }
+
+  /** R2 — ETA to destination: distance (equirectangular) / speed,
+    * arrival = event time + travel hours (ref :95-104). */
+  def etaUpdates(gps: DataFrame, destinations: DataFrame): DataFrame = {
+    val dist = Shims.approxGeoDistKm(
+      col("lat"), col("lon"), col("dest_lat"), col("dest_lon"))
+    gps.join(broadcast(destinations), Seq("route_id"))
+      .withColumn("distance_km", round(dist, 3))
+      .withColumn("eta_hours",
+        round(col("distance_km") / greatest(lit(1.0), col("speed_kmh")), 4))
+      .withColumn("eta",
+        col("ts") + make_dt_interval(lit(0), lit(0), lit(0),
+          col("eta_hours") * 3600))
+      .select(col("vehicle_id"), col("route_id"), col("ts"),
+        col("distance_km"), col("eta_hours"), col("eta"))
+  }
+
+  /** R1 — delivery verification: event stream of delivery_id lookups
+    * against the current status snapshot (stream-static join; the
+    * static side is re-read per micro-batch, matching the reference's
+    * per-invocation DynamoDB get). */
+  def verifyDeliveries(requests: DataFrame, statusSnapshot: DataFrame): DataFrame =
+    requests.join(statusSnapshot, Seq("delivery_id"), "left")
+      .withColumn("found", col("delivery_status").isNotNull)
+      .withColumn("verified",
+        coalesce(col("delivery_status") === "delivered", lit(false)))
+
+  /** R4 — last-write-wins keyed state with an update counter (the
+    * DynamoDB upsert). Emits the new state on every update
+    * (OutputMode.Update sink semantics). */
+  def latestVehicleState(gps: Dataset[GpsEvent]): Dataset[VehicleState] = {
+    import gps.sparkSession.implicits._
+    gps.groupByKey(_.vehicle_id)
+      .flatMapGroupsWithState[VehicleState, VehicleState](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (id: Long, events: Iterator[GpsEvent], state: GroupState[VehicleState]) =>
+          val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.route_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val prev = state.getOption
+            val latest = sorted.last
+            val next = VehicleState(id, latest.route_id, latest.lat, latest.lon,
+              latest.speed_kmh, latest.ts,
+              prev.map(_.n_updates).getOrElse(0L) + sorted.size)
+            // last-write-wins: only move forward in event time
+            val winner = prev match {
+              case Some(p) if p.last_update.after(next.last_update) =>
+                p.copy(n_updates = p.n_updates + sorted.size)
+              case _ => next
+            }
+            state.update(winner)
+            Iterator(winner)
+          }
+      }
+  }
+
+  /** Waypoint dim builder from a route polyline table
+    * (route_id, seq, lat, lon) → route_id, waypoints array<struct>. */
+  def waypointsDim(polyline: DataFrame): DataFrame =
+    polyline
+      .groupBy(col("route_id"))
+      .agg(sort_array(collect_list(struct(col("seq"), col("lat"), col("lon"))))
+        .as("pts"))
+      .select(col("route_id"),
+        transform(col("pts"), p =>
+          struct(p.getField("lat").as("lat"), p.getField("lon").as("lon")))
+          .as("waypoints"))
+}

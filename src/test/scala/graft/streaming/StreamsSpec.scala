@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.GraftSpec
+
+class StreamsSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private lazy val waypoints = Streams.waypointsDim(
+    Seq(
+      (10L, 1, 0.00, 0.00), (10L, 2, 0.10, 0.00), (10L, 3, 0.20, 0.00))
+      .toDF("route_id", "seq", "lat", "lon"))
+
+  test("R3 deviation: on-route events pass, off-route events alert at 5 km") {
+    val gps = Seq(
+      Streams.GpsEvent(1L, 10L, 0.10, 0.001, 80, ts("2025-01-01 10:00:00")), // ~0.1 km off
+      Streams.GpsEvent(2L, 10L, 0.10, 0.10, 80, ts("2025-01-01 10:01:00"))   // ~11 km off
+    ).toDF()
+    val alerts = Streams.routeDeviationAlerts(gps, waypoints).collect()
+    assert(alerts.map(_.getAs[Long]("vehicle_id")).toSeq === Seq(2L))
+    assert(alerts.head.getAs[String]("alert_type") === "ROUTE_DEVIATION")
+    // equirectangular parity: 0.1° lon at threshold math ⇒ 11.1 km
+    assert(math.abs(alerts.head.getAs[Double]("min_distance_km") - 11.1) < 0.01)
+  }
+
+  test("R3 runs as a real streaming query (memory source → memory sink)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.GpsEvent]
+    val q = Streams.routeDeviationAlerts(mem.toDF(), waypoints)
+      .writeStream.format("memory").queryName("alerts_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Streams.GpsEvent(1L, 10L, 0.10, 0.001, 80, ts("2025-01-01 10:00:00")),
+        Streams.GpsEvent(2L, 10L, 0.50, 0.50, 80, ts("2025-01-01 10:01:00")))
+      q.processAllAvailable()
+      val got = spark.table("alerts_stream").collect()
+      assert(got.map(_.getAs[Long]("vehicle_id")).toSeq === Seq(2L))
+    } finally q.stop()
+  }
+
+  test("R2 ETA: distance/speed arithmetic and timestamp advance") {
+    val dest = Seq((10L, 1.0, 0.0)).toDF("route_id", "dest_lat", "dest_lon")
+    val gps = Seq(Streams.GpsEvent(1L, 10L, 0.0, 0.0, 111.0, ts("2025-01-01 10:00:00"))).toDF()
+    val out = Streams.etaUpdates(gps, dest).collect().head
+    // dist = 1° × 111 = 111 km at 111 km/h ⇒ 1.0 h ⇒ 11:00
+    assert(math.abs(out.getAs[Double]("eta_hours") - 1.0) < 1e-6)
+    assert(out.getAs[java.sql.Timestamp]("eta") === ts("2025-01-01 11:00:00"))
+  }
+
+  test("R1 verification: stream-static join resolves status") {
+    val status = Seq(
+      (100L, "delivered"), (101L, "pending")).toDF("delivery_id", "delivery_status")
+    val requests = Seq(100L, 101L, 999L).toDF("delivery_id")
+    val out = Streams.verifyDeliveries(requests, status)
+      .orderBy($"delivery_id").collect()
+    assert(out.map(r => (r.getAs[Boolean]("found"), r.getAs[Boolean]("verified"))).toSeq
+      === Seq((true, true), (true, false), (false, false)))
+  }
+
+  test("R4 keyed state: last-write-wins with update counting") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.GpsEvent]
+    val q = Streams.latestVehicleState(mem.toDS())
+      .writeStream.format("memory").queryName("vehicle_state")
+      .outputMode("update").start()
+    try {
+      mem.addData(Streams.GpsEvent(1L, 10L, 0.1, 0.1, 80, ts("2025-01-01 10:00:00")))
+      q.processAllAvailable()
+      mem.addData(
+        Streams.GpsEvent(1L, 10L, 0.2, 0.2, 90, ts("2025-01-01 10:05:00")),
+        // stale out-of-order event must NOT win
+        Streams.GpsEvent(1L, 10L, 0.0, 0.0, 10, ts("2025-01-01 09:00:00")))
+      q.processAllAvailable()
+      val last = spark.table("vehicle_state")
+        .orderBy($"n_updates".desc).limit(1).collect().head
+      assert(last.getAs[Double]("lat") === 0.2)
+      assert(last.getAs[Long]("n_updates") === 3L)
+      assert(last.getAs[java.sql.Timestamp]("last_update") === ts("2025-01-01 10:05:00"))
+    } finally q.stop()
+  }
+}
+
+class MultimodalSpec extends GraftSpec {
+  import graft.multimodal.Multimodal
+
+  test("binary assets: histogram features are normalized and deterministic") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001")).limit(50)
+    val feats = Multimodal.decodeFeatures(Multimodal.fromDocuments(docs)).collect()
+    assert(feats.length === 50)
+    feats.foreach { f =>
+      assert(math.abs(f.histogram.sum - 1.0) < 1e-9)
+      assert(f.byte_len > 0)
+    }
+    val again = Multimodal.decodeFeatures(Multimodal.fromDocuments(docs)).collect()
+    assert(feats.map(_.histogram.toSeq).toSeq === again.map(_.histogram.toSeq).toSeq)
+  }
+
+  test("frame sampling and resize shapes") {
+    import spark.implicits._
+    val assets = Seq((1L, "0123456789abcdef")).toDF("asset_id", "text")
+      .select($"asset_id", $"text".cast("binary").as("content"))
+    val frames = Multimodal.frameSample(assets, frame = 4, stride = 4).collect()
+    assert(frames.length === 4)
+    assert(new String(frames.head.getAs[Array[Byte]]("frame")) === "0123")
+    val resized = Multimodal.resize(assets, 8)
+      .select(octet_length($"content_resized")).head().getInt(0)
+    assert(resized === 8)
+  }
+}
