@@ -37,6 +37,24 @@ object FleetOps {
 
   private def asOf = to_date(lit(cfg.asOfDate))
 
+  // The ETL entries all read from one pipeline run — memoized so four
+  // gate entries don't rebuild dims/SCD2/fact four times.
+  @volatile private var cachedEtl: Option[Pipeline.EtlOutput] = None
+
+  def etl(spark: SparkSession): Pipeline.EtlOutput = cachedEtl.getOrElse {
+    synchronized {
+      cachedEtl.getOrElse {
+        val t = oltp(spark)
+        val out = Pipeline.run(spark, t, Pipeline.nthLastDateWithData(t, 0).get)
+        val cachedOut = out.copy(
+          dims = out.dims.map { case (k, v) => k -> v.cache() },
+          fact = out.fact.cache())
+        cachedEtl = Some(cachedOut)
+        cachedOut
+      }
+    }
+  }
+
   private def q(name: String)(fn: Oltp => DataFrame): QueryDef =
     QueryDef.rowsOnly(name)((s, _) => fn(oltp(s)))
 
@@ -54,24 +72,11 @@ object FleetOps {
     q("fl_q11_monthly_trend")(t => Analytics.q11MonthlyTrend(t)),
     q("fl_q12_hour_dow_pivot")(t => Analytics.q12HourDowPivot(t, asOf)),
 
-    QueryDef.rowsOnly("fl_etl_fact_deliveries") { (s, _) =>
-      val t = oltp(s)
-      Pipeline.run(s, t, Pipeline.nthLastDateWithData(t, 0).get).fact
-    },
-    QueryDef.rowsOnly("fl_etl_dim_vehicle_scd2") { (s, _) =>
-      val t = oltp(s)
-      Pipeline.run(s, t, Pipeline.nthLastDateWithData(t, 0).get)
-        .dims("dim_vehicle")
-    },
-    QueryDef.rowsOnly("fl_etl_dim_customer") { (s, _) =>
-      val t = oltp(s)
-      Pipeline.run(s, t, Pipeline.nthLastDateWithData(t, 0).get)
-        .dims("dim_customer")
-    },
+    QueryDef.rowsOnly("fl_etl_fact_deliveries")((s, _) => etl(s).fact),
+    QueryDef.rowsOnly("fl_etl_dim_vehicle_scd2")((s, _) => etl(s).dims("dim_vehicle")),
+    QueryDef.rowsOnly("fl_etl_dim_customer")((s, _) => etl(s).dims("dim_customer")),
     QueryDef.rowsOnly("fl_etl_report_driver_totals") { (s, _) =>
-      val t = oltp(s)
-      Pipeline.run(s, t, Pipeline.nthLastDateWithData(t, 0).get)
-        .reports("report_driver_totals")
+      etl(s).reports("report_driver_totals")
     },
   )
 }

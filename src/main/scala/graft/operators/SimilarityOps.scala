@@ -34,10 +34,10 @@ object SimilarityOps {
 
   val defs: Seq[QueryDef] = Seq(
 
-    /** Exact word-3-gram Jaccard near-dup pairs (threshold 0.5) via
-      * shingle explode + equi-join on shingle — the verification
-      * ground-truth for MinHash. Never materializes the pair space:
-      * only docs sharing ≥1 shingle meet in the join. */
+    /** Exact word-3-gram Jaccard near-dup pairs (threshold 0.5) — the
+      * verification ground-truth for MinHash. Runs as the broadcast
+      * sorted-merge kernel (integer counts ⇒ oracle-exact); the oracle
+      * keeps the declarative shingle-join formulation. */
     QueryDef.sql(
       "q33_ngram_jaccard",
       """WITH w AS (
@@ -59,20 +59,7 @@ object SimilarityOps {
         |JOIN sz sb ON sb.doc_id = p.id_b
         |WHERE p.inter * 1.0 / (sa.n_sh + sb.n_sh - p.inter) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-      val sh = Tables.documents(s, d)
-        .select($"doc_id", explode(wordShingles($"text", 3)).as("shingle"))
-      val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-      val pairs = sh.as("a")
-        .join(sh.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .agg(count(lit(1)).as("inter"))
-      val jac = $"inter" * lit(1.0) / ($"sa.n_sh" + $"sb.n_sh" - $"inter")
-      pairs
-        .join(sz.as("sa"), $"id_a" === $"sa.doc_id")
-        .join(sz.as("sb"), $"id_b" === $"sb.doc_id")
-        .filter(jac >= 0.5)
-        .select($"id_a", $"id_b", round(jac, 4).cast("double").as("jaccard"))
+      Dedup.ngramJaccardPairsKernel(Tables.documents(s, d), "doc_id", "text")
         .orderBy($"id_a", $"id_b")
     },
 
@@ -109,13 +96,7 @@ object SimilarityOps {
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE (${dotSql("a", "b")}) / (a.nrm * b.nrm) > 0.4
          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-      val e = Tables.embeddings(s, d)
-        .select($"vec_id", $"embedding", Vectors.norm($"embedding").as("nrm"))
-      val cos = Vectors.dot($"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm")
-      e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
-        .filter(cos > 0.4)
-        .select($"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
-          round(cos, 4).cast("double").as("cosine"))
+      Vectors.cosinePairsKernel(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
         .orderBy($"id_a", $"id_b")
     },
 
@@ -139,7 +120,7 @@ object SimilarityOps {
          |FROM ranked WHERE rnk <= 3
          |ORDER BY probe_id, rnk""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
-      Vectors.bruteForceTopK(
+      Vectors.bruteForceTopKKernel(
         e.filter($"vec_id" < 20), e, "vec_id", "embedding", 3)
         .orderBy($"probe_id", $"rnk")
     },
