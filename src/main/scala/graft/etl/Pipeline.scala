@@ -103,10 +103,44 @@ object Pipeline {
       stagingAudit)
   }
 
+  /** Role-filtered secure views (ref scripts/04_dimensional_model.sql:
+    * 196-236): registered as temp views over filtered DataFrames —
+    * `vw_fact_deliveries_secure` hides Individual-customer rows
+    * (ref 04:207), `vw_driver_performance` exposes only current driver
+    * versions with their report rollup. */
+  def registerSecureViews(out: EtlOutput): Unit = {
+    out.fact
+      .join(out.dims("dim_customer").select(col("customer_key"), col("customer_type")),
+        Seq("customer_key"), "left")
+      .filter(col("customer_type") =!= "Individual")
+      .drop("customer_type")
+      .createOrReplaceTempView("vw_fact_deliveries_secure")
+    out.dims("dim_driver")
+      .filter(col("is_current"))
+      .select(col("driver_id"), col("full_name"), col("performance_category"),
+        col("deliveries_per_hour"))
+      .createOrReplaceTempView("vw_driver_performance")
+  }
+
   /** Warehouse load: dims overwritten as snapshots (SCD2 dims carry
     * their own history), fact appended date-partitioned, dim_date
-    * anti-join-insert (S7, ref load_dim_date_if_not_exists :978-1024). */
+    * anti-join-insert (S7, ref load_dim_date_if_not_exists :978-1024).
+    * Every write appends a `load_logs` audit row (G10, ref
+    * 01_data_generation.py:42-72), and dims are additionally kept under
+    * `snapshots/<batch date>/` — the parquet-lake analog of the DW's
+    * 30-day Time Travel retention (ref 04:162-168, SURVEY X13). */
   def load(out: EtlOutput, warehouseDir: String): Unit = {
+    val spark = out.fact.sparkSession
+    val t0 = new java.sql.Timestamp(System.currentTimeMillis())
+    def audit(table: String, n: Long): Unit = {
+      import spark.implicits._
+      Seq((s"etl_${out.targetDate}", table, n, t0,
+        new java.sql.Timestamp(System.currentTimeMillis()), "success",
+        null: String))
+        .toDF("process_name", "table_name", "records_inserted",
+          "start_time", "end_time", "status", "error_message")
+        .write.mode("append").parquet(s"$warehouseDir/load_logs")
+    }
     out.dims.foreach { case (name, df) =>
       if (name == "dim_date") {
         val path = s"$warehouseDir/$name"
@@ -120,15 +154,21 @@ object Pipeline {
         toInsert.write.mode("append").parquet(path)
       } else {
         df.write.mode("overwrite").parquet(s"$warehouseDir/$name")
+        df.write.mode("overwrite")
+          .parquet(s"$warehouseDir/snapshots/${out.targetDate}/$name")
       }
+      audit(name, spark.read.parquet(s"$warehouseDir/$name").count())
     }
     out.fact
       .withColumn("p_date_key", col("date_key"))
       .write.mode("append").partitionBy("p_date_key")
       .parquet(s"$warehouseDir/fact_deliveries")
+    audit("fact_deliveries", out.fact.count())
     out.reports.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$warehouseDir/$name")
+      audit(name, df.count())
     }
     out.stagingAudit.write.mode("append").parquet(s"$warehouseDir/staging_daily_load")
+    audit("staging_daily_load", out.stagingAudit.count())
   }
 }

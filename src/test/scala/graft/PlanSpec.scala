@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.FnvHash64
+
+/** Physical-plan shape assertions (SURVEY §4): the optimizations the
+  * reference buys with indexes/partitioning must actually materialize
+  * in our Catalyst plans — pushdown, pruning, broadcast, codegen,
+  * top-k. Guarding them in tests keeps a future refactor from silently
+  * regressing to a full scan or a shuffled join.
+  */
+class PlanSpec extends GraftSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf("sf0.001"))
+
+  test("column pruning: q01 reads only the needed lineitem columns (X1)") {
+    val p = plan(q("q01_agg_pricing"))
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_partkey"), "projection must prune unused columns")
+    assert(!p.contains("l_suppkey"))
+  }
+
+  test("predicate pushdown reaches the parquet scan (X2/X8)") {
+    val df = Tables.lineitem(spark, sf("sf0.001"))
+      .filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val p = plan(df)
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(l_quantity"),
+      s"expected pushed filter in:\n$p")
+  }
+
+  test("dimension joins broadcast (X3/X5): q07 has broadcast-hash joins") {
+    val p = plan(q("q07_join3_rollup"))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("semi/anti joins plan as such (J6/X12)") {
+    assert(plan(q("q10_semi_join")).contains("LeftSemi"))
+    assert(plan(q("q09_anti_join")).contains("LeftAnti"))
+  }
+
+  test("top-k plans as TakeOrderedAndProject (O2)") {
+    assert(plan(q("q15_topk")).contains("TakeOrderedAndProject"))
+  }
+
+  test("whole-stage codegen spans the aggregation hot path") {
+    // AQE finalizes the physical plan lazily — run the query, then
+    // inspect the final plan for codegen stage markers
+    val df = q("q01_agg_pricing")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen stages print as `*(n)` markers in the final AQE plan
+    assert(p.contains("*("), p.linesIterator.take(20).mkString("\n"))
+  }
+
+  test("partition pruning on the date-partitioned fact (S8/X2)") {
+    import graft.etl._
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val tables = DataGen.all(spark, DataGen.Config(nTrips = 500, nMaintenance = 50))
+    val t = Oltp(tables("vehicles"), tables("drivers"), tables("routes"),
+      tables("trips"), tables("deliveries"), tables("maintenance"))
+    val day = Pipeline.nthLastDateWithData(t, 0).get
+    Pipeline.load(Pipeline.run(spark, t, day), dir)
+    val fact = spark.read.parquet(s"$dir/fact_deliveries")
+    val pruned = fact.filter(col("p_date_key") === 0)
+    val p = plan(pruned)
+    assert(p.contains("PartitionFilters") && p.contains("p_date_key"),
+      s"expected partition filter in:\n$p")
+    assert(pruned.count() === 0)
+  }
+
+  test("fnv64 native expression: codegen'd, SQL-callable, matches the kernel hash") {
+    FnvHash64.register(spark)
+    import spark.implicits._
+    val df = Seq("hello world", "", "graft añejo ☕").toDF("s")
+    df.createOrReplaceTempView("fnv_probe")
+    val viaSql = spark.sql("SELECT s, fnv64(s) AS h FROM fnv_probe").collect()
+    viaSql.foreach { r =>
+      assert(r.getAs[Long]("h") === FnvHash64.hash(r.getAs[String]("s")))
+    }
+    // expression participates in whole-stage codegen: probe over a
+    // parquet-backed table (a local relation folds away before codegen)
+    Tables.documents(spark, sf("sf0.001")).createOrReplaceTempView("fnv_docs")
+    val probe = spark.sql("SELECT fnv64(text) FROM fnv_docs")
+    assert(probe.collect().nonEmpty)
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p.linesIterator.take(20).mkString("\n"))
+  }
+}
