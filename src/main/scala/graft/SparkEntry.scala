@@ -15,6 +15,7 @@ object SparkEntry {
     operators.Temporal.defs,
     operators.TextOps.defs,
     operators.SimilarityOps.defs,
+    operators.Advanced.defs,
     operators.FleetOps.defs,
     operators.StreamingOps.defs,
   )

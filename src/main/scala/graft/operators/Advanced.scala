@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{Tables, QueryDef}
+import graft.plans.SaltedAggregate
+
+/** Advanced composition surface beyond the reference's literal operator
+  * set: gap-based sessionization, ROLLUP grouping, skew-salted
+  * aggregation, exact percentiles, and a TPC-H-style multi-operator
+  * composite — each with a DuckDB oracle.
+  */
+object Advanced {
+
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+  private val centsSql = (x: String) => s"CAST(ROUND($x*100,0) AS BIGINT)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    /** Gap-based sessionization (30-min inactivity): the classic
+      * lag + cumulative-flag-sum window pattern, identical in both
+      * engines. Per-session rollup keyed by (user, session_seq). */
+    QueryDef.sql(
+      "q39_sessionize",
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         CASE WHEN LAG(ts) OVER w IS NULL
+        |                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+        |              ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM flagged
+        |)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |       COUNT(*) AS n_events,
+        |       epoch_ms(MIN(ts)) AS start_ms,
+        |       epoch_ms(MAX(ts)) AS end_ms,
+        |       CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) / 100.0 AS DOUBLE) AS total_value
+        |FROM sessions
+        |GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val flagged = Tables.events(s, d)
+        .withColumn("new_session",
+          when(lag($"ts", 1).over(w).isNull ||
+            $"ts" > lag($"ts", 1).over(w) + expr("INTERVAL 30 MINUTES"), 1)
+            .otherwise(0))
+      flagged
+        .withColumn("session_seq",
+          sum($"new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy($"user_id", $"session_seq".cast("long").as("session_seq"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          unix_millis(min($"ts")).as("start_ms"),
+          unix_millis(max($"ts")).as("end_ms"),
+          (sum(cents($"value")) / 100.0).cast("double").as("total_value"))
+        .orderBy($"user_id", $"session_seq")
+    },
+
+    /** ROLLUP hierarchy totals (status → priority → grand total) —
+      * grouping-set aggregation the reference lacks but any warehouse
+      * rollup report needs. grouping_id() disambiguates subtotal rows. */
+    QueryDef.sql(
+      "q40_rollup",
+      s"""SELECT CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+         |       o_orderstatus, o_orderpriority,
+         |       COUNT(*) AS n_orders,
+         |       CAST(SUM(${centsSql("o_totalprice")}) / 100.0 AS DOUBLE) AS total_price
+         |FROM orders
+         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         |ORDER BY gid, coalesce(o_orderstatus, ''), coalesce(o_orderpriority, '')""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .rollup($"o_orderstatus", $"o_orderpriority")
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_orders"),
+          (sum(cents($"o_totalprice")) / 100.0).cast("double").as("total_price"))
+        .select($"gid", $"o_orderstatus", $"o_orderpriority", $"n_orders", $"total_price")
+        .orderBy($"gid", coalesce($"o_orderstatus", lit("")),
+          coalesce($"o_orderpriority", lit("")))
+    },
+
+    /** Skew-salted aggregation: two-stage (key, salt) → key groupBy.
+      * Result is provably identical to a direct GROUP BY (the oracle),
+      * while the shuffle spreads hot keys across `salts` reducers. */
+    QueryDef.sql(
+      "q41_salted_agg",
+      s"""SELECT o_custkey,
+         |       CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS sum_cents,
+         |       COUNT(*) AS cnt
+         |FROM orders
+         |GROUP BY o_custkey
+         |ORDER BY sum_cents DESC, o_custkey
+         |LIMIT 15""".stripMargin) { (s, d) =>
+      val prepared = Tables.orders(s, d)
+        .withColumn("price_cents", cents($"o_totalprice"))
+      SaltedAggregate.sumCount(prepared, Seq("o_custkey"), "price_cents",
+        saltFrom = "o_orderkey", salts = 16)
+        .select($"o_custkey", $"sum_price_cents".as("sum_cents"), $"cnt")
+        .orderBy($"sum_cents".desc, $"o_custkey")
+        .limit(15)
+    },
+
+    /** Exact percentiles (median / p90 with linear interpolation) —
+      * Spark `percentile` ≡ DuckDB `quantile_cont`. The 100 TB path is
+      * approx_percentile (t-digest), exposed rows-only below. */
+    QueryDef.sql(
+      "q42_percentiles",
+      """SELECT l_returnflag,
+        |       CAST(ROUND(quantile_cont(l_quantity, 0.5), 4) AS DOUBLE) AS p50_qty,
+        |       CAST(ROUND(quantile_cont(l_quantity, 0.9), 4) AS DOUBLE) AS p90_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).cast("double").as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).cast("double").as("p90_qty"))
+        .orderBy($"l_returnflag")
+    },
+
+    /** Sketch percentile twin for the scale path (engine-specific
+      * t-digest ⇒ rows-only). */
+    QueryDef.rowsOnly("q42b_approx_percentiles") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)").as("approx_q"))
+        .orderBy($"l_returnflag")
+    },
+
+    /** TPC-H Q3-shape composite: selective filters on both fact sides,
+      * broadcast dim filter, aggregation, top-k — the canonical
+      * filter-pushdown + join-order + TakeOrdered pipeline. */
+    QueryDef.sql(
+      "q43_shipping_priority",
+      s"""SELECT l.l_orderkey,
+         |       CAST(SUM(${centsSql("l.l_extendedprice")} * (100 - ${centsSql("l.l_discount")})) / 10000.0 AS DOUBLE) AS revenue,
+         |       CAST(o.o_orderdate AS DATE) AS order_date
+         |FROM customer c
+         |JOIN orders o ON o.o_custkey = c.c_custkey
+         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |WHERE c.c_mktsegment = 'BUILDING'
+         |  AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+         |  AND l.l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+         |GROUP BY l.l_orderkey, o.o_orderdate
+         |ORDER BY SUM(${centsSql("l.l_extendedprice")} * (100 - ${centsSql("l.l_discount")})) DESC, l.l_orderkey
+         |LIMIT 10""".stripMargin) { (s, d) =>
+      val cutoff = lit("1999-01-01 00:00:00").cast("timestamp")
+      val rev4 = cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))
+      Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+        .join(Tables.orders(s, d).filter($"o_orderdate" < cutoff),
+          $"c_custkey" === $"o_custkey")
+        .join(Tables.lineitem(s, d).filter($"l_shipdate" > cutoff),
+          $"o_orderkey" === $"l_orderkey")
+        .groupBy($"l_orderkey", $"o_orderdate")
+        .agg(sum(rev4).as("rev_cents"))
+        .orderBy($"rev_cents".desc, $"l_orderkey")
+        .limit(10)
+        .select($"l_orderkey",
+          ($"rev_cents" / 10000.0).cast("double").as("revenue"),
+          $"o_orderdate".cast("date").as("order_date"))
+    },
+  )
+
+  private implicit class ColSyntax(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+}

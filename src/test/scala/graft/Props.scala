@@ -1,0 +1,131 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import org.apache.spark.sql.functions._
+import graft.plans.{AsOfJoin, BandJoin}
+import graft.dedup.Dedup
+
+/** Property-based invariants (SURVEY §5.3): the distributed operators
+  * must agree with naive single-threaded reference computations on
+  * arbitrary inputs, and the reference's by-construction invariants
+  * must hold for generated data.
+  */
+object OperatorProps extends Properties("operators") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = GraftSpec.session
+  import spark.implicits._
+
+  private val ts0 = 1700000000000L
+  private val genEvents: Gen[List[(Long, Long)]] = Gen.listOfN(30,
+    for {
+      k <- Gen.choose(1L, 3L)
+      t <- Gen.choose(0L, 1000L)
+    } yield (k, ts0 + t * 60000))
+
+  property("asOfJoin == naive latest-at-or-before lookup") =
+    forAll(genEvents, genEvents) { (leftRaw, rightRaw) =>
+      val left = leftRaw.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, new java.sql.Timestamp(t)) }
+      val right = rightRaw.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, new java.sql.Timestamp(t)) }
+      val lDf = left.toDF("lid", "k", "t")
+      val rDf = right.toDF("rid", "k", "rt")
+      val got = AsOfJoin(lDf, rDf, Seq("k"), "t", "rt", Seq("rid"), tieBreak = Some("rid"))
+        .select($"lid", $"rid").as[(Long, Option[Long])].collect().toMap
+      left.forall { case (lid, k, t) =>
+        val candidates = right.filter { case (_, rk, rt) => rk == k && !rt.after(t) }
+        val expect = if (candidates.isEmpty) None
+          else Some(candidates.maxBy(r => (r._3.getTime, r._1))._1)
+        got(lid) == expect
+      }
+    }
+
+  property("bandJoin == naive interval filter") =
+    forAll(genEvents, genEvents) { (leftRaw, rightRaw) =>
+      val left = leftRaw.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, new java.sql.Timestamp(t)) }
+      val right = rightRaw.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, new java.sql.Timestamp(t)) }
+      val win = 3600000L
+      val got = BandJoin.lookback(
+        left.toDF("lid", "k", "t"), right.toDF("rid", "k", "rt"),
+        Seq("k"), "t", "rt", win)
+        .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+      val expect = (for {
+        (lid, lk, lt) <- left
+        (rid, rk, rt) <- right
+        if rk == lk && rt.getTime >= lt.getTime - win && rt.getTime <= lt.getTime
+      } yield (lid, rid)).toSet
+      got == expect
+    }
+
+  private val genWords: Gen[String] =
+    Gen.listOfN(20, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta"))
+      .map(_.mkString(" "))
+
+  property("jaccard kernel == naive set jaccard") =
+    forAll(Gen.listOfN(6, genWords)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup.ngramJaccardPairsKernel(
+        docs.toDF("id", "text"), "id", "text", n = 3, threshold = 0.0)
+        .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)]
+        .collect().map { case (a, b, j) => ((a, b), j) }.toMap
+      def shingles(t: String) =
+        t.trim.split("\\s+").toSeq.sliding(3).filter(_.size == 3)
+          .map(_.mkString(" ")).toSet
+      docs.combinations(2).forall { case Seq((ia, ta), (ib, tb)) =>
+        val (sa, sb) = (shingles(ta), shingles(tb))
+        if (sa.isEmpty || sb.isEmpty || (sa & sb).isEmpty)
+          !got.contains((ia min ib, ia max ib))
+        else {
+          val expect = graft.sim.Vectors.roundHalfUp(
+            (sa & sb).size * 1.0 / (sa | sb).size, 4)
+          got.get((ia min ib, ia max ib)).contains(expect)
+        }
+      }
+    }
+}
+
+/** SCD2 invariants under arbitrary batch sequences. */
+object Scd2Props extends Properties("scd2") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(6)
+
+  private lazy val spark = GraftSpec.session
+  import spark.implicits._
+  import graft.etl.Scd2
+
+  private val genBatch: Gen[List[(Long, String)]] =
+    Gen.listOfN(6, for {
+      id <- Gen.choose(1L, 4L)
+      v <- Gen.oneOf("a", "b", "c")
+    } yield (id, v)).map(_.distinctBy(_._1))
+
+  property("single-current + non-overlapping windows after any batch sequence") =
+    forAll(genBatch, genBatch, genBatch) { (b1, b2, b3) =>
+      val days = Seq("2025-01-01", "2025-02-01", "2025-03-01")
+      val batches = Seq(b1, b2, b3)
+      var dim = Scd2.emptyDim(
+        Seq((0L, "x")).toDF("id", "v"), "id", Seq("v"), "sk")
+      batches.zip(days).foreach { case (b, day) =>
+        if (b.nonEmpty) {
+          dim = Scd2.applyBatch(dim, b.toDF("id", "v"), "id", Seq("v"),
+            to_date(lit(day)), "sk")
+        }
+      }
+      val rows = dim.select($"id", $"valid_from", $"valid_to", $"is_current")
+        .as[(Long, java.sql.Date, java.sql.Date, Boolean)].collect()
+      val byKey = rows.groupBy(_._1)
+      byKey.values.forall { vs =>
+        val curCount = vs.count(_._4) == 1
+        val sorted = vs.sortBy(_._2.getTime)
+        val noOverlap = sorted.sliding(2).forall {
+          case Array(a, b) => a._3.getTime < b._2.getTime
+          case _ => true
+        }
+        curCount && noOverlap
+      }
+    }
+}
