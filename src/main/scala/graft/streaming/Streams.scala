@@ -116,6 +116,22 @@ object Streams {
       }
   }
 
+  /** Watermarked tumbling-window aggregation over the GPS/event stream —
+    * the bounded-state extension SURVEY §2.11 flags (the reference has
+    * no late-data policy; the watermark caps state for exactly that
+    * reason). Works identically on a batch DataFrame (no watermark
+    * semantics) and a stream (append-mode emission on watermark pass). */
+  def windowedEventCounts(
+      events: DataFrame, tsCol: String, keyCol: String,
+      windowLen: String = "5 minutes", lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col(keyCol), col("n"), col("total_value"))
+
   /** Waypoint dim builder from a route polyline table
     * (route_id, seq, lat, lon) → route_id, waypoints array<struct>. */
   def waypointsDim(polyline: DataFrame): DataFrame =

@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.{GraftSpec, Tables}
+
+class LakeSpec extends GraftSpec {
+
+  test("partitioned layout prunes directories on the partition filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lake").toString + "/orders"
+    val orders = Tables.orders(spark, sf("sf0.001"))
+      .withColumn("order_year", year(col("o_orderdate")))
+    Lake.writePartitioned(orders, dir, Seq("order_year"))
+    val pruned = spark.read.parquet(dir).filter(col("order_year") === 1995)
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("order_year"))
+    assert(p.contains("order_year = 1995") || p.contains("order_year#"), p)
+    assert(pruned.count() > 0 && pruned.count() < spark.read.parquet(dir).count())
+  }
+
+  test("bucketed tables join without a shuffle (X1 co-location)") {
+    // spark.sql.warehouse.dir is static: set to /tmp via test javaOptions;
+    // clear any leftover table state from prior runs
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"/tmp/graft_warehouse/$t")
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete()); dir.delete()
+      }
+    }
+    Lake.writeBucketed(Tables.orders(spark, sf("sf0.001")), "b_orders", "o_orderkey", 8)
+    Lake.writeBucketed(
+      Tables.lineitem(spark, sf("sf0.001")).withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", "o_orderkey", 8)
+    // disable auto-broadcast so the join exercises the bucketed
+    // co-location (at real scale neither side would broadcast)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_lineitem"), "o_orderkey")
+      .groupBy("o_orderstatus").count()
+    try joined.collect()
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    val p = joined.queryExecution.executedPlan.toString
+    // the equi-join itself must not exchange either bucketed side:
+    // the only allowed Exchange is the one feeding the final groupBy
+    val joinSection = p.split("HashAggregate").last
+    assert(joinSection.contains("SortMergeJoin") || joinSection.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"))
+    val exchanges = "Exchange hashpartitioning\\(o_orderkey".r.findAllIn(p).size
+    assert(exchanges === 0, s"bucketed join must not shuffle on the join key:\n$p")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+  }
+
+  test("sorted layout produces row-group-skippable files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sorted").toString + "/li"
+    Lake.writeSorted(Tables.lineitem(spark, sf("sf0.001")), dir, Seq("l_shipdate"))
+    val df = spark.read.parquet(dir).filter(col("l_quantity") > 45)
+    assert(df.queryExecution.executedPlan.toString.contains("PushedFilters"))
+    assert(df.count() > 0)
+  }
+}

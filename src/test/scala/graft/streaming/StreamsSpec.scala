@@ -82,6 +82,30 @@ class StreamsSpec extends GraftSpec {
       assert(last.getAs[java.sql.Timestamp]("last_update") === ts("2025-01-01 10:05:00"))
     } finally q.stop()
   }
+
+  test("watermarked tumbling-window aggregation emits closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.GpsEvent]
+    val events = mem.toDF().withColumnRenamed("speed_kmh", "value")
+    val q = Streams.windowedEventCounts(events, "ts", "vehicle_id")
+      .writeStream.format("memory").queryName("windowed_counts")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Streams.GpsEvent(1L, 10L, 0, 0, 10, ts("2025-01-01 10:00:30")),
+        Streams.GpsEvent(1L, 10L, 0, 0, 20, ts("2025-01-01 10:02:00")),
+        Streams.GpsEvent(1L, 10L, 0, 0, 30, ts("2025-01-01 10:06:00")))
+      q.processAllAvailable()
+      // advance event time beyond watermark so earlier windows close
+      mem.addData(Streams.GpsEvent(1L, 10L, 0, 0, 1, ts("2025-01-01 11:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("windowed_counts").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("window_start").toString,
+          r.getAs[Long]("n"), r.getAs[Double]("total_value"))).toSet
+      assert(rows.contains(("2025-01-01 10:00:00.0", 2L, 30.0)))
+      assert(rows.contains(("2025-01-01 10:05:00.0", 1L, 30.0)))
+    } finally q.stop()
+  }
 }
 
 class MultimodalSpec extends GraftSpec {
