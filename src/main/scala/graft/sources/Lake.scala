@@ -29,10 +29,16 @@ object Lake {
     * bucketed on the join key join WITHOUT a shuffle (verified in
     * LakeSpec by asserting the join plan has no Exchange). */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
     df.write.mode("overwrite")
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+    // table + column stats for the cost-based optimizer (SURVEY X6 —
+    // the reference's ANALYZE; AQE covers runtime stats, CBO uses these
+    // for join reordering before execution)
+    df.sparkSession.sql(
+      s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS $bucketCol")
+  }
 }
