@@ -132,6 +132,26 @@ object Streams {
         col("window.end").as("window_end"),
         col(keyCol), col("n"), col("total_value"))
 
+  /** Watermarked stream-stream interval join: for each left event, the
+    * right-stream events of the same key within `[left.ts − lookback,
+    * left.ts]`. Both sides carry watermarks so the join state is
+    * bounded (Spark requires the time-range condition + watermarks to
+    * purge buffered rows). Column names must not collide apart from
+    * the key. */
+  def streamIntervalJoin(
+      left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String,
+      lookback: String = "1 hour", lateness: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(r,
+      l(keyCol) === r(keyCol) &&
+        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $lookback") &&
+        r(rightTs) <= l(leftTs),
+      "inner")
+      .drop(r(keyCol))
+  }
+
   /** Waypoint dim builder from a route polyline table
     * (route_id, seq, lat, lon) → route_id, waypoints array<struct>. */
   def waypointsDim(polyline: DataFrame): DataFrame =

@@ -106,6 +106,52 @@ class StreamsSpec extends GraftSpec {
       assert(rows.contains(("2025-01-01 10:05:00.0", 1L, 30.0)))
     } finally q.stop()
   }
+
+  test("stream-stream interval join pairs purchases with preceding clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Streams.GpsEvent]
+    val purchases = MemoryStream[Streams.GpsEvent]
+    val cDf = clicks.toDF().select($"vehicle_id".as("k"), $"ts".as("click_ts"),
+      $"speed_kmh".as("click_v"))
+    val pDf = purchases.toDF().select($"vehicle_id".as("k"), $"ts".as("purchase_ts"))
+    val q = Streams.streamIntervalJoin(pDf, cDf, "k", "purchase_ts", "click_ts")
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        Streams.GpsEvent(1L, 0, 0, 0, 10, ts("2025-01-01 09:30:00")),
+        Streams.GpsEvent(1L, 0, 0, 0, 20, ts("2025-01-01 08:00:00")),  // too old
+        Streams.GpsEvent(2L, 0, 0, 0, 30, ts("2025-01-01 09:45:00"))) // other key
+      purchases.addData(Streams.GpsEvent(1L, 0, 0, 0, 0, ts("2025-01-01 10:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("ss_join")
+        .select($"k", $"click_v").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.toSeq === Seq((1L, 10.0)))
+    } finally q.stop()
+  }
+
+  test("keyed parquet upsert sink: last-write-wins snapshot across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/state"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val mem = MemoryStream[Streams.GpsEvent]
+    val q = graft.streaming.KeyedParquetSink.start(
+      mem.toDS(), dir, ckpt, Seq("vehicle_id"), "ts")
+    try {
+      mem.addData(Streams.GpsEvent(1L, 10L, 0.1, 0.1, 80, ts("2025-01-01 10:00:00")))
+      q.processAllAvailable()
+      mem.addData(
+        Streams.GpsEvent(1L, 10L, 0.2, 0.2, 90, ts("2025-01-01 10:05:00")),
+        Streams.GpsEvent(2L, 11L, 0.3, 0.3, 70, ts("2025-01-01 10:01:00")))
+      q.processAllAvailable()
+      // stale event must not displace the newer snapshot row
+      mem.addData(Streams.GpsEvent(1L, 10L, 0.0, 0.0, 5, ts("2025-01-01 09:00:00")))
+      q.processAllAvailable()
+      val state = spark.read.parquet(dir).collect()
+        .map(r => r.getAs[Long]("vehicle_id") -> r.getAs[Double]("lat")).toMap
+      assert(state === Map(1L -> 0.2, 2L -> 0.3))
+    } finally q.stop()
+  }
 }
 
 class MultimodalSpec extends GraftSpec {
