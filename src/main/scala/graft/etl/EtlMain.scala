@@ -55,7 +55,11 @@ object EtlMain {
     val out = Pipeline.run(spark, t, targetDate)
     Pipeline.load(out, warehouse)
     Pipeline.registerSecureViews(out)
-    println(s"""{"etl":"ok","target_date":"$targetDate","fact_rows":${out.fact.count()}}""")
+    // the reference's extract-time outlier scan (etl_pipeline.py:271-276)
+    val outliers = Quality.outlierScan(out.fact,
+      Seq("package_weight_kg", "distance_km", "fuel_consumed_liters"))
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(s"""{"etl":"ok","target_date":"$targetDate","fact_rows":${out.fact.count()},"outliers":$outliers}""")
     spark.stop()
   }
 }
