@@ -9,10 +9,10 @@ import graft.streaming.Streams
 /** Streaming transforms exercised in batch mode for the driver gate —
   * the same DataFrame→DataFrame functions run under `readStream` in
   * production (and under MemoryStream in StreamsSpec); Structured
-  * Streaming semantics make batch execution a valid equivalence check.
-  * GPS positions are synthesized deterministically from the events
-  * table (testdata has no geo feed). Rows-only: the synthetics aren't
-  * SQL-oracle-worthy, correctness is pinned by StreamsSpec.
+  * Streaming semantics make batch execution a valid equivalence check,
+  * so these carry full DuckDB oracles. GPS positions are synthesized
+  * deterministically from the events table (testdata has no geo feed);
+  * timestamps surface as epoch-millis (ns-parquet rule).
   */
 object StreamingOps {
 
@@ -25,6 +25,12 @@ object StreamingOps {
       lit(60.0).as("speed_kmh"),
       col("ts"))
 
+  private val gpsSql =
+    """SELECT user_id AS vehicle_id, user_id % 3 AS route_id,
+      |       value / 100 AS lat, (event_id % 100) / 100.0 AS lon,
+      |       60.0 AS speed_kmh, ts
+      |FROM events""".stripMargin
+
   private def waypoints(s: SparkSession) = {
     import s.implicits._
     Streams.waypointsDim(
@@ -34,20 +40,84 @@ object StreamingOps {
         .toDF("route_id", "seq", "lat", "lon"))
   }
 
+  private val waypointsSql =
+    """(VALUES (0, 0.0, 0.0, 0.05, 0.05),
+      |        (1, 0.02, 0.0, 0.07, 0.05),
+      |        (2, 0.01, 0.3, 0.06, 0.35)) AS w(route_id, w1_lat, w1_lon, w2_lat, w2_lon)""".stripMargin
+
+  private def distSql(lat: String, lon: String, wlat: String, wlon: String) =
+    s"sqrt(pow($lat - $wlat, 2) + pow($lon - $wlon, 2)) * 111.0"
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef.rowsOnly("st_route_deviation_alerts") { (s, d) =>
+
+    /** R3 — deviation alerts (broadcast waypoint join + min-distance
+      * fold at the 5 km threshold), batch-equivalent oracle. */
+    QueryDef.sql(
+      "st_route_deviation_alerts",
+      s"""WITH gps AS ($gpsSql)
+         |SELECT g.vehicle_id, g.route_id, epoch_ms(g.ts) AS ts_ms,
+         |       g.lat, g.lon,
+         |       ROUND(LEAST(${distSql("g.lat", "g.lon", "w.w1_lat", "w.w1_lon")},
+         |                   ${distSql("g.lat", "g.lon", "w.w2_lat", "w.w2_lon")}), 3) AS min_distance_km,
+         |       'ROUTE_DEVIATION' AS alert_type
+         |FROM gps g JOIN $waypointsSql ON w.route_id = g.route_id
+         |WHERE ROUND(LEAST(${distSql("g.lat", "g.lon", "w.w1_lat", "w.w1_lon")},
+         |                  ${distSql("g.lat", "g.lon", "w.w2_lat", "w.w2_lon")}), 3) > 5.0
+         |ORDER BY vehicle_id, ts_ms""".stripMargin) { (s, d) =>
       Streams.routeDeviationAlerts(gpsFromEvents(s, d), waypoints(s), thresholdKm = 5.0)
-        .orderBy(col("vehicle_id"), col("ts"))
+        .withColumn("ts_ms", unix_millis(col("ts")))
+        .select(col("vehicle_id"), col("route_id"), col("ts_ms"),
+          col("lat"), col("lon"), col("min_distance_km"), col("alert_type"))
+        .orderBy(col("vehicle_id"), col("ts_ms"))
     },
-    QueryDef.rowsOnly("st_eta_updates") { (s, d) =>
+
+    /** R2 — ETA computation (distance/speed; the timestamp advance is
+      * covered by StreamsSpec — interval micro-conversion isn't
+      * portable enough for hashing). */
+    QueryDef.sql(
+      "st_eta_updates",
+      s"""WITH gps AS ($gpsSql)
+         |SELECT g.vehicle_id, g.route_id, epoch_ms(g.ts) AS ts_ms,
+         |       ROUND(${distSql("g.lat", "g.lon", "dd.dest_lat", "dd.dest_lon")}, 3) AS distance_km,
+         |       CAST(ROUND(ROUND(${distSql("g.lat", "g.lon", "dd.dest_lat", "dd.dest_lon")}, 3)
+         |             / GREATEST(1.0, g.speed_kmh) * 3600000, 0) AS BIGINT) AS eta_travel_ms
+         |FROM gps g
+         |JOIN (VALUES (0, 0.5, 0.5), (1, 0.6, 0.1), (2, 0.2, 0.9))
+         |     AS dd(route_id, dest_lat, dest_lon) ON dd.route_id = g.route_id
+         |ORDER BY vehicle_id, ts_ms""".stripMargin) { (s, d) =>
       import s.implicits._
       val dest = Seq((0L, 0.5, 0.5), (1L, 0.6, 0.1), (2L, 0.2, 0.9))
         .toDF("route_id", "dest_lat", "dest_lon")
+      // travel time surfaces as integer millis: a rounded fractional-hour
+      // quotient lands on exact half-boundaries (3-decimal km / 60 km/h)
+      // where Spark's decimal-string and DuckDB's binary rounding differ
       Streams.etaUpdates(gpsFromEvents(s, d), dest)
-        .orderBy(col("vehicle_id"), col("ts"))
+        .withColumn("ts_ms", unix_millis(col("ts")))
+        .withColumn("eta_travel_ms",
+          // the synthesized feed drives at a constant 60 km/h (the op
+          // itself doesn't re-expose speed after the ETA projection)
+          round(col("distance_km") / greatest(lit(1.0), lit(60.0)) * 3600000, 0)
+            .cast("long"))
+        .select(col("vehicle_id"), col("route_id"), col("ts_ms"),
+          col("distance_km"), col("eta_travel_ms"))
+        .orderBy(col("vehicle_id"), col("ts_ms"))
     },
-    QueryDef.rowsOnly("st_delivery_verification") { (s, d) =>
-      // requests = purchase events; status snapshot derived from events
+
+    /** R1 — delivery verification (stream-static join semantics). */
+    QueryDef.sql(
+      "st_delivery_verification",
+      """WITH status AS (
+        |  SELECT user_id AS delivery_id,
+        |         CASE WHEN MAX(value) > 10 THEN 'delivered' ELSE 'pending' END AS delivery_status
+        |  FROM events GROUP BY user_id
+        |), requests AS (
+        |  SELECT DISTINCT user_id AS delivery_id FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT r.delivery_id, s.delivery_status,
+        |       s.delivery_status IS NOT NULL AS found,
+        |       COALESCE(s.delivery_status = 'delivered', false) AS verified
+        |FROM requests r LEFT JOIN status s ON s.delivery_id = r.delivery_id
+        |ORDER BY r.delivery_id""".stripMargin) { (s, d) =>
       val status = Tables.events(s, d)
         .groupBy(col("user_id").as("delivery_id"))
         .agg(when(max(col("value")) > 10, "delivered").otherwise("pending")
