@@ -66,6 +66,9 @@ object Dedup {
       .as[(Long, String)]
       .flatMap { case (id, t) => shingleHashes(t, shingleLen).map(h => (id, h)) }
       .toDF("id", "h")
+      // consumed three times (signature aggregation + both sides of the
+      // verification join) — persist so the shingling kernel runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one groupBy carries the k min-hashes AND the set size (the
     // shingle explode is expensive enough not to recompute per branch)
     val sigCols = (0 until bands * rowsPerBand)
@@ -107,12 +110,7 @@ object Dedup {
   /** FNV-1a 64-bit over chars — the shingle hash used by both the
     * Jaccard kernel and the MinHash shingling (collision argument in
     * [[ngramJaccardPairsKernel]]'s doc). */
-  private[dedup] def fnv1a(s: String): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
-    h
-  }
+  private[dedup] def fnv1a(s: String): Long = graft.functions.FnvHash64.hash(s)
 
   /** Distinct, sorted hashes of the word n-gram shingles of `text` —
     * a tight-loop kernel; the column-expression shingler
@@ -193,16 +191,17 @@ object Dedup {
     bits.reduce(_ + _)
   }
 
-  /** SimHash near-dup pairs at Hamming distance ≤ maxDist (< 16).
-    * Candidates via the 4×16-bit block pigeonhole: any pair within
-    * Hamming 15 agrees exactly on ≥1 of the 4 blocks, so an equi-join
-    * per block finds all of them — no O(n²) scan. */
+  /** SimHash near-dup pairs at Hamming distance ≤ maxDist (≤ 3).
+    * Candidates via the 4×16-bit block pigeonhole: a pair differing in
+    * ≤ 3 bits cannot touch all 4 blocks, so it agrees exactly on ≥ 1
+    * block and an equi-join per block finds it — no O(n²) scan. For a
+    * larger radius, raise the block count (k+1 blocks cover radius k). */
   def simhashNearDups(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxDist: Int = 3): DataFrame = {
-    require(maxDist < 16, "block pigeonhole covers Hamming < 16 only")
+    require(maxDist <= 3, "4-block pigeonhole guarantees recall only for Hamming <= 3")
     val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     val blocks = sigs.select(
       col("id"), col("sig"),

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** `spark.sql` twins of the 12 KPI queries (SURVEY §3.2: every query
   * exists both as a DataFrame plan and as SQL text against registered
-  * views). The SQL is the reference's PostgreSQL
+  * views — all twelve, each asserted equal to its DataFrame twin in
+  * AnalyticsSqlSpec). The SQL is the reference's PostgreSQL
   * (scripts/02_queries_analysis.sql) with the portability shims
   * applied textually: CURRENT_DATE → the `asOf` literal,
   * EXTRACT(DOW) → dayofweek()-1, TO_CHAR(x,'Day') → date_format
@@ -75,6 +76,23 @@ object AnalyticsSql {
            |GROUP BY dr.driver_id, dr.first_name, dr.last_name
            |HAVING COUNT(DISTINCT t.trip_id) >= 10
            |ORDER BY promedio_entregas_por_viaje DESC, dr.driver_id""".stripMargin,
+      "q7" ->
+        s"""SELECT r.route_code,
+           |       concat(r.origin_city, ' -> ', r.destination_city) AS ruta,
+           |       r.distance_km,
+           |       COUNT(t.trip_id) AS viajes_realizados,
+           |       AVG(t.fuel_consumed_liters) AS promedio_combustible_litros,
+           |       ROUND(AVG(t.fuel_consumed_liters / NULLIF(r.distance_km, 0)) * 100, 2) AS litros_por_100km,
+           |       SUM(t.fuel_consumed_liters) AS combustible_total
+           |FROM routes r
+           |JOIN trips t ON r.route_id = t.route_id
+           |WHERE t.fuel_consumed_liters IS NOT NULL
+           |  AND r.distance_km > 0
+           |  AND t.status = 'completed'
+           |GROUP BY r.route_id, r.route_code, r.origin_city, r.destination_city, r.distance_km
+           |HAVING COUNT(t.trip_id) >= 50
+           |ORDER BY litros_por_100km DESC, r.route_id
+           |LIMIT 10""".stripMargin,
       "q8" ->
         s"""SELECT date_format(d.scheduled_datetime, 'EEEE') AS dia_semana,
            |       dayofweek(d.scheduled_datetime) - 1 AS num_dia,
@@ -87,6 +105,60 @@ object AnalyticsSql {
            |  AND d.scheduled_datetime >= $d - INTERVAL 90 DAYS
            |GROUP BY dia_semana, num_dia
            |ORDER BY num_dia""".stripMargin,
+      "q9" ->
+        s"""WITH vehicle_metrics AS (
+           |  SELECT v.vehicle_id, v.vehicle_type, v.license_plate,
+           |         COUNT(DISTINCT t.trip_id) AS total_viajes,
+           |         SUM(r.distance_km) AS km_totales,
+           |         SUM(m.cost) AS costo_mantenimiento_total,
+           |         COUNT(DISTINCT m.maintenance_id) AS cantidad_mantenimientos
+           |  FROM vehicles v
+           |  LEFT JOIN trips t ON v.vehicle_id = t.vehicle_id
+           |  LEFT JOIN routes r ON t.route_id = r.route_id
+           |  LEFT JOIN maintenance m ON v.vehicle_id = m.vehicle_id
+           |  WHERE t.status = 'completed'
+           |  GROUP BY v.vehicle_id, v.vehicle_type, v.license_plate
+           |)
+           |SELECT vehicle_type,
+           |       COUNT(vehicle_id) AS cantidad_vehiculos,
+           |       SUM(total_viajes) AS viajes_totales,
+           |       SUM(km_totales) AS kilometros_totales,
+           |       SUM(costo_mantenimiento_total) AS costo_total_mantenimiento,
+           |       ROUND(SUM(costo_mantenimiento_total) / NULLIF(SUM(km_totales), 0), 2) AS costo_por_km,
+           |       ROUND(AVG(costo_mantenimiento_total / NULLIF(cantidad_mantenimientos, 0)), 2) AS costo_promedio_por_mantenimiento
+           |FROM vehicle_metrics
+           |WHERE km_totales > 0 AND costo_mantenimiento_total > 0
+           |GROUP BY vehicle_type
+           |ORDER BY costo_por_km DESC, vehicle_type""".stripMargin,
+      "q10" ->
+        s"""WITH conductor_metricas AS (
+           |  SELECT d.driver_id,
+           |         concat_ws(' ', d.first_name, d.last_name) AS nombre,
+           |         COUNT(DISTINCT t.trip_id) AS viajes,
+           |         COUNT(DISTINCT del.delivery_id) AS entregas,
+           |         AVG(t.fuel_consumed_liters / NULLIF(r.distance_km, 0)) * 100 AS consumo_100km,
+           |         COUNT(CASE WHEN del.delivered_datetime <= del.scheduled_datetime THEN 1 END)
+           |           / NULLIF(COUNT(del.delivery_id), 0) * 100 AS puntualidad_pct
+           |  FROM drivers d
+           |  JOIN trips t ON d.driver_id = t.driver_id
+           |  JOIN routes r ON t.route_id = r.route_id
+           |  LEFT JOIN deliveries del ON t.trip_id = del.trip_id
+           |  WHERE t.departure_datetime >= $d - INTERVAL 90 DAYS
+           |  GROUP BY d.driver_id, d.first_name, d.last_name
+           |  HAVING COUNT(DISTINCT t.trip_id) >= 20
+           |)
+           |SELECT nombre, viajes, entregas,
+           |       ROUND(consumo_100km, 2) AS consumo_100km,
+           |       ROUND(puntualidad_pct, 2) AS puntualidad_pct,
+           |       RANK() OVER (ORDER BY puntualidad_pct DESC) AS rank_puntualidad,
+           |       RANK() OVER (ORDER BY consumo_100km ASC) AS rank_eficiencia,
+           |       RANK() OVER (ORDER BY entregas DESC) AS rank_productividad,
+           |       (RANK() OVER (ORDER BY puntualidad_pct DESC) +
+           |        RANK() OVER (ORDER BY consumo_100km ASC) +
+           |        RANK() OVER (ORDER BY entregas DESC)) / 3.0D AS score_promedio
+           |FROM conductor_metricas
+           |ORDER BY score_promedio ASC, nombre
+           |LIMIT 20""".stripMargin,
       "q11" ->
         s"""WITH viajes_mensuales AS (
            |  SELECT DATE_TRUNC('month', departure_datetime) AS mes,

@@ -141,34 +141,46 @@ object Pipeline {
           "start_time", "end_time", "status", "error_message")
         .write.mode("append").parquet(s"$warehouseDir/load_logs")
     }
-    out.dims.foreach { case (name, df) =>
-      if (name == "dim_date") {
-        val path = s"$warehouseDir/$name"
-        val existing = try {
-          Some(df.sparkSession.read.parquet(path))
-        } catch { case _: Throwable => None }
-        val toInsert = existing match {
-          case Some(e) => df.join(e.select("date_key"), Seq("date_key"), "left_anti")
-          case None => df
-        }
-        toInsert.write.mode("append").parquet(path)
-      } else {
-        df.write.mode("overwrite").parquet(s"$warehouseDir/$name")
-        df.write.mode("overwrite")
-          .parquet(s"$warehouseDir/snapshots/${out.targetDate}/$name")
+    // ORDER MATTERS in the incremental flow: the fact's PIT lineage and
+    // the SCD2 dims all READ the warehouse dim directories that this
+    // load replaces. Everything downstream of those files (fact,
+    // reports, staging) is materialized FIRST; each dim is then
+    // materialized once into its batch snapshot (inputs still intact)
+    // and the live path swapped from the snapshot's files — no lineage
+    // ever reads a directory after it has been replaced.
+    val fact = out.fact.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      fact
+        .withColumn("p_date_key", col("date_key"))
+        .write.mode("append").partitionBy("p_date_key")
+        .parquet(s"$warehouseDir/fact_deliveries")
+      audit("fact_deliveries", fact.count())
+      out.reports.foreach { case (name, df) =>
+        graft.sources.Lake.atomicOverwrite(df, s"$warehouseDir/$name")
+        audit(name, df.count())
       }
-      audit(name, spark.read.parquet(s"$warehouseDir/$name").count())
-    }
-    out.fact
-      .withColumn("p_date_key", col("date_key"))
-      .write.mode("append").partitionBy("p_date_key")
-      .parquet(s"$warehouseDir/fact_deliveries")
-    audit("fact_deliveries", out.fact.count())
-    out.reports.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$warehouseDir/$name")
-      audit(name, df.count())
-    }
-    out.stagingAudit.write.mode("append").parquet(s"$warehouseDir/staging_daily_load")
-    audit("staging_daily_load", out.stagingAudit.count())
+      out.stagingAudit.write.mode("append").parquet(s"$warehouseDir/staging_daily_load")
+      audit("staging_daily_load", out.stagingAudit.count())
+
+      out.dims.foreach { case (name, df) =>
+        if (name == "dim_date") {
+          val path = s"$warehouseDir/$name"
+          val existing = try {
+            Some(spark.read.parquet(path))
+          } catch { case _: Throwable => None }
+          val toInsert = existing match {
+            case Some(e) => df.join(e.select("date_key"), Seq("date_key"), "left_anti")
+            case None => df
+          }
+          toInsert.write.mode("append").parquet(path)
+        } else {
+          val snap = s"$warehouseDir/snapshots/${out.targetDate}/$name"
+          df.write.mode("overwrite").parquet(snap)
+          graft.sources.Lake.atomicOverwrite(
+            spark.read.parquet(snap), s"$warehouseDir/$name")
+        }
+        audit(name, spark.read.parquet(s"$warehouseDir/$name").count())
+      }
+    } finally fact.unpersist()
   }
 }

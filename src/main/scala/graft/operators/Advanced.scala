@@ -14,9 +14,6 @@ import graft.plans.SaltedAggregate
   */
 object Advanced {
 
-  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
-  private val centsSql = (x: String) => s"CAST(ROUND($x*100,0) AS BIGINT)"
-
   val defs: Seq[QueryDef] = Seq(
 
     /** Gap-based sessionization (30-min inactivity): the classic
@@ -168,8 +165,4 @@ object Advanced {
           $"o_orderdate".cast("date").as("order_date"))
     },
   )
-
-  private implicit class ColSyntax(val sc: StringContext) {
-    def $(args: Any*): Column = col(sc.s(args: _*))
-  }
 }

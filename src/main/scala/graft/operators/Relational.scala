@@ -28,14 +28,10 @@ import graft.functions.Shims._
   */
 object Relational {
 
-  /** Exact integer cents for a 2-decimal double column. */
-  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
-
   /** Revenue ext*(1-disc) in exact 1e-4-dollar units: extCents*(100-discCents). */
   private def rev4(ext: Column, disc: Column): Column =
     cents(ext) * (lit(100L) - cents(disc))
 
-  private val centsSql = (x: String) => s"CAST(ROUND($x*100,0) AS BIGINT)"
   private val rev4Sql = (e: String, d: String) =>
     s"${centsSql(e)} * (100 - ${centsSql(d)})"
 
@@ -413,9 +409,4 @@ object Relational {
         .orderBy($"kind")
     },
   )
-
-  // $"..." interpolator without a SparkSession-bound implicits import.
-  private implicit class ColSyntax(val sc: StringContext) {
-    def $(args: Any*): Column = col(sc.s(args: _*))
-  }
 }

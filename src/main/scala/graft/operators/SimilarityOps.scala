@@ -135,8 +135,4 @@ object SimilarityOps {
         .orderBy($"probe_id", $"rnk")
     },
   )
-
-  private implicit class ColSyntax(val sc: StringContext) {
-    def $(args: Any*): Column = col(sc.s(args: _*))
-  }
 }

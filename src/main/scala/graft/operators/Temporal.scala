@@ -19,8 +19,6 @@ import graft.plans.{AsOfJoin, BandJoin}
   */
 object Temporal {
 
-  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
-
   val defs: Seq[QueryDef] = Seq(
 
     /** F14/F15 — calendar dimension derived from the data's own date
@@ -308,8 +306,4 @@ object Temporal {
         .orderBy($"vec_id")
     },
   )
-
-  private implicit class ColSyntax(val sc: StringContext) {
-    def $(args: Any*): Column = col(sc.s(args: _*))
-  }
 }

@@ -144,8 +144,4 @@ object TextOps {
         .orderBy($"doc_id")
     },
   )
-
-  private implicit class ColSyntax(val sc: StringContext) {
-    def $(args: Any*): Column = col(sc.s(args: _*))
-  }
 }

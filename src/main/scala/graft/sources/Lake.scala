@@ -21,9 +21,36 @@ object Lake {
     * composite index ordering, 03_optimization_indexes.sql:15-16). */
   def writeSorted(df: DataFrame, dir: String, sortCols: Seq[String],
       mode: String = "overwrite"): Unit =
-    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    // range-partition first so each FILE covers a disjoint key range
+    // (round-robin repartitioning would spread the full range into
+    // every file and defeat file-level min/max skipping)
+    df.repartitionByRange(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode(mode).parquet(dir)
+
+  /** Crash-safe directory swap: stage the new content, move the old
+    * aside, move the new in, drop the backup — at every step either the
+    * old or new content exists under a recoverable name, and a plan
+    * that READS the target path can safely "overwrite" it (a direct
+    * overwrite of an input path is rejected by Spark / loses data). */
+  def atomicOverwrite(df: DataFrame, dir: String): Unit = {
+    val spark = df.sparkSession
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__tmp")
+    val bak = new org.apache.hadoop.fs.Path(dir + "__bak")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(path) && !fs.rename(path, bak))
+      sys.error(s"failed to stage backup of $dir")
+    if (!fs.rename(tmp, path)) {
+      if (fs.exists(bak)) fs.rename(bak, path)  // roll back
+      sys.error(s"failed to publish new content at $dir")
+    }
+    if (fs.exists(bak)) fs.delete(bak, true)
+  }
 
   /** Register a bucketed table: both sides of a recurring equi-join
     * bucketed on the join key join WITHOUT a shuffle (verified in

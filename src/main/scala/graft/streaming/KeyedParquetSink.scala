@@ -37,10 +37,7 @@ object KeyedParquetSink {
       .filter(col("__rn") === 1)
       .drop("__rn")
 
-    val tmp = new org.apache.hadoop.fs.Path(dir + "__tmp")
-    latest.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(path)) fs.delete(path, true)
-    fs.rename(tmp, path)
+    graft.sources.Lake.atomicOverwrite(latest, dir)
   }
 
   /** Streaming writer: upsert every micro-batch (Update-mode state

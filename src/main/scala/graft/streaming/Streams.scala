@@ -123,11 +123,12 @@ object Streams {
     * semantics) and a stream (append-mode emission on watermark pass). */
   def windowedEventCounts(
       events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String = "value",
       windowLen: String = "5 minutes", lateness: String = "10 minutes"): DataFrame =
     events
       .withWatermark(tsCol, lateness)
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total_value"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col(keyCol), col("n"), col("total_value"))

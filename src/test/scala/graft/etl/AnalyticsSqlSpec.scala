@@ -27,11 +27,17 @@ class AnalyticsSqlSpec extends GraftSpec {
     assert(canon(viaSql) === canon(dfResult), s"$sqlName twin mismatch")
   }
 
-  test("SQL twins match the DataFrame plans") {
+  test("all SQL twins match their DataFrame plans") {
     assertTwin("q1", Analytics.q1FleetMix(t))
+    assertTwin("q2", Analytics.q2ExpiringLicenses(t, asOf))
     assertTwin("q3", Analytics.q3TripsByStatus(t))
+    assertTwin("q4", Analytics.q4DeliveriesByCity(t, asOf))
     assertTwin("q5", Analytics.q5DriverWorkload(t))
+    assertTwin("q6", Analytics.q6DriverProductivity(t, asOf))
+    assertTwin("q7", Analytics.q7RouteFuel(t))
     assertTwin("q8", Analytics.q8DelaysByWeekday(t, asOf))
+    assertTwin("q9", Analytics.q9MaintenanceCostPerKm(t))
+    assertTwin("q10", Analytics.q10DriverRanking(t, asOf))
     assertTwin("q12", Analytics.q12HourDowPivot(t, asOf))
   }
 

@@ -60,6 +60,31 @@ class PipelineSpec extends GraftSpec {
     assert(byDriver === total)
   }
 
+  test("incremental flow: day-2 SCD2 dims read and atomically replace the warehouse") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    val day2 = Pipeline.nthLastDateWithData(t, 0).get
+    val day1 = Pipeline.nthLastDateWithData(t, 1).get
+    Pipeline.load(Pipeline.run(spark, t, day1), dir)
+    // day 2 reads the dims it is about to overwrite — must not fail or
+    // lose data (atomic stage-and-swap inside load)
+    val existingV = spark.read.parquet(s"$dir/dim_vehicle")
+    val existingD = spark.read.parquet(s"$dir/dim_driver")
+    val existingVCount = existingV.count()  // before its files are swapped out
+    val out2 = Pipeline.run(spark, t, day2,
+      existingDimVehicle = Some(existingV), existingDimDriver = Some(existingD),
+      etlBatchId = 2L)
+    Pipeline.load(out2, dir)
+    val dimV = spark.read.parquet(s"$dir/dim_vehicle")
+    // every vehicle still has exactly one current version
+    val perKey = dimV.groupBy("vehicle_id")
+      .agg(sum(when(col("is_current"), 1).otherwise(0)).as("n_cur"))
+    assert(perKey.filter(col("n_cur") =!= 1).count() === 0)
+    assert(dimV.count() >= existingVCount)
+    // both batch snapshots retained
+    assert(new java.io.File(s"$dir/snapshots/$day1/dim_vehicle").exists())
+    assert(new java.io.File(s"$dir/snapshots/$day2/dim_vehicle").exists())
+  }
+
   test("load writes a date-partitioned warehouse and dim_date anti-insert dedupes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wh").toString
     val day = Pipeline.nthLastDateWithData(t, 0).get
