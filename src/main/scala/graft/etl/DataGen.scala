@@ -334,6 +334,19 @@ object DataGen {
       .withColumn("error_message", lit(null).cast("string"))
   }
 
+  /** Generate and write every table as parquet, appending one audit row
+    * per table to `load_logs` (S4 batch-insert sink + G10 audit,
+    * ref 01_data_generation.py:42-72 — Spark's task-parallel write IS
+    * the chunked executemany). */
+  def writeAll(spark: SparkSession, cfg: Config, dir: String): Map[String, Long] = {
+    all(spark, cfg).map { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/$name")
+      val n = spark.read.parquet(s"$dir/$name").count()
+      loadLog(spark, name, n).write.mode("append").parquet(s"$dir/load_logs")
+      name -> n
+    }
+  }
+
   /** All seven tables, FK-consistent, fully deterministic. */
   def all(spark: SparkSession, cfg: Config = Config()): Map[String, DataFrame] = {
     val v = vehicles(spark, cfg)

@@ -20,6 +20,10 @@ object Shims {
     * Ref: scripts/02_queries_analysis.sql:123. */
   def dayName(ts: Column): Column = date_format(ts, "EEEE")
 
+  /** The raw PG `TO_CHAR(ts,'Day')` form, blank-padded to 9 chars —
+    * only for byte-exact parity with PostgreSQL output. */
+  def dayNamePgPadded(ts: Column): Column = rpad(date_format(ts, "EEEE"), 9, " ")
+
   /** `EXTRACT(EPOCH FROM (a - b))` in seconds.
     * Ref: scripts/02_queries_analysis.sql:134; etl_pipeline.py:572,747. */
   def epochDiff(a: Column, b: Column): Column =

@@ -77,6 +77,19 @@ class DataGenSpec extends GraftSpec {
     assert(byHour.getOrElse(2, 0L) / n < 0.03)
   }
 
+  test("writeAll persists every table with an audit row each (S4/G10)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gen").toString
+    val small = DataGen.Config(nTrips = 300, nMaintenance = 30)
+    val counts = DataGen.writeAll(spark, small, dir)
+    assert(counts.keySet === Set("vehicles", "drivers", "routes", "trips",
+      "deliveries", "maintenance"))
+    val logs = spark.read.parquet(s"$dir/load_logs")
+    assert(logs.count() === 6)
+    val logged = logs.collect()
+      .map(r => r.getAs[String]("table_name") -> r.getAs[Long]("records_inserted")).toMap
+    assert(logged === counts)
+  }
+
   test("per-type capacity ranges hold (ref 01:102-107)") {
     val bad = t.vehicles.filter(
       (col("vehicle_type") === "Camión Grande" && !col("capacity_kg").between(10000, 20000)) ||
