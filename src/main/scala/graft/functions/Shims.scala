@@ -60,4 +60,39 @@ object Shims {
   /** Half-up rounding to `n` decimals, cast to double so the output type
     * is engine-portable (DuckDB's round(double) is double). */
   def round2(x: Column, n: Int): Column = round(x, n).cast("double")
+
+  /** Engine-portable half-up rounding of a double ratio to `n` decimals.
+    *
+    * Plain `round(x, n)` on a double disagrees between engines at
+    * representation boundaries: Spark rounds the shortest decimal
+    * representation (`BigDecimal.valueOf`) while DuckDB/PostgreSQL round
+    * the binary value — x = 0.145 (binary 0.144999…) rounds to 0.15 in
+    * Spark but 0.14 in DuckDB, and ratios of integers / 2-decimal money
+    * land on such boundaries routinely. Scaling to an integer first
+    * removes the disagreement: every half-way point of round-to-integer
+    * (n.5) is exactly representable in binary, so both engines see the
+    * identical boundary and both round it away from zero. It also makes
+    * the value stable under any partitioning (no hidden re-rounding).
+    *
+    * SQL twin: `CAST(ROUND((x) * 1eN, 0) AS BIGINT) / 1eN`. */
+  def roundPortable(x: Column, n: Int): Column = {
+    val s = math.pow(10, n)
+    round(x * lit(s), 0).cast("long") / lit(s)
+  }
+
+  /** Exact average of an exact-typed column (decimal / integral): the
+    * sum is exact in any engine and any partitioning, so `sum/count` is
+    * one deterministic double division — unlike `avg(double)`, whose
+    * accumulation order varies with partition layout and engine.
+    * SQL twin: `CAST(SUM(x) AS DOUBLE) / COUNT(x)`. */
+  def avgExact(x: Column): Column = sum(x).cast("double") / count(x)
+
+  /** Deterministic average of a per-row double expression: each value is
+    * quantized to integer micros (exact long sum — associative), then
+    * divided back. At any ≤4-decimal output grain this is value-identical
+    * to `avg(x)`, but stable across engines AND partition layouts.
+    * SQL twin:
+    * `CAST(SUM(CAST(ROUND((x) * 1e6, 0) AS BIGINT)) AS DOUBLE) / COUNT(x) / 1e6`. */
+  def avgQuantized(x: Column): Column =
+    sum(round(x * lit(1e6), 0).cast("long")).cast("double") / count(x) / lit(1e6)
 }

@@ -124,11 +124,14 @@ object Advanced {
     },
 
     /** Sketch percentile twin for the scale path (engine-specific
-      * t-digest ⇒ rows-only). */
+      * t-digest ⇒ rows-only). Scalar columns, not one array column —
+      * the driver harness sorts result columns and can't order arrays. */
     QueryDef.rowsOnly("q42b_approx_percentiles") { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy($"l_returnflag")
-        .agg(expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)").as("approx_q"))
+        .agg(
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx_p50"),
+          expr("approx_percentile(l_quantity, 0.9, 1000)").as("approx_p90"))
         .orderBy($"l_returnflag")
     },
 

@@ -99,9 +99,9 @@ object Relational {
       "q03_conditional_agg",
       """SELECT o_orderpriority,
         |       COUNT(*) AS n_orders,
-        |       SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS n_big,
+        |       CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
         |       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
-        |       CAST(ROUND(100.0 * SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) / COUNT(*), 4) AS DOUBLE) AS pct_big
+        |       CAST(ROUND((1e2 * SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) / COUNT(*)) * 1e4, 0) AS BIGINT) / 1e4 AS pct_big
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
@@ -111,7 +111,7 @@ object Relational {
           count(lit(1)).as("n_orders"),
           sum(when($"o_totalprice" > 150000, 1).otherwise(0)).as("n_big"),
           count(when($"o_orderstatus" === "F", lit(1))).as("n_finished"),
-          round2(lit(100.0) * sum(when($"o_totalprice" > 150000, 1).otherwise(0)) / count(lit(1)), 4).as("pct_big"))
+          roundPortable(lit(1e2) * sum(when($"o_totalprice" > 150000, 1).otherwise(0)) / count(lit(1)), 4).as("pct_big"))
         .orderBy($"o_orderpriority")
     },
 

@@ -101,13 +101,13 @@ object Temporal {
     QueryDef.sql(
       "q20_pivot_hour_dow",
       """SELECT CAST(hour(ts) AS INTEGER) AS hora,
-        |       SUM(CASE WHEN dayofweek(ts) = 0 THEN 1 ELSE 0 END) AS domingo,
-        |       SUM(CASE WHEN dayofweek(ts) = 1 THEN 1 ELSE 0 END) AS lunes,
-        |       SUM(CASE WHEN dayofweek(ts) = 2 THEN 1 ELSE 0 END) AS martes,
-        |       SUM(CASE WHEN dayofweek(ts) = 3 THEN 1 ELSE 0 END) AS miercoles,
-        |       SUM(CASE WHEN dayofweek(ts) = 4 THEN 1 ELSE 0 END) AS jueves,
-        |       SUM(CASE WHEN dayofweek(ts) = 5 THEN 1 ELSE 0 END) AS viernes,
-        |       SUM(CASE WHEN dayofweek(ts) = 6 THEN 1 ELSE 0 END) AS sabado,
+        |       CAST(SUM(CASE WHEN dayofweek(ts) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS domingo,
+        |       CAST(SUM(CASE WHEN dayofweek(ts) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS lunes,
+        |       CAST(SUM(CASE WHEN dayofweek(ts) = 2 THEN 1 ELSE 0 END) AS BIGINT) AS martes,
+        |       CAST(SUM(CASE WHEN dayofweek(ts) = 3 THEN 1 ELSE 0 END) AS BIGINT) AS miercoles,
+        |       CAST(SUM(CASE WHEN dayofweek(ts) = 4 THEN 1 ELSE 0 END) AS BIGINT) AS jueves,
+        |       CAST(SUM(CASE WHEN dayofweek(ts) = 5 THEN 1 ELSE 0 END) AS BIGINT) AS viernes,
+        |       CAST(SUM(CASE WHEN dayofweek(ts) = 6 THEN 1 ELSE 0 END) AS BIGINT) AS sabado,
         |       COUNT(*) AS total_semana
         |FROM events
         |GROUP BY 1
