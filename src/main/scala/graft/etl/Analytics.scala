@@ -58,7 +58,9 @@ object Analytics {
       .agg(
         countDistinct(col("trip_id")).as("total_viajes"),
         count(col("delivery_id")).as("total_entregas"),
-        sum(col("package_weight_kg")).as("peso_total_kg"))
+        // exact decimal sum surfaced as double — the engine-portable
+        // output type (DuckDB's SUM(DECIMAL) widens to DECIMAL(38,2))
+        sum(col("package_weight_kg")).cast("double").as("peso_total_kg"))
       .orderBy(col("total_entregas").desc, col("destination_city"))
 
   /** Q5 — active drivers' workload (ref 02:65-77). */
@@ -86,9 +88,9 @@ object Analytics {
       .agg(
         countDistinct(col("trip_id")).as("total_viajes"),
         count(col("delivery_id")).as("total_entregas"),
-        round(count(col("delivery_id")) /
+        roundPortable(count(col("delivery_id")) /
           nullIfZero(countDistinct(col("trip_id"))), 2).as("promedio_entregas_por_viaje"),
-        round(count(col("delivery_id")) / lit(180.0), 2).as("promedio_entregas_diarias"))
+        roundPortable(count(col("delivery_id")) / lit(180.0), 2).as("promedio_entregas_diarias"))
       .filter(col("total_viajes") >= 10)
       .orderBy(col("promedio_entregas_por_viaje").desc, col("driver_id"))
 
@@ -104,10 +106,13 @@ object Analytics {
         col("distance_km"))
       .agg(
         count(col("trip_id")).as("viajes_realizados"),
-        avg(col("fuel_consumed_liters")).as("promedio_combustible_litros"),
-        round(avg(col("fuel_consumed_liters") / nullIfZero(col("distance_km"))) * 100, 2)
+        // avgExact/avgQuantized: deterministic under any partitioning
+        // and value-identical across engines (Shims.scala doc)
+        avgExact(col("fuel_consumed_liters")).as("promedio_combustible_litros"),
+        roundPortable(avgQuantized(col("fuel_consumed_liters").cast("double") /
+          nullIfZero(col("distance_km").cast("double"))) * 100, 2)
           .as("litros_por_100km"),
-        sum(col("fuel_consumed_liters")).as("combustible_total"))
+        sum(col("fuel_consumed_liters")).cast("double").as("combustible_total"))
       .filter(col("viajes_realizados") >= 50)
       .orderBy(col("litros_por_100km").desc, col("route_id"))
       .limit(10)
@@ -126,9 +131,11 @@ object Analytics {
       .agg(
         count(lit(1)).as("total_entregas"),
         count(when(delayed, lit(1))).as("entregas_retrasadas"),
-        round(lit(100.0) * count(when(delayed, lit(1))) / count(lit(1)), 2)
+        roundPortable(lit(100.0) * count(when(delayed, lit(1))) / count(lit(1)), 2)
           .as("porcentaje_retrasos"),
-        avg(epochDiff(col("delivered_datetime"), col("scheduled_datetime")) / 60)
+        // avg(x/60) as (exact long sum / count) / 60 — one deterministic
+        // double division chain instead of an order-dependent double avg
+        (avgExact(epochDiff(col("delivered_datetime"), col("scheduled_datetime"))) / lit(60))
           .as("minutos_promedio_diferencia"))
       .orderBy(col("num_dia"))
   }
@@ -152,11 +159,12 @@ object Analytics {
       .agg(
         count(col("vehicle_id")).as("cantidad_vehiculos"),
         sum(col("total_viajes")).as("viajes_totales"),
-        sum(col("km_totales")).as("kilometros_totales"),
-        sum(col("costo_mantenimiento_total")).as("costo_total_mantenimiento"),
-        round(sum(col("costo_mantenimiento_total")) / nullIfZero(sum(col("km_totales"))), 2)
+        sum(col("km_totales")).cast("double").as("kilometros_totales"),
+        sum(col("costo_mantenimiento_total")).cast("double").as("costo_total_mantenimiento"),
+        roundPortable(sum(col("costo_mantenimiento_total")).cast("double") /
+          nullIfZero(sum(col("km_totales")).cast("double")), 2)
           .as("costo_por_km"),
-        round(avg(col("costo_mantenimiento_total") /
+        roundPortable(avgQuantized(col("costo_mantenimiento_total").cast("double") /
           nullIfZero(col("cantidad_mantenimientos"))), 2)
           .as("costo_promedio_por_mantenimiento"))
       .orderBy(col("costo_por_km").desc, col("vehicle_type"))
@@ -174,7 +182,8 @@ object Analytics {
       .agg(
         countDistinct(col("trip_id")).as("viajes"),
         countDistinct(col("delivery_id")).as("entregas"),
-        (avg(col("fuel_consumed_liters") / nullIfZero(col("distance_km"))) * 100)
+        (avgQuantized(col("fuel_consumed_liters").cast("double") /
+          nullIfZero(col("distance_km").cast("double"))) * 100)
           .as("consumo_100km"),
         (count(when(col("delivered_datetime") <= col("scheduled_datetime"), lit(1)))
           / nullIfZero(count(col("delivery_id"))) * 100).as("puntualidad_pct"))
@@ -184,8 +193,8 @@ object Analytics {
     val rProd = rank().over(Window.orderBy(col("entregas").desc))
     metrics.select(
       col("nombre"), col("viajes"), col("entregas"),
-      round(col("consumo_100km"), 2).as("consumo_100km"),
-      round(col("puntualidad_pct"), 2).as("puntualidad_pct"),
+      roundPortable(col("consumo_100km"), 2).as("consumo_100km"),
+      roundPortable(col("puntualidad_pct"), 2).as("puntualidad_pct"),
       rPunt.as("rank_puntualidad"),
       rEff.as("rank_eficiencia"),
       rProd.as("rank_productividad"),
@@ -202,7 +211,7 @@ object Analytics {
       .agg(
         count(lit(1)).as("total_viajes"),
         sum(col("total_weight_kg")).as("peso_total"),
-        avg(col("fuel_consumed_liters")).as("combustible_promedio"))
+        avgExact(col("fuel_consumed_liters")).as("combustible_promedio"))
     val w = Window.orderBy(col("mes"))
     monthly.select(
       col("mes"),
@@ -211,10 +220,10 @@ object Analytics {
       lag(col("total_viajes"), 1).over(w).as("viajes_mes_anterior"),
       lead(col("total_viajes"), 1).over(w).as("viajes_mes_siguiente"),
       (col("total_viajes") - lag(col("total_viajes"), 1).over(w)).as("cambio_absoluto"),
-      round((col("total_viajes") - lag(col("total_viajes"), 1).over(w)) /
+      roundPortable((col("total_viajes") - lag(col("total_viajes"), 1).over(w)) /
         nullIfZero(lag(col("total_viajes"), 1).over(w)) * 100, 2).as("cambio_porcentual"),
-      round(col("peso_total") / 1000, 2).as("toneladas_transportadas"),
-      round(col("combustible_promedio"), 2).as("combustible_promedio_viaje"),
+      roundPortable(col("peso_total").cast("double") / 1000, 2).as("toneladas_transportadas"),
+      roundPortable(col("combustible_promedio"), 2).as("combustible_promedio_viaje"),
       avg(col("total_viajes")).over(w.rowsBetween(-2, Window.currentRow))
         .as("promedio_movil_3m"))
       .orderBy(col("mes").desc)

@@ -2,6 +2,8 @@ package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.functions.Shims.{avgExactSql, avgQuantizedSql, roundPortableSql}
+
 /** `spark.sql` twins of the 12 KPI queries (SURVEY §3.2: every query
   * exists both as a DataFrame plan and as SQL text against registered
   * views — all twelve, each asserted equal to its DataFrame twin in
@@ -42,7 +44,7 @@ object AnalyticsSql {
         s"""SELECT r.destination_city,
            |       COUNT(DISTINCT t.trip_id) AS total_viajes,
            |       COUNT(d.delivery_id) AS total_entregas,
-           |       SUM(d.package_weight_kg) AS peso_total_kg
+           |       CAST(SUM(d.package_weight_kg) AS DOUBLE) AS peso_total_kg
            |FROM routes r
            |JOIN trips t ON r.route_id = t.route_id
            |JOIN deliveries d ON t.trip_id = d.trip_id
@@ -66,8 +68,8 @@ object AnalyticsSql {
            |       concat_ws(' ', dr.first_name, dr.last_name) AS conductor,
            |       COUNT(DISTINCT t.trip_id) AS total_viajes,
            |       COUNT(d.delivery_id) AS total_entregas,
-           |       ROUND(COUNT(d.delivery_id) / NULLIF(COUNT(DISTINCT t.trip_id), 0), 2) AS promedio_entregas_por_viaje,
-           |       ROUND(COUNT(d.delivery_id) / 180.0D, 2) AS promedio_entregas_diarias
+           |       ${roundPortableSql("COUNT(d.delivery_id) / NULLIF(COUNT(DISTINCT t.trip_id), 0)", 2)} AS promedio_entregas_por_viaje,
+           |       ${roundPortableSql("COUNT(d.delivery_id) / 180.0D", 2)} AS promedio_entregas_diarias
            |FROM drivers dr
            |JOIN trips t ON dr.driver_id = t.driver_id
            |JOIN deliveries d ON t.trip_id = d.trip_id
@@ -81,9 +83,10 @@ object AnalyticsSql {
            |       concat(r.origin_city, ' -> ', r.destination_city) AS ruta,
            |       r.distance_km,
            |       COUNT(t.trip_id) AS viajes_realizados,
-           |       AVG(t.fuel_consumed_liters) AS promedio_combustible_litros,
-           |       ROUND(AVG(t.fuel_consumed_liters / NULLIF(r.distance_km, 0)) * 100, 2) AS litros_por_100km,
-           |       SUM(t.fuel_consumed_liters) AS combustible_total
+           |       ${avgExactSql("t.fuel_consumed_liters")} AS promedio_combustible_litros,
+           |       ${roundPortableSql(avgQuantizedSql(
+                      "CAST(t.fuel_consumed_liters AS DOUBLE) / NULLIF(CAST(r.distance_km AS DOUBLE), 0)") + " * 100", 2)} AS litros_por_100km,
+           |       CAST(SUM(t.fuel_consumed_liters) AS DOUBLE) AS combustible_total
            |FROM routes r
            |JOIN trips t ON r.route_id = t.route_id
            |WHERE t.fuel_consumed_liters IS NOT NULL
@@ -98,8 +101,8 @@ object AnalyticsSql {
            |       dayofweek(d.scheduled_datetime) - 1 AS num_dia,
            |       COUNT(*) AS total_entregas,
            |       COUNT(CASE WHEN d.delivered_datetime > d.scheduled_datetime + INTERVAL 30 MINUTES THEN 1 END) AS entregas_retrasadas,
-           |       ROUND(100.0D * COUNT(CASE WHEN d.delivered_datetime > d.scheduled_datetime + INTERVAL 30 MINUTES THEN 1 END) / COUNT(*), 2) AS porcentaje_retrasos,
-           |       AVG((unix_timestamp(d.delivered_datetime) - unix_timestamp(d.scheduled_datetime)) / 60) AS minutos_promedio_diferencia
+           |       ${roundPortableSql("100.0D * COUNT(CASE WHEN d.delivered_datetime > d.scheduled_datetime + INTERVAL 30 MINUTES THEN 1 END) / COUNT(*)", 2)} AS porcentaje_retrasos,
+           |       ${avgExactSql("unix_timestamp(d.delivered_datetime) - unix_timestamp(d.scheduled_datetime)")} / 60 AS minutos_promedio_diferencia
            |FROM deliveries d
            |WHERE d.delivery_status = 'delivered'
            |  AND d.scheduled_datetime >= $d - INTERVAL 90 DAYS
@@ -122,10 +125,11 @@ object AnalyticsSql {
            |SELECT vehicle_type,
            |       COUNT(vehicle_id) AS cantidad_vehiculos,
            |       SUM(total_viajes) AS viajes_totales,
-           |       SUM(km_totales) AS kilometros_totales,
-           |       SUM(costo_mantenimiento_total) AS costo_total_mantenimiento,
-           |       ROUND(SUM(costo_mantenimiento_total) / NULLIF(SUM(km_totales), 0), 2) AS costo_por_km,
-           |       ROUND(AVG(costo_mantenimiento_total / NULLIF(cantidad_mantenimientos, 0)), 2) AS costo_promedio_por_mantenimiento
+           |       CAST(SUM(km_totales) AS DOUBLE) AS kilometros_totales,
+           |       CAST(SUM(costo_mantenimiento_total) AS DOUBLE) AS costo_total_mantenimiento,
+           |       ${roundPortableSql("CAST(SUM(costo_mantenimiento_total) AS DOUBLE) / NULLIF(CAST(SUM(km_totales) AS DOUBLE), 0)", 2)} AS costo_por_km,
+           |       ${roundPortableSql(avgQuantizedSql(
+                      "CAST(costo_mantenimiento_total AS DOUBLE) / NULLIF(cantidad_mantenimientos, 0)"), 2)} AS costo_promedio_por_mantenimiento
            |FROM vehicle_metrics
            |WHERE km_totales > 0 AND costo_mantenimiento_total > 0
            |GROUP BY vehicle_type
@@ -136,7 +140,8 @@ object AnalyticsSql {
            |         concat_ws(' ', d.first_name, d.last_name) AS nombre,
            |         COUNT(DISTINCT t.trip_id) AS viajes,
            |         COUNT(DISTINCT del.delivery_id) AS entregas,
-           |         AVG(t.fuel_consumed_liters / NULLIF(r.distance_km, 0)) * 100 AS consumo_100km,
+           |         ${avgQuantizedSql(
+                        "CAST(t.fuel_consumed_liters AS DOUBLE) / NULLIF(CAST(r.distance_km AS DOUBLE), 0)")} * 100 AS consumo_100km,
            |         COUNT(CASE WHEN del.delivered_datetime <= del.scheduled_datetime THEN 1 END)
            |           / NULLIF(COUNT(del.delivery_id), 0) * 100 AS puntualidad_pct
            |  FROM drivers d
@@ -148,8 +153,8 @@ object AnalyticsSql {
            |  HAVING COUNT(DISTINCT t.trip_id) >= 20
            |)
            |SELECT nombre, viajes, entregas,
-           |       ROUND(consumo_100km, 2) AS consumo_100km,
-           |       ROUND(puntualidad_pct, 2) AS puntualidad_pct,
+           |       ${roundPortableSql("consumo_100km", 2)} AS consumo_100km,
+           |       ${roundPortableSql("puntualidad_pct", 2)} AS puntualidad_pct,
            |       RANK() OVER (ORDER BY puntualidad_pct DESC) AS rank_puntualidad,
            |       RANK() OVER (ORDER BY consumo_100km ASC) AS rank_eficiencia,
            |       RANK() OVER (ORDER BY entregas DESC) AS rank_productividad,
@@ -164,7 +169,7 @@ object AnalyticsSql {
            |  SELECT DATE_TRUNC('month', departure_datetime) AS mes,
            |         COUNT(*) AS total_viajes,
            |         SUM(total_weight_kg) AS peso_total,
-           |         AVG(fuel_consumed_liters) AS combustible_promedio
+           |         ${avgExactSql("fuel_consumed_liters")} AS combustible_promedio
            |  FROM trips WHERE status = 'completed'
            |  GROUP BY DATE_TRUNC('month', departure_datetime)
            |)
@@ -173,10 +178,10 @@ object AnalyticsSql {
            |       LAG(total_viajes, 1) OVER (ORDER BY mes) AS viajes_mes_anterior,
            |       LEAD(total_viajes, 1) OVER (ORDER BY mes) AS viajes_mes_siguiente,
            |       total_viajes - LAG(total_viajes, 1) OVER (ORDER BY mes) AS cambio_absoluto,
-           |       ROUND((total_viajes - LAG(total_viajes, 1) OVER (ORDER BY mes)) /
-           |             NULLIF(LAG(total_viajes, 1) OVER (ORDER BY mes), 0) * 100, 2) AS cambio_porcentual,
-           |       ROUND(peso_total / 1000, 2) AS toneladas_transportadas,
-           |       ROUND(combustible_promedio, 2) AS combustible_promedio_viaje,
+           |       ${roundPortableSql("""(total_viajes - LAG(total_viajes, 1) OVER (ORDER BY mes)) /
+           |             NULLIF(LAG(total_viajes, 1) OVER (ORDER BY mes), 0) * 100""", 2)} AS cambio_porcentual,
+           |       ${roundPortableSql("CAST(peso_total AS DOUBLE) / 1000", 2)} AS toneladas_transportadas,
+           |       ${roundPortableSql("combustible_promedio", 2)} AS combustible_promedio_viaje,
            |       AVG(total_viajes) OVER (ORDER BY mes ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS promedio_movil_3m
            |FROM viajes_mensuales
            |ORDER BY mes DESC

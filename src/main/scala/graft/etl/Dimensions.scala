@@ -116,7 +116,12 @@ object Dimensions {
     withCity
       .groupBy(col("customer_name"))
       .agg(
-        first(col("destination_city"), ignoreNulls = true).as("city_raw"),
+        // deterministic "first" city: earliest (delivered_datetime,
+        // delivery_id), nulls last — `first(ignoreNulls)` would be
+        // partition-order-dependent and flip oracle hashes run to run
+        min_by(col("destination_city"), struct(
+          col("destination_city").isNull,
+          col("delivered_datetime"), col("delivery_id"))).as("city_raw"),
         min(col("delivered_datetime")).as("first_delivery_ts"),
         count(col("delivery_id")).as("total_deliveries"))
       .select(
@@ -147,7 +152,7 @@ object Dimensions {
         monthsBetween3044(asOf, col("acquisition_date")).cast("int").as("age_months"),
         col("status"), col("last_maintenance_date"),
         asOf.as("valid_from"),
-        to_date(lit("2099-12-31")).as("valid_to"),
+        to_date(lit(Scd2.maxDate)).as("valid_to"),
         lit(true).as("is_current"))
   }
 
@@ -188,7 +193,7 @@ object Dimensions {
             round(col("total_deliveries") / 8.0, 2))
           .otherwise(0.0).as("deliveries_per_hour"),
         asOf.as("valid_from"),
-        to_date(lit("2099-12-31")).as("valid_to"),
+        to_date(lit(Scd2.maxDate)).as("valid_to"),
         lit(true).as("is_current"))
   }
 }

@@ -57,15 +57,18 @@ object FactDeliveries {
           .otherwise(col("fuel_consumed_liters")))
 
     withTimes
-      // measures (ref :876-896): clips exactly as pandas .clip
+      // measures (ref :876-896): clips exactly as pandas .clip; rounding
+      // is roundPortable (integer-scaled half-up) so every measure is
+      // bit-identical across engines and partition layouts
       .withColumn("deliveries_per_hour",
-        round(lit(60.0) / greatest(lit(1), col("delivery_time_minutes")), 2))
+        roundPortable(lit(60.0) / greatest(lit(1), col("delivery_time_minutes")), 2))
       .withColumn("fuel_efficiency_km_per_liter",
-        round(col("distance_km_c") / greatest(lit(0.1), col("fuel_c")), 2))
+        roundPortable(col("distance_km_c") / greatest(lit(0.1), col("fuel_c")), 2))
       .withColumn("cost_per_delivery",
-        round(col("fuel_c") * 3.5 + col("toll_cost") + 5, 2))
+        roundPortable(col("fuel_c") * 3.5 + col("toll_cost").cast("double") + 5, 2))
       .withColumn("revenue_per_delivery",
-        round(lit(10) + col("package_weight_kg") * 0.5 + col("distance_km_c") * 0.1, 2))
+        roundPortable(lit(10) + col("package_weight_kg").cast("double") * 0.5 +
+          col("distance_km_c") * 0.1, 2))
       .withColumn("is_on_time", col("delay_minutes") <= 30)
       .withColumn("is_damaged", lit(false))
       .withColumn("has_signature", col("recipient_signature").isNotNull)
@@ -100,19 +103,28 @@ object FactDeliveries {
   * DDL scripts/04_dimensional_model.sql:178-190). */
 object Reports {
 
+  /** Exact-cents sum of a 2-decimal double measure (money rule,
+    * README "Engineering rules"): associative long sum, double out. */
+  private def sumCents(c: Column): Column =
+    (sum(round(c * 100, 0).cast("long")) / lit(100.0))
+
   def driverTotals(fact: DataFrame): DataFrame =
     fact.groupBy(col("driver_key"))
       .agg(
         count(lit(1)).as("total_deliveries"),
-        round(avg(col("delivery_time_minutes")), 2).as("avg_delivery_time_minutes"),
-        round(sum(col("revenue_per_delivery")), 2).as("total_revenue"))
+        roundPortable(avgExact(col("delivery_time_minutes")), 2)
+          .as("avg_delivery_time_minutes"),
+        sumCents(col("revenue_per_delivery")).as("total_revenue"))
       .orderBy(col("driver_key"))
 
   def routeTotals(fact: DataFrame): DataFrame =
     fact.groupBy(col("route_key"))
       .agg(
         count(lit(1)).as("total_deliveries"),
-        round(avg(col("fuel_efficiency_km_per_liter")), 2).as("avg_fuel_efficiency"),
-        round(sum(col("cost_per_delivery")), 2).as("total_cost"))
+        // the measure is a 2-decimal double — avgExact would sum doubles
+        // order-dependently; the micro-quantized sum is exact for it
+        roundPortable(avgQuantized(col("fuel_efficiency_km_per_liter")), 2)
+          .as("avg_fuel_efficiency"),
+        sumCents(col("cost_per_delivery")).as("total_cost"))
       .orderBy(col("route_key"))
 }

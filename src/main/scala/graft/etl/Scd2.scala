@@ -30,7 +30,9 @@ object Scd2 {
   /** Invariant-bearing columns every SCD2 dim carries. */
   val bookkeeping: Seq[String] = Seq("valid_from", "valid_to", "is_current")
 
-  private val maxDate = "2099-12-31"
+  /** Open-version sentinel — matches the reference INSERT's
+    * `'9999-12-31'` (etl_pipeline.py:1076). */
+  private[etl] val maxDate = "9999-12-31"
 
   def surrogateKey(naturalKey: Column, validFrom: Column): Column =
     md5(concat_ws("|", naturalKey, validFrom))

@@ -89,10 +89,29 @@ object Shims {
 
   /** Deterministic average of a per-row double expression: each value is
     * quantized to integer micros (exact long sum — associative), then
-    * divided back. At any ≤4-decimal output grain this is value-identical
-    * to `avg(x)`, but stable across engines AND partition layouts.
-    * SQL twin:
-    * `CAST(SUM(CAST(ROUND((x) * 1e6, 0) AS BIGINT)) AS DOUBLE) / COUNT(x) / 1e6`. */
+    * divided back. Value-identical to `avg(x)` except within 5e-7 of a
+    * rounding boundary at the output grain, but stable across engines
+    * AND partition layouts. Overflow bound: the micro sum lives in a
+    * long, so `sum(|x|)` must stay under ~9.2e12 (ANSI mode makes a
+    * violation an error, not silent wraparound) — fine for ratios and
+    * per-row measures, not for summing large monetary columns. */
   def avgQuantized(x: Column): Column =
     sum(round(x * lit(1e6), 0).cast("long")).cast("double") / count(x) / lit(1e6)
+
+  // SQL spellings of the portable shims — one string used verbatim by
+  // BOTH the Spark SQL twins and the DuckDB oracles (the expressions
+  // parse and evaluate identically in the two dialects; double literals
+  // are written in e-notation because a bare `100.0` is DECIMAL in both).
+
+  /** SQL twin of [[roundPortable]]. */
+  def roundPortableSql(x: String, n: Int): String =
+    s"CAST(ROUND(($x) * 1e$n, 0) AS BIGINT) / 1e$n"
+
+  /** SQL twin of [[avgExact]]. */
+  def avgExactSql(x: String): String =
+    s"CAST(SUM($x) AS DOUBLE) / COUNT($x)"
+
+  /** SQL twin of [[avgQuantized]]. */
+  def avgQuantizedSql(x: String): String =
+    s"CAST(SUM(CAST(ROUND(($x) * 1e6, 0) AS BIGINT)) AS DOUBLE) / COUNT($x) / 1e6"
 }

@@ -8,27 +8,45 @@ import graft.etl._
 
 /** FleetLogix domain surface as driver-gate entries: the reference's 12
   * KPI queries (scripts/02_queries_analysis.sql) and the daily ETL
-  * outputs (etl_pipeline.py), running over the seeded Spark-native
-  * generator — the testdata dir has no FleetLogix schema, so these are
-  * rows-only checks here; exact-value coverage lives in the ScalaTest
-  * specs (AnalyticsSpec, Scd2Spec, PipelineSpec, DataGenSpec).
+  * outputs (etl_pipeline.py), now oracle-verified end to end.
+  *
+  * The seeded generator's OLTP set is materialized ONCE as parquet under
+  * [[oltpDir]]; the Spark queries and the DuckDB oracles
+  * ([[FleetOracles]]) both read those same files, which upgrades every
+  * `fl_*` entry from rows-only to hash-compared. Generation is
+  * deterministic (xxhash64 row identity, DataGen.scala:12-16), so the
+  * set is byte-stable across JVMs and runs.
   */
 object FleetOps {
 
-  // One generated+cached OLTP set per JVM: every query entry reuses it.
-  @volatile private var cached: Option[Oltp] = None
-
-  private def cfg = DataGen.Config(
+  private[operators] val cfg = DataGen.Config(
     nTrips = 5000, nMaintenance = 500, nDrivers = 40, nVehicles = 60)
 
+  /** Bump when DataGen output changes — the directory is keyed by it so
+    * stale parquet from an older generator version is never reused. */
+  private val genVersion = 3
+
+  /** Stable absolute home of the generated OLTP parquet. Must be
+    * absolute: the path is embedded into the oracle SQL that the
+    * driver's DuckDB process executes from an unknown cwd. */
+  val oltpDir: String = sys.env.getOrElse("GRAFT_FLEET_DIR",
+    new java.io.File(sys.props("user.dir"),
+      s"target/fleet-oltp-v$genVersion-t${cfg.nTrips}").getAbsolutePath)
+
+  @volatile private var cached: Option[Oltp] = None
+
+  /** Generate-once, read-from-parquet OLTP tables. */
   def oltp(spark: SparkSession): Oltp = cached.getOrElse {
     synchronized {
       cached.getOrElse {
-        val tables = DataGen.all(spark, cfg)
-        val t = Oltp(
-          tables("vehicles").cache(), tables("drivers").cache(),
-          tables("routes").cache(), tables("trips").cache(),
-          tables("deliveries").cache(), tables("maintenance").cache())
+        val marker = new java.io.File(oltpDir, "_OLTP_READY")
+        if (!marker.exists()) {
+          DataGen.writeAll(spark, cfg, oltpDir)
+          marker.createNewFile()
+        }
+        def rd(n: String) = spark.read.parquet(s"$oltpDir/$n")
+        val t = Oltp(rd("vehicles"), rd("drivers"), rd("routes"),
+          rd("trips"), rd("deliveries"), rd("maintenance"))
         cached = Some(t)
         t
       }
@@ -38,7 +56,8 @@ object FleetOps {
   private def asOf = to_date(lit(cfg.asOfDate))
 
   // The ETL entries all read from one pipeline run — memoized so four
-  // gate entries don't rebuild dims/SCD2/fact four times.
+  // gate entries don't rebuild dims/SCD2/fact four times. Bench calls
+  // [[warmup]] first so the build cost never pollutes per-query timing.
   @volatile private var cachedEtl: Option[Pipeline.EtlOutput] = None
 
   def etl(spark: SparkSession): Pipeline.EtlOutput = cachedEtl.getOrElse {
@@ -55,8 +74,21 @@ object FleetOps {
     }
   }
 
+  /** Materialize the OLTP parquet and the memoized ETL outputs outside
+    * any timed region (Bench calls this before the measured loop). */
+  def warmup(spark: SparkSession): Unit = {
+    val out = etl(spark)
+    out.fact.count()
+    out.dims.values.foreach(_.count())
+  }
+
+  private val oracles: Map[String, String] = FleetOracles.all(oltpDir, cfg.asOfDate)
+
   private def q(name: String)(fn: Oltp => DataFrame): QueryDef =
-    QueryDef.rowsOnly(name)((s, _) => fn(oltp(s)))
+    QueryDef(name, (s, _) => fn(oltp(s)), oracles.get(name))
+
+  private def qEtl(name: String)(fn: Pipeline.EtlOutput => DataFrame): QueryDef =
+    QueryDef(name, (s, _) => fn(etl(s)), oracles.get(name))
 
   val defs: Seq[QueryDef] = Seq(
     q("fl_q01_fleet_mix")(t => Analytics.q1FleetMix(t)),
@@ -72,11 +104,9 @@ object FleetOps {
     q("fl_q11_monthly_trend")(t => Analytics.q11MonthlyTrend(t)),
     q("fl_q12_hour_dow_pivot")(t => Analytics.q12HourDowPivot(t, asOf)),
 
-    QueryDef.rowsOnly("fl_etl_fact_deliveries")((s, _) => etl(s).fact),
-    QueryDef.rowsOnly("fl_etl_dim_vehicle_scd2")((s, _) => etl(s).dims("dim_vehicle")),
-    QueryDef.rowsOnly("fl_etl_dim_customer")((s, _) => etl(s).dims("dim_customer")),
-    QueryDef.rowsOnly("fl_etl_report_driver_totals") { (s, _) =>
-      etl(s).reports("report_driver_totals")
-    },
+    qEtl("fl_etl_fact_deliveries")(_.fact),
+    qEtl("fl_etl_dim_vehicle_scd2")(_.dims("dim_vehicle")),
+    qEtl("fl_etl_dim_customer")(_.dims("dim_customer")),
+    qEtl("fl_etl_report_driver_totals")(_.reports("report_driver_totals")),
   )
 }

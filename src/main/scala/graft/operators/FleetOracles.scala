@@ -1,0 +1,360 @@
+package graft.operators
+
+import graft.functions.Shims.{avgExactSql, avgQuantizedSql, roundPortableSql}
+
+/** DuckDB oracle SQL for the FleetLogix gate entries: the reference's 12
+  * KPI queries (scripts/02_queries_analysis.sql:12-272) and the daily
+  * ETL outputs (etl_pipeline.py:817-944, 1030-1098), transcribed into
+  * DuckDB dialect over the parquet OLTP set that [[FleetOps]] writes —
+  * both engines read the SAME files, so every entry is hash-comparable.
+  *
+  * Dialect and parity notes (the round-1/2 proven rules):
+  *  - `dayofweek` in DuckDB is already the PG DOW (0=Sunday);
+  *  - double literals are e-notation (`1e2`) — bare `100.0` is DECIMAL;
+  *  - `unix_timestamp` ≡ `epoch_us(ts)//1000000` (floor seconds; epoch_ms
+  *    could round a .9995s value across the second boundary);
+  *  - Spark `CAST(double AS INT)` truncates while DuckDB's rounds, so
+  *    int-casts of ratios go through TRUNC;
+  *  - money/ratio outputs use the roundPortable / avgExact / avgQuantized
+  *    SQL twins (Shims.scala) — bit-identical to the Column shims.
+  */
+object FleetOracles {
+
+  private def rp2(x: String) = roundPortableSql(x, 2)
+
+  def all(dir: String, asOf: String): Map[String, String] = {
+    def t(name: String) = s"read_parquet('$dir/$name/*.parquet')"
+    val D = s"DATE '$asOf'"
+
+    val kpi = Map(
+      "fl_q01_fleet_mix" ->
+        s"""SELECT vehicle_type, COUNT(*) AS cantidad
+           |FROM ${t("vehicles")}
+           |GROUP BY vehicle_type
+           |ORDER BY cantidad DESC, vehicle_type""".stripMargin,
+
+      "fl_q02_expiring_licenses" ->
+        s"""SELECT first_name, last_name, license_number, license_expiry
+           |FROM ${t("drivers")}
+           |WHERE license_expiry < $D + INTERVAL 30 DAY
+           |ORDER BY license_expiry, license_number""".stripMargin,
+
+      "fl_q03_trips_by_status" ->
+        s"""SELECT status, COUNT(*) AS total_viajes
+           |FROM ${t("trips")} GROUP BY status ORDER BY status""".stripMargin,
+
+      "fl_q04_deliveries_by_city" ->
+        s"""SELECT r.destination_city,
+           |       COUNT(DISTINCT t.trip_id) AS total_viajes,
+           |       COUNT(d.delivery_id) AS total_entregas,
+           |       CAST(SUM(d.package_weight_kg) AS DOUBLE) AS peso_total_kg
+           |FROM ${t("routes")} r
+           |JOIN ${t("trips")} t ON r.route_id = t.route_id
+           |JOIN ${t("deliveries")} d ON t.trip_id = d.trip_id
+           |WHERE t.departure_datetime >= $D - INTERVAL 60 DAY
+           |GROUP BY r.destination_city
+           |ORDER BY total_entregas DESC, r.destination_city""".stripMargin,
+
+      "fl_q05_driver_workload" ->
+        s"""SELECT dr.driver_id,
+           |       concat_ws(' ', dr.first_name, dr.last_name) AS nombre_completo,
+           |       dr.license_expiry,
+           |       COUNT(t.trip_id) AS viajes_totales,
+           |       CAST(SUM(CASE WHEN t.status = 'completed' THEN 1 ELSE 0 END) AS BIGINT) AS viajes_completados
+           |FROM ${t("drivers")} dr
+           |LEFT JOIN ${t("trips")} t ON dr.driver_id = t.driver_id
+           |WHERE dr.status = 'active'
+           |GROUP BY dr.driver_id, dr.first_name, dr.last_name, dr.license_expiry
+           |HAVING COUNT(t.trip_id) > 0
+           |ORDER BY viajes_completados DESC, dr.driver_id""".stripMargin,
+
+      "fl_q06_driver_productivity" ->
+        s"""SELECT dr.driver_id,
+           |       concat_ws(' ', dr.first_name, dr.last_name) AS conductor,
+           |       COUNT(DISTINCT t.trip_id) AS total_viajes,
+           |       COUNT(d.delivery_id) AS total_entregas,
+           |       ${rp2("COUNT(d.delivery_id) / NULLIF(COUNT(DISTINCT t.trip_id), 0)")} AS promedio_entregas_por_viaje,
+           |       ${rp2("COUNT(d.delivery_id) / 180e0")} AS promedio_entregas_diarias
+           |FROM ${t("drivers")} dr
+           |JOIN ${t("trips")} t ON dr.driver_id = t.driver_id
+           |JOIN ${t("deliveries")} d ON t.trip_id = d.trip_id
+           |WHERE t.departure_datetime >= $D - INTERVAL 180 DAY
+           |  AND t.status = 'completed'
+           |GROUP BY dr.driver_id, dr.first_name, dr.last_name
+           |HAVING COUNT(DISTINCT t.trip_id) >= 10
+           |ORDER BY promedio_entregas_por_viaje DESC, dr.driver_id""".stripMargin,
+
+      "fl_q07_route_fuel" ->
+        s"""WITH base AS (
+           |  SELECT r.route_id, r.route_code,
+           |         concat(r.origin_city, ' -> ', r.destination_city) AS ruta,
+           |         r.distance_km,
+           |         COUNT(t.trip_id) AS viajes_realizados,
+           |         ${avgExactSql("t.fuel_consumed_liters")} AS promedio_combustible_litros,
+           |         ${rp2(avgQuantizedSql(
+                        "CAST(t.fuel_consumed_liters AS DOUBLE) / NULLIF(CAST(r.distance_km AS DOUBLE), 0)") + " * 100")} AS litros_por_100km,
+           |         CAST(SUM(t.fuel_consumed_liters) AS DOUBLE) AS combustible_total
+           |  FROM ${t("routes")} r
+           |  JOIN ${t("trips")} t ON r.route_id = t.route_id
+           |  WHERE t.fuel_consumed_liters IS NOT NULL
+           |    AND r.distance_km > 0
+           |    AND t.status = 'completed'
+           |  GROUP BY r.route_id, r.route_code, r.origin_city, r.destination_city, r.distance_km
+           |  HAVING COUNT(t.trip_id) >= 50
+           |)
+           |SELECT route_code, ruta, distance_km, viajes_realizados,
+           |       promedio_combustible_litros, litros_por_100km, combustible_total
+           |FROM (SELECT * FROM base ORDER BY litros_por_100km DESC, route_id LIMIT 10)""".stripMargin,
+
+      "fl_q08_delays_by_weekday" ->
+        s"""SELECT dayname(d.scheduled_datetime) AS dia_semana,
+           |       CAST(dayofweek(d.scheduled_datetime) AS INTEGER) AS num_dia,
+           |       COUNT(*) AS total_entregas,
+           |       COUNT(CASE WHEN d.delivered_datetime > d.scheduled_datetime + INTERVAL 30 MINUTE THEN 1 END) AS entregas_retrasadas,
+           |       ${rp2("1e2 * COUNT(CASE WHEN d.delivered_datetime > d.scheduled_datetime + INTERVAL 30 MINUTE THEN 1 END) / COUNT(*)")} AS porcentaje_retrasos,
+           |       ${avgExactSql("epoch_us(d.delivered_datetime)//1000000 - epoch_us(d.scheduled_datetime)//1000000")} / 60 AS minutos_promedio_diferencia
+           |FROM ${t("deliveries")} d
+           |WHERE d.delivery_status = 'delivered'
+           |  AND d.scheduled_datetime >= $D - INTERVAL 90 DAY
+           |GROUP BY dia_semana, num_dia
+           |ORDER BY num_dia""".stripMargin,
+
+      "fl_q09_maintenance_cost_km" ->
+        s"""WITH vehicle_metrics AS (
+           |  SELECT v.vehicle_id, v.vehicle_type, v.license_plate,
+           |         COUNT(DISTINCT t.trip_id) AS total_viajes,
+           |         SUM(r.distance_km) AS km_totales,
+           |         SUM(m.cost) AS costo_mantenimiento_total,
+           |         COUNT(DISTINCT m.maintenance_id) AS cantidad_mantenimientos
+           |  FROM ${t("vehicles")} v
+           |  LEFT JOIN ${t("trips")} t ON v.vehicle_id = t.vehicle_id
+           |  LEFT JOIN ${t("routes")} r ON t.route_id = r.route_id
+           |  LEFT JOIN ${t("maintenance")} m ON v.vehicle_id = m.vehicle_id
+           |  WHERE t.status = 'completed'
+           |  GROUP BY v.vehicle_id, v.vehicle_type, v.license_plate
+           |)
+           |SELECT vehicle_type,
+           |       COUNT(vehicle_id) AS cantidad_vehiculos,
+           |       CAST(SUM(total_viajes) AS BIGINT) AS viajes_totales,
+           |       CAST(SUM(km_totales) AS DOUBLE) AS kilometros_totales,
+           |       CAST(SUM(costo_mantenimiento_total) AS DOUBLE) AS costo_total_mantenimiento,
+           |       ${rp2("CAST(SUM(costo_mantenimiento_total) AS DOUBLE) / NULLIF(CAST(SUM(km_totales) AS DOUBLE), 0)")} AS costo_por_km,
+           |       ${rp2(avgQuantizedSql(
+                      "CAST(costo_mantenimiento_total AS DOUBLE) / NULLIF(cantidad_mantenimientos, 0)"))} AS costo_promedio_por_mantenimiento
+           |FROM vehicle_metrics
+           |WHERE km_totales > 0 AND costo_mantenimiento_total > 0
+           |GROUP BY vehicle_type
+           |ORDER BY costo_por_km DESC, vehicle_type""".stripMargin,
+
+      "fl_q10_driver_ranking" ->
+        s"""WITH conductor_metricas AS (
+           |  SELECT d.driver_id,
+           |         concat_ws(' ', d.first_name, d.last_name) AS nombre,
+           |         COUNT(DISTINCT t.trip_id) AS viajes,
+           |         COUNT(DISTINCT del.delivery_id) AS entregas,
+           |         ${avgQuantizedSql(
+                        "CAST(t.fuel_consumed_liters AS DOUBLE) / NULLIF(CAST(r.distance_km AS DOUBLE), 0)")} * 100 AS consumo_100km,
+           |         COUNT(CASE WHEN del.delivered_datetime <= del.scheduled_datetime THEN 1 END)
+           |           / NULLIF(COUNT(del.delivery_id), 0) * 100 AS puntualidad_pct
+           |  FROM ${t("drivers")} d
+           |  JOIN ${t("trips")} t ON d.driver_id = t.driver_id
+           |  JOIN ${t("routes")} r ON t.route_id = r.route_id
+           |  LEFT JOIN ${t("deliveries")} del ON t.trip_id = del.trip_id
+           |  WHERE t.departure_datetime >= $D - INTERVAL 90 DAY
+           |  GROUP BY d.driver_id, d.first_name, d.last_name
+           |  HAVING COUNT(DISTINCT t.trip_id) >= 20
+           |)
+           |SELECT nombre, viajes, entregas,
+           |       ${rp2("consumo_100km")} AS consumo_100km,
+           |       ${rp2("puntualidad_pct")} AS puntualidad_pct,
+           |       rank_puntualidad, rank_eficiencia, rank_productividad, score_promedio
+           |FROM (
+           |  SELECT nombre, viajes, entregas, consumo_100km, puntualidad_pct,
+           |         RANK() OVER (ORDER BY puntualidad_pct DESC NULLS LAST) AS rank_puntualidad,
+           |         RANK() OVER (ORDER BY consumo_100km ASC NULLS FIRST) AS rank_eficiencia,
+           |         RANK() OVER (ORDER BY entregas DESC NULLS LAST) AS rank_productividad,
+           |         (RANK() OVER (ORDER BY puntualidad_pct DESC NULLS LAST) +
+           |          RANK() OVER (ORDER BY consumo_100km ASC NULLS FIRST) +
+           |          RANK() OVER (ORDER BY entregas DESC NULLS LAST)) / 3e0 AS score_promedio
+           |  FROM conductor_metricas
+           |  ORDER BY score_promedio ASC, nombre
+           |  LIMIT 20)""".stripMargin,
+
+      "fl_q11_monthly_trend" ->
+        s"""WITH viajes_mensuales AS (
+           |  SELECT DATE_TRUNC('month', departure_datetime) AS mes,
+           |         COUNT(*) AS total_viajes,
+           |         SUM(total_weight_kg) AS peso_total,
+           |         ${avgExactSql("fuel_consumed_liters")} AS combustible_promedio
+           |  FROM ${t("trips")} WHERE status = 'completed'
+           |  GROUP BY DATE_TRUNC('month', departure_datetime)
+           |)
+           |SELECT periodo, total_viajes, viajes_mes_anterior, viajes_mes_siguiente,
+           |       cambio_absoluto, cambio_porcentual, toneladas_transportadas,
+           |       combustible_promedio_viaje, promedio_movil_3m
+           |FROM (
+           |  SELECT mes,
+           |         strftime(mes, '%Y-%m') AS periodo,
+           |         total_viajes,
+           |         LAG(total_viajes, 1) OVER (ORDER BY mes) AS viajes_mes_anterior,
+           |         LEAD(total_viajes, 1) OVER (ORDER BY mes) AS viajes_mes_siguiente,
+           |         total_viajes - LAG(total_viajes, 1) OVER (ORDER BY mes) AS cambio_absoluto,
+           |         ${rp2("""(total_viajes - LAG(total_viajes, 1) OVER (ORDER BY mes)) /
+           |               NULLIF(LAG(total_viajes, 1) OVER (ORDER BY mes), 0) * 100""")} AS cambio_porcentual,
+           |         ${rp2("CAST(peso_total AS DOUBLE) / 1000")} AS toneladas_transportadas,
+           |         ${rp2("combustible_promedio")} AS combustible_promedio_viaje,
+           |         AVG(total_viajes) OVER (ORDER BY mes ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS promedio_movil_3m
+           |  FROM viajes_mensuales
+           |  ORDER BY mes DESC
+           |  LIMIT 12)""".stripMargin,
+
+      "fl_q12_hour_dow_pivot" -> {
+        def dcol(k: Int, name: String) =
+          s"CAST(SUM(CASE WHEN dia_semana = $k THEN cantidad_entregas ELSE 0 END) AS BIGINT) AS $name"
+        s"""WITH ephd AS (
+           |  SELECT CAST(dayofweek(scheduled_datetime) AS INTEGER) AS dia_semana,
+           |         CAST(hour(scheduled_datetime) AS INTEGER) AS hora,
+           |         COUNT(*) AS cantidad_entregas
+           |  FROM ${t("deliveries")}
+           |  WHERE scheduled_datetime >= $D - INTERVAL 60 DAY
+           |  GROUP BY 1, 2
+           |)
+           |SELECT hora,
+           |       ${dcol(0, "domingo")},
+           |       ${dcol(1, "lunes")},
+           |       ${dcol(2, "martes")},
+           |       ${dcol(3, "miercoles")},
+           |       ${dcol(4, "jueves")},
+           |       ${dcol(5, "viernes")},
+           |       ${dcol(6, "sabado")},
+           |       CAST(SUM(cantidad_entregas) AS BIGINT) AS total_semana
+           |FROM ephd
+           |WHERE hora BETWEEN 6 AND 22
+           |GROUP BY hora
+           |ORDER BY hora""".stripMargin
+      })
+
+    // ---- daily-ETL outputs (etl_pipeline.py:817-944, 1030-1098) ----
+    // Shared CTEs: the target date (nth-last with data, n=0), the day's
+    // extract, and dim_customer. The single-batch SCD2 bootstrap makes
+    // dims expressible as one SELECT: every entity gets exactly one
+    // current version valid [target_date, 9999-12-31] with the
+    // deterministic md5(natural_key || '|' || valid_from) surrogate.
+    val sk = (key: String) =>
+      s"md5(CAST($key AS VARCHAR) || '|' || CAST((SELECT tdate FROM td) AS VARCHAR))"
+
+    val baseCtes =
+      s"""WITH td AS (
+         |  SELECT MAX(CAST(delivered_datetime AS DATE)) AS tdate
+         |  FROM ${t("deliveries")}
+         |  WHERE delivery_status = 'delivered' AND delivered_datetime IS NOT NULL
+         |), ext AS (
+         |  SELECT d.*, t.vehicle_id, t.driver_id, t.route_id,
+         |         t.fuel_consumed_liters, t.departure_datetime, t.arrival_datetime,
+         |         r.distance_km, r.toll_cost
+         |  FROM ${t("deliveries")} d
+         |  JOIN ${t("trips")} t ON d.trip_id = t.trip_id
+         |  JOIN ${t("routes")} r ON t.route_id = r.route_id
+         |  WHERE d.delivery_status = 'delivered'
+         |    AND CAST(d.delivered_datetime AS DATE) = (SELECT tdate FROM td)
+         |), cust_ranked AS (
+         |  SELECT e.customer_name, r.destination_city, e.delivered_datetime, e.delivery_id,
+         |         ROW_NUMBER() OVER (PARTITION BY e.customer_name
+         |           ORDER BY (r.destination_city IS NULL), e.delivered_datetime, e.delivery_id) AS rn
+         |  FROM ext e LEFT JOIN ${t("routes")} r ON e.route_id = r.route_id
+         |), cust_agg AS (
+         |  SELECT customer_name,
+         |         MIN(delivered_datetime) AS first_ts,
+         |         COUNT(delivery_id) AS total_deliveries
+         |  FROM cust_ranked GROUP BY customer_name
+         |), dim_customer AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY a.customer_name) AS customer_key,
+         |         a.customer_name,
+         |         CASE WHEN a.total_deliveries >= 200 THEN 'Empresa' ELSE 'Individual' END AS customer_type,
+         |         substring(c.destination_city, 1, 100) AS city,
+         |         CAST(a.first_ts AS DATE) AS first_delivery_date,
+         |         a.total_deliveries,
+         |         CASE WHEN a.total_deliveries >= 300 THEN 'Premium'
+         |              WHEN a.total_deliveries >= 150 THEN 'Regular'
+         |              ELSE 'Ocasional' END AS customer_category
+         |  FROM cust_agg a
+         |  JOIN cust_ranked c ON a.customer_name = c.customer_name AND c.rn = 1
+         |)""".stripMargin
+
+    val factCtes =
+      s"""$baseCtes, fm AS (
+         |  SELECT e.*,
+         |         CAST(TRUNC((epoch_us(e.delivered_datetime)//1000000
+         |                     - epoch_us(e.scheduled_datetime)//1000000) / 60e0) AS INTEGER) AS mins_raw,
+         |         CAST(CASE WHEN e.distance_km < 0 THEN 0 ELSE e.distance_km END AS DOUBLE) AS distance_km_c,
+         |         CAST(CASE WHEN e.fuel_consumed_liters < 0 THEN 0 ELSE e.fuel_consumed_liters END AS DOUBLE) AS fuel_c
+         |  FROM ext e
+         |), fact AS (
+         |  SELECT CAST(strftime(e.delivered_datetime, '%Y%m%d') AS INTEGER) AS date_key,
+         |         CAST(hour(e.scheduled_datetime) * 100 + FLOOR(minute(e.scheduled_datetime) / 15) * 15 AS INTEGER) AS scheduled_time_key,
+         |         CAST(hour(e.delivered_datetime) * 100 + FLOOR(minute(e.delivered_datetime) / 15) * 15 AS INTEGER) AS delivered_time_key,
+         |         e.vehicle_id, e.driver_id,
+         |         e.route_id AS route_key,
+         |         dc.customer_key,
+         |         e.delivery_id, e.trip_id, e.tracking_number,
+         |         e.package_weight_kg,
+         |         e.distance_km_c AS distance_km,
+         |         e.fuel_c AS fuel_consumed_liters,
+         |         GREATEST(0, e.mins_raw) AS delivery_time_minutes,
+         |         GREATEST(0, e.mins_raw) AS delay_minutes,
+         |         ${rp2("6e1 / GREATEST(1, GREATEST(0, e.mins_raw))")} AS deliveries_per_hour,
+         |         ${rp2("e.distance_km_c / GREATEST(1e-1, e.fuel_c)")} AS fuel_efficiency_km_per_liter,
+         |         ${rp2("e.fuel_c * 3.5e0 + CAST(e.toll_cost AS DOUBLE) + 5")} AS cost_per_delivery,
+         |         ${rp2("10 + CAST(e.package_weight_kg AS DOUBLE) * 5e-1 + e.distance_km_c * 1e-1")} AS revenue_per_delivery,
+         |         GREATEST(0, e.mins_raw) <= 30 AS is_on_time,
+         |         FALSE AS is_damaged,
+         |         e.recipient_signature IS NOT NULL AS has_signature,
+         |         e.delivery_status,
+         |         CAST(1 AS BIGINT) AS etl_batch_id,
+         |         e.mins_raw < 0 AS qa_time_flag,
+         |         e.distance_km < 0 AS qa_distance_flag,
+         |         e.fuel_consumed_liters < 0 AS qa_fuel_flag,
+         |         NOT (e.mins_raw < 0 OR e.distance_km < 0 OR e.fuel_consumed_liters < 0) AS qa_passed,
+         |         ${sk("e.vehicle_id")} AS vehicle_sk,
+         |         ${sk("e.driver_id")} AS driver_sk
+         |  FROM fm e
+         |  LEFT JOIN dim_customer dc ON e.customer_name = dc.customer_name
+         |)""".stripMargin
+
+    val etl = Map(
+      "fl_etl_dim_customer" ->
+        s"""$baseCtes
+           |SELECT * FROM dim_customer""".stripMargin,
+
+      "fl_etl_dim_vehicle_scd2" ->
+        s"""$baseCtes, lastm AS (
+           |  SELECT vehicle_id, MAX(maintenance_date) AS last_maintenance_date
+           |  FROM ${t("maintenance")} GROUP BY vehicle_id
+           |)
+           |SELECT v.vehicle_id, v.license_plate, v.vehicle_type, v.capacity_kg,
+           |       v.fuel_type, v.acquisition_date,
+           |       CAST(FLOOR(CAST(date_diff('day', v.acquisition_date, (SELECT tdate FROM td)) AS DOUBLE) / 30.44) AS INTEGER) AS age_months,
+           |       v.status, lm.last_maintenance_date,
+           |       (SELECT tdate FROM td) AS valid_from,
+           |       DATE '9999-12-31' AS valid_to,
+           |       TRUE AS is_current,
+           |       ${sk("v.vehicle_id")} AS vehicle_sk
+           |FROM ${t("vehicles")} v
+           |LEFT JOIN lastm lm ON v.vehicle_id = lm.vehicle_id""".stripMargin,
+
+      "fl_etl_fact_deliveries" ->
+        s"""$factCtes
+           |SELECT * FROM fact""".stripMargin,
+
+      "fl_etl_report_driver_totals" ->
+        s"""$factCtes
+           |SELECT driver_id AS driver_key,
+           |       COUNT(*) AS total_deliveries,
+           |       ${rp2(avgExactSql("delivery_time_minutes"))} AS avg_delivery_time_minutes,
+           |       CAST(SUM(CAST(ROUND(revenue_per_delivery * 1e2, 0) AS BIGINT)) AS BIGINT) / 1e2 AS total_revenue
+           |FROM fact
+           |GROUP BY driver_id""".stripMargin)
+
+    kpi ++ etl
+  }
+}

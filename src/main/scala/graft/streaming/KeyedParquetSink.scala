@@ -30,8 +30,12 @@ object KeyedParquetSink {
     val existing =
       if (fs.exists(path)) Some(spark.read.parquet(dir)) else None
     val merged = existing.map(_.unionByName(batch)).getOrElse(batch)
+    // tie-break beyond event time: a replayed micro-batch that ties the
+    // stored row on `tsCol` must pick the same winner every run, so rows
+    // are further ordered by a content hash (stable for identical
+    // replays, deterministic for true ties with different payloads)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol).desc)
+      .orderBy(col(tsCol).desc, xxhash64(struct(merged.columns.map(col): _*)))
     val latest = merged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

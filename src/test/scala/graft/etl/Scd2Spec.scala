@@ -19,7 +19,7 @@ class Scd2Spec extends GraftSpec {
     val rows = dim.collect()
     assert(rows.length === 2)
     assert(rows.forall(_.getAs[Boolean]("is_current")))
-    assert(rows.forall(_.getAs[java.sql.Date]("valid_to").toString === "2099-12-31"))
+    assert(rows.forall(_.getAs[java.sql.Date]("valid_to").toString === "9999-12-31"))
   }
 
   test("changed row closes old version and inserts new; unchanged passes through") {
