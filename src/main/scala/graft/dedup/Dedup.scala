@@ -19,6 +19,20 @@ import graft.text.TextFunctions._
   */
 object Dedup {
 
+  /** Scratch directory for intermediate spills (a lake deployment would
+    * point this at job-scoped scratch storage); removed on JVM exit. */
+  private lazy val spillRoot: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-spill")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
+
   /** Exact dedup: keep the lowest-id row per canonical-text fingerprint.
     * One shuffle on the fingerprint (window + row_number). */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -62,13 +76,17 @@ object Dedup {
     // k min-aggregations — codegen'd partial+final HashAggregate
     val spark = df.sparkSession
     import spark.implicits._
-    val hashed = df.select(col(idCol).cast("long"), col(textCol))
+    // consumed three times (signature aggregation + both sides of the
+    // verification join): spilled once to scratch parquet instead of
+    // persist() — same single shingling pass, but no cached blocks left
+    // behind after the query completes (persist leaked across calls)
+    val spill = s"$spillRoot/shingles-${java.util.UUID.randomUUID()}"
+    df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .flatMap { case (id, t) => shingleHashes(t, shingleLen).map(h => (id, h)) }
       .toDF("id", "h")
-      // consumed three times (signature aggregation + both sides of the
-      // verification join) — persist so the shingling kernel runs once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .write.parquet(spill)
+    val hashed = spark.read.parquet(spill)
     // one groupBy carries the k min-hashes AND the set size (the
     // shingle explode is expensive enough not to recompute per branch)
     val sigCols = (0 until bands * rowsPerBand)
@@ -124,21 +142,30 @@ object Dedup {
       .toArray.distinct.sorted
   }
 
-  /** Exact word-n-gram Jaccard pairs as a broadcast kernel: per-doc
-    * sorted shingle-hash arrays, pairwise sorted-merge intersection in
-    * tight loops. The equi-join formulation (join docs on shared
-    * shingle, count) is shuffle-friendly but pays the full fan-out of
-    * popular shingles — measured 20× slower on a dense-vocabulary
-    * corpus. Counts are integers, so the kernel is bit-identical to
-    * the SQL oracle; shingles are compared via 64-bit FNV-1a (a
-    * cross-doc collision would need ~2³² distinct shingles to matter).
-    * At cluster scale the broadcast side becomes block-partitioned;
-    * the per-block merge kernel is unchanged. */
+  /** Exact word-n-gram Jaccard pairs as a BLOCK-PARTITIONED pair join:
+    * per-doc sorted shingle-hash arrays, tight-loop sorted-merge
+    * intersection per block pair — executed entirely on executors.
+    *
+    * Scale shape: each row is tagged into the `blocks` block of its id
+    * and replicated once per block PAIR it participates in (B copies,
+    * never the O(n²) pair space); one shuffle groups the B(B+1)/2 pairs
+    * and each group merges |pa|×|pb| combinations locally. The driver
+    * never materializes the table (the previous collect()+broadcast
+    * formulation OOMed by construction at corpus scale). Size `blocks`
+    * so 2n/B shingle arrays fit one task's memory.
+    *
+    * The equi-join formulation (join docs on shared shingle, count) is
+    * shuffle-friendly but pays the full fan-out of popular shingles —
+    * measured 20× slower on a dense-vocabulary corpus. Counts are
+    * integers, so the kernel is bit-identical to the SQL oracle;
+    * shingles are compared via 64-bit FNV-1a (a cross-doc collision
+    * would need ~2³² distinct shingles to matter). */
   def ngramJaccardPairsKernel(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+      n: Int = 3, threshold: Double = 0.5, blocks: Int = 8): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val B = blocks
 
     def intersectSize(a: Array[Long], b: Array[Long]): Int = {
       var i = 0; var j = 0; var c = 0
@@ -149,33 +176,49 @@ object Dedup {
       c
     }
 
-    val rows = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
-    val all = rows.map { case (id, t) => (id, shingleHashes(t, n)) }
-      .collect().sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(all)
-    spark.createDataset(all.map(_._1)).mapPartitions { it =>
-      val cand = bc.value
-      val keys = cand.map(_._1)
-      it.flatMap { ida =>
-        val va = cand(java.util.Arrays.binarySearch(keys, ida))._2
-        val out = Seq.newBuilder[(Long, Long, Double)]
-        var j = 0
-        while (j < cand.length) {
-          val (idb, vb) = cand(j)
-          if (ida < idb && va.nonEmpty && vb.nonEmpty) {
-            val inter = intersectSize(va, vb)
-            if (inter > 0) {
-              val jac = inter * 1.0 / (va.length + vb.length - inter)
-              if (jac >= threshold)
-                out += ((ida, idb,
-                  graft.sim.Vectors.roundHalfUp(jac, 4)))
-            }
-          }
-          j += 1
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val v = shingleHashes(t, n)
+        val b = (((id % B) + B) % B).toInt
+        (0 until B).map { o =>
+          val (pa, pb) = (math.min(b, o), math.max(b, o))
+          (pa * B + pb, b, id, v)
         }
-        out.result()
       }
-    }.toDF("id_a", "id_b", "jaccard")
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val pa = key / B; val pb = key % B
+        val all = it.toArray
+        val left = all.collect { case (_, blk, id, v) if blk == pa => (id, v) }
+          .sortBy(_._1)
+        val right =
+          if (pa == pb) left
+          else all.collect { case (_, blk, id, v) if blk == pb => (id, v) }
+            .sortBy(_._1)
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        var i = 0
+        while (i < left.length) {
+          val (x, vx) = left(i)
+          var j = 0
+          while (j < right.length) {
+            val (y, vy) = right(j)
+            // same-block groups emit the x<y triangle; cross-block
+            // groups see each unordered pair once — emit it ordered
+            if ((if (pa == pb) x < y else x != y) && vx.nonEmpty && vy.nonEmpty) {
+              val inter = intersectSize(vx, vy)
+              if (inter > 0) {
+                val jac = inter * 1.0 / (vx.length + vy.length - inter)
+                if (jac >= threshold)
+                  out += ((math.min(x, y), math.max(x, y),
+                    graft.sim.Vectors.roundHalfUp(jac, 4)))
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.result().iterator
+      }.toDF("id_a", "id_b", "jaccard")
   }
 
   /** 64-bit SimHash signature from token hashes: per-bit ±1 voting over

@@ -17,6 +17,32 @@ import org.apache.spark.sql.SparkSession
   * deterministic analog). */
 object EtlMain {
 
+  /** One incremental daily run against the ACCUMULATED warehouse (ref
+    * run_etl, etl_pipeline.py:1170-1280): existing SCD2 dims are read
+    * back and passed into the batch so multi-day history survives and
+    * previously-loaded fact rows keep resolvable surrogate keys; the
+    * batch id continues from the warehouse's high-water mark. A missing
+    * warehouse bootstraps from empty dims (batch 1). */
+  def runOnce(spark: SparkSession, t: Oltp, warehouse: String,
+      targetDate: String): Pipeline.EtlOutput = {
+    def existing(table: String): Option[org.apache.spark.sql.DataFrame] =
+      if (Quality.missingTables(spark, warehouse, Seq(table)).isEmpty)
+        Some(spark.read.parquet(s"$warehouse/$table"))
+      else None
+    val batchId = existing("fact_deliveries")
+      .map { f =>
+        val m = f.agg(org.apache.spark.sql.functions.max("etl_batch_id")).head()
+        (if (m.isNullAt(0)) 0L else m.getLong(0)) + 1L
+      }
+      .getOrElse(1L)
+    val out = Pipeline.run(spark, t, targetDate,
+      existingDimVehicle = existing("dim_vehicle"),
+      existingDimDriver = existing("dim_driver"),
+      etlBatchId = batchId)
+    Pipeline.load(out, warehouse)
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
@@ -52,8 +78,7 @@ object EtlMain {
       Pipeline.nthLastDateWithData(t, nth)
     }.getOrElse(sys.error("no day with delivered data found"))
 
-    val out = Pipeline.run(spark, t, targetDate)
-    Pipeline.load(out, warehouse)
+    val out = runOnce(spark, t, warehouse, targetDate)
     Pipeline.registerSecureViews(out)
     // the reference's extract-time outlier scan (etl_pipeline.py:271-276)
     val outliers = Quality.outlierScan(out.fact,

@@ -74,14 +74,16 @@ object Vectors {
   }
 
   // ---------------------------------------------------------------
-  // Pairwise kernels (mapPartitions). Expression trees — unrolled or
+  // Pairwise kernels, block-partitioned. Expression trees — unrolled or
   // higher-order — cost microseconds per pair (measured: 44 s unrolled
-  // / 12 s HOF for 2M 64-d pairs); a broadcast + tight-loop kernel does
-  // the same 2M pairs in well under a second. The loops accumulate
-  // left-to-right from 0.0, exactly the IEEE-754 sequence of the
-  // left-associative SQL term chain, so results stay bit-identical to
-  // the DuckDB oracle. At cluster scale the broadcast side becomes a
-  // block-partitioned join; the per-block kernel is this same code.
+  // / 12 s HOF for 2M 64-d pairs); a tight-loop kernel does the same
+  // 2M pairs in well under a second. Rows are tagged into `blocks` id
+  // blocks and shuffled once per block PAIR (B copies per row — never
+  // the O(n²) pair space, never a driver collect); each group runs the
+  // loop over its |pa|×|pb| combinations on the executor. The loops
+  // accumulate left-to-right from 0.0, exactly the IEEE-754 sequence of
+  // the left-associative SQL term chain, so results stay bit-identical
+  // to the DuckDB oracle.
   // ---------------------------------------------------------------
 
   private def dotD(a: Array[Float], b: Array[Float]): Double = {
@@ -94,31 +96,49 @@ object Vectors {
   /** All pairs (id_a < id_b) with cosine above `threshold`. */
   def cosinePairsKernel(
       data: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, blocks: Int = 8): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
-    val rows = data.select(col(idCol).cast("long"), col(vecCol))
+    val B = blocks
+    data.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
-    val all = rows.collect().sortBy(_._1)
-    val norms = all.map { case (_, v) => normD(v) }
-    val bc = spark.sparkContext.broadcast((all, norms))
-    rows.mapPartitions { it =>
-      val (cand, ns) = bc.value
-      it.flatMap { case (ida, va) =>
-        val na = normD(va)
-        val out = Seq.newBuilder[(Long, Long, Double)]
-        var j = 0
-        while (j < cand.length) {
-          val (idb, vb) = cand(j)
-          if (ida < idb) {
-            val c = dotD(va, vb) / (na * ns(j))
-            if (c > threshold) out += ((ida, idb, roundHalfUp(c, 4)))
-          }
-          j += 1
+      .flatMap { case (id, v) =>
+        val b = (((id % B) + B) % B).toInt
+        (0 until B).map { o =>
+          val (pa, pb) = (math.min(b, o), math.max(b, o))
+          (pa * B + pb, b, id, v)
         }
-        out.result()
       }
-    }.toDF("id_a", "id_b", "cosine")
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val pa = key / B; val pb = key % B
+        val all = it.toArray
+        val left = all.collect { case (_, blk, id, v) if blk == pa => (id, v) }
+          .sortBy(_._1)
+        val right =
+          if (pa == pb) left
+          else all.collect { case (_, blk, id, v) if blk == pb => (id, v) }
+            .sortBy(_._1)
+        val rightNorms = right.map { case (_, v) => normD(v) }
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        var i = 0
+        while (i < left.length) {
+          val (x, vx) = left(i)
+          val nx = normD(vx)
+          var j = 0
+          while (j < right.length) {
+            val (y, vy) = right(j)
+            if (if (pa == pb) x < y else x != y) {
+              val c = dotD(vx, vy) / (nx * rightNorms(j))
+              if (c > threshold)
+                out += ((math.min(x, y), math.max(x, y), roundHalfUp(c, 4)))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.result().iterator
+      }.toDF("id_a", "id_b", "cosine")
   }
 
   /** Spark's `round(double, n)`: BigDecimal-valueOf + HALF_UP — used in
@@ -129,36 +149,53 @@ object Vectors {
       .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** Exact top-k by cosine for every probe — kernel form of
-    * [[bruteForceTopK]] (same output contract, same tie-break). */
+    * [[bruteForceTopK]] (same output contract, same tie-break).
+    *
+    * Scale shape: candidates are hash-blocked into `blocks` groups and
+    * probes replicated once per block (cogroup on block id — one
+    * shuffle, no driver collect); each block emits its local top-k per
+    * probe and a row_number window keeps the global k. Per-probe
+    * shuffle volume is blocks×k rows, independent of candidate count. */
   def bruteForceTopKKernel(
       probes: DataFrame, candidates: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, blocks: Int = 8): DataFrame = {
     val spark = probes.sparkSession
     import spark.implicits._
+    val B = blocks
     val cand = candidates.select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val norms = cand.map { case (_, v) => normD(v) }
-    val bc = spark.sparkContext.broadcast((cand, norms))
-    probes.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val (cs, ns) = bc.value
-        it.flatMap { case (pid, pv) =>
+      .map { case (id, v) => ((((id % B) + B) % B).toInt, id, v) }
+    val prob = probes.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) => (0 until B).map(b => (b, id, v)) }
+    val perBlock = prob.groupByKey(_._1)
+      .cogroup(cand.groupByKey(_._1)) { (_, ps, cs) =>
+        val cArr = cs.map { case (_, id, v) => (id, v) }.toArray.sortBy(_._1)
+        val ns = cArr.map { case (_, v) => normD(v) }
+        ps.flatMap { case (_, pid, pv) =>
           val pn = normD(pv)
           val scored = Array.newBuilder[(Long, Double)]
           var j = 0
-          while (j < cs.length) {
-            val (cid, cv) = cs(j)
+          while (j < cArr.length) {
+            val (cid, cv) = cArr(j)
             if (cid != pid) scored += ((cid, dotD(pv, cv) / (pn * ns(j))))
             j += 1
           }
-          // row_number ordering: cos desc, neighbor id asc
+          // local top-k with the global tie-break (cos desc, id asc) —
+          // the global winner set is a subset of the union of local ones
           scored.result().sortBy { case (cid, c) => (-c, cid) }
-            .take(k).zipWithIndex.map {
-              case ((cid, c), r) => (pid, r + 1, cid, roundHalfUp(c, 4))
-            }
+            .take(k).map { case (cid, c) => (pid, cid, c) }
         }
-      }.toDF("probe_id", "rnk", "neighbor_id", "cosine")
+      }.toDF("probe_id", "neighbor_id", "cos")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    perBlock
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      // round AFTER global selection — selection order uses the raw
+      // double exactly as the single-loop kernel did
+      .select(col("probe_id"), col("rnk"), col("neighbor_id"),
+        round(col("cos"), 4).cast("double").as("cosine"))
   }
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1) for

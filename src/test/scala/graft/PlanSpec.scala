@@ -75,6 +75,25 @@ class PlanSpec extends GraftSpec {
     assert(pruned.count() === 0)
   }
 
+  test("pairwise kernels are executor-side: one shuffle, no driver collect") {
+    // the block-partitioned kernels must source the input relation
+    // directly (flatMap → shuffle → flatMapGroups/cogroup); the old
+    // collect()+broadcast formulation showed up as an ExternalRDD scan
+    // of driver-materialized rows feeding a broadcast
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val plans = Seq(
+      plan(dedup.Dedup.ngramJaccardPairsKernel(docs, "doc_id", "text")),
+      plan(sim.Vectors.cosinePairsKernel(emb, "vec_id", "embedding", 0.4)),
+      plan(sim.Vectors.bruteForceTopKKernel(
+        emb.limit(5), emb, "vec_id", "embedding", 3)))
+    plans.foreach { p =>
+      assert(!p.contains("Scan ExistingRDD"), p.linesIterator.take(25).mkString("\n"))
+      assert(p.contains("Exchange"), "kernel must shuffle, not broadcast-collect")
+      assert(p.contains("Scan parquet"), "kernel must read the source relation directly")
+    }
+  }
+
   test("fnv64 native expression: codegen'd, SQL-callable, matches the kernel hash") {
     FnvHash64.register(spark)
     import spark.implicits._

@@ -85,6 +85,26 @@ class PipelineSpec extends GraftSpec {
     assert(new java.io.File(s"$dir/snapshots/$day2/dim_vehicle").exists())
   }
 
+  test("EtlMain.runOnce is incremental: two days accumulate, history survives, SKs resolve") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_etlmain").toString
+    val day1 = Pipeline.nthLastDateWithData(t, 1).get
+    val day2 = Pipeline.nthLastDateWithData(t, 0).get
+    EtlMain.runOnce(spark, t, dir, day1)
+    EtlMain.runOnce(spark, t, dir, day2)
+    val fact = spark.read.parquet(s"$dir/fact_deliveries")
+    // second run continued from the warehouse's batch high-water mark
+    assert(fact.select("etl_batch_id").distinct().count() === 2)
+    val dimV = spark.read.parquet(s"$dir/dim_vehicle")
+    // day-1 versions survived the day-2 SCD2 batch (no history rewrite)
+    assert(dimV.filter(col("valid_from") === to_date(lit(day1))).count() > 0)
+    // exactly one current version per vehicle
+    assert(dimV.filter(col("is_current")).groupBy("vehicle_id").count()
+      .filter(col("count") =!= 1).count() === 0)
+    // every previously-loaded fact row still resolves its surrogate key
+    assert(fact.join(dimV.select(col("vehicle_sk")), Seq("vehicle_sk"), "left_anti")
+      .count() === 0)
+  }
+
   test("load writes a date-partitioned warehouse and dim_date anti-insert dedupes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wh").toString
     val day = Pipeline.nthLastDateWithData(t, 0).get
