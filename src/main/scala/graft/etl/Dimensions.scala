@@ -113,7 +113,7 @@ object Dimensions {
       .join(trips.select(col("trip_id"), col("route_id")), Seq("trip_id"), "left")
       .join(broadcast(routes.select(col("route_id"), col("destination_city"))),
         Seq("route_id"), "left")
-    withCity
+    val agg = withCity
       .groupBy(col("customer_name"))
       .agg(
         // deterministic "first" city: earliest (delivered_datetime,
@@ -124,9 +124,12 @@ object Dimensions {
           col("delivered_datetime"), col("delivery_id"))).as("city_raw"),
         min(col("delivered_datetime")).as("first_delivery_ts"),
         count(col("delivery_id")).as("total_deliveries"))
+    // two-stage distributed rank: same values as a global row_number
+    // over customer_name, no single-partition window at dim scale
+    graft.operators.Relational
+      .surrogateKeyScalable(agg, Seq(col("customer_name")), "customer_key")
       .select(
-        row_number().over(Window.orderBy(col("customer_name"))).cast("long")
-          .as("customer_key"),
+        col("customer_key"),
         col("customer_name"),
         when(col("total_deliveries") >= 200, "Empresa").otherwise("Individual")
           .as("customer_type"),

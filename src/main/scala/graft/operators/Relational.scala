@@ -32,6 +32,29 @@ object Relational {
   private def rev4(ext: Column, disc: Column): Column =
     cents(ext) * (lit(100L) - cents(disc))
 
+  /** Distributed sequential surrogate key: global `row_number` over
+    * `order` WITHOUT a single-partition window. Two stages: range-
+    * repartition on the order keys, rank within each partition (local
+    * window), then add broadcast per-partition offsets (a P-row
+    * cumulative sum). The global rank is invariant to where the range
+    * bounds fall as long as `order` is a total order — pass a unique
+    * tie-break column. Scales to any dim cardinality; the plain global
+    * window (one partition holding every row) is the thing this avoids. */
+  def surrogateKeyScalable(df: DataFrame, order: Seq[Column], keyName: String): DataFrame = {
+    val local = df.repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy($"__pid").orderBy(order: _*)))
+    val offsets = local.groupBy($"__pid").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset",
+        coalesce(sum($"__cnt").over(
+          Window.orderBy($"__pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"__pid", $"__offset")
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(keyName, ($"__offset" + $"__rn").cast("long"))
+      .drop("__pid", "__rn", "__offset")
+  }
+
   private val rev4Sql = (e: String, d: String) =>
     s"${centsSql(e)} * (100 - ${centsSql(d)})"
 
@@ -334,8 +357,10 @@ object Relational {
         .orderBy($"mes")
     },
 
-    /** W4 — deterministic sequential surrogate key via row_number
-      * (ref etl_pipeline.py:671 `range(1,n+1)` — NOT
+    /** W4 — deterministic sequential surrogate key via the two-stage
+      * distributed rank ([[surrogateKeyScalable]] — value-identical to
+      * a global ROW_NUMBER but with no single-partition window; ref
+      * etl_pipeline.py:671 `range(1,n+1)` — NOT
       * monotonically_increasing_id, which is partition-dependent). */
     QueryDef.sql(
       "q14_surrogate_key",
@@ -343,9 +368,10 @@ object Relational {
         |       ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS surrogate_key
         |FROM customer
         |ORDER BY surrogate_key""".stripMargin) { (s, d) =>
-      Tables.customer(s, d)
-        .select($"c_custkey",
-          row_number().over(Window.orderBy($"c_name", $"c_custkey")).as("surrogate_key"))
+      surrogateKeyScalable(
+        Tables.customer(s, d).select($"c_custkey", $"c_name"),
+        Seq($"c_name", $"c_custkey"), "surrogate_key")
+        .select($"c_custkey", $"surrogate_key")
         .orderBy($"surrogate_key")
     },
 

@@ -75,6 +75,12 @@ class PlanSpec extends GraftSpec {
     assert(pruned.count() === 0)
   }
 
+  test("surrogate key ranks distributed: range partitioning, not one global window") {
+    val p = plan(q("q14_surrogate_key")).toLowerCase
+    assert(p.contains("rangepartitioning"),
+      "two-stage rank must range-repartition the data before the local window")
+  }
+
   test("pairwise kernels are executor-side: one shuffle, no driver collect") {
     // the block-partitioned kernels must source the input relation
     // directly (flatMap → shuffle → flatMapGroups/cogroup); the old
