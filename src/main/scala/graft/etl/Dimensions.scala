@@ -15,6 +15,16 @@ import graft.functions.Shims._
   */
 object Dimensions {
 
+  /** SCD2 change-tracked attribute sets (ref `update_check`,
+    * etl_pipeline.py:1041) — shared by Pipeline and the gate entries. */
+  val vehicleTracked: Seq[String] = Seq("license_plate", "vehicle_type",
+    "capacity_kg", "fuel_type", "acquisition_date", "age_months", "status",
+    "last_maintenance_date")
+  val driverTracked: Seq[String] = Seq("employee_code", "full_name",
+    "license_number", "license_expiry", "phone", "hire_date",
+    "experience_months", "status", "performance_category",
+    "deliveries_per_hour")
+
   /** Reference holiday map (etl_pipeline.py:339-342). */
   val holidays: Map[String, String] = Map(
     "2025-01-01" -> "Año Nuevo", "2025-05-01" -> "Día del Trabajo",

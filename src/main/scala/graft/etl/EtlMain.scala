@@ -8,7 +8,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage:
   *   runMain graft.etl.EtlMain --warehouse /path [--date YYYY-MM-DD | --nth k]
-  *           [--oltp /path/to/oltp/parquet] [--trips N]
+  *           [--catchup N] [--oltp /path/to/oltp/parquet] [--trips N]
+  *
+  * `--catchup N` processes up to N missed days (after the warehouse's
+  * loaded high-water mark) as individual incremental batches.
   *
   * Without `--oltp` the seeded generator provides the OLTP tables;
   * with it, each table is read from `<dir>/<table>.parquet`. Without
@@ -43,6 +46,36 @@ object EtlMain {
     out
   }
 
+  /** Catch-up over missed days (the CLI completion of the reference's
+    * run_etl_scheduler.py:41-70 `--once` daily poll): every day with
+    * delivered data STRICTLY AFTER the warehouse's loaded high-water
+    * mark runs as its own incremental batch, oldest first, up to
+    * `limit` days per invocation. Returns the days processed. */
+  def catchUp(spark: SparkSession, t: Oltp, warehouse: String,
+      limit: Int = 7): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    val highWater: Option[String] =
+      if (Quality.missingTables(spark, warehouse, Seq("fact_deliveries")).isEmpty) {
+        val m = spark.read.parquet(s"$warehouse/fact_deliveries")
+          .agg(max("date_key")).head()
+        if (m.isNullAt(0)) None
+        else {
+          val k = m.getInt(0).toString
+          Some(s"${k.substring(0, 4)}-${k.substring(4, 6)}-${k.substring(6, 8)}")
+        }
+      } else None
+    val pending = t.deliveries
+      .filter(col("delivery_status") === "delivered" &&
+        col("delivered_datetime").isNotNull)
+      .select(to_date(col("delivered_datetime")).as("d")).distinct()
+      .filter(highWater.map(hw => col("d") > to_date(lit(hw))).getOrElse(lit(true)))
+      .orderBy(col("d"))
+      .limit(limit)
+      .collect().map(_.getDate(0).toString).toSeq
+    pending.foreach(d => runOnce(spark, t, warehouse, d))
+    pending
+  }
+
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
@@ -71,6 +104,13 @@ object EtlMain {
         val tables = DataGen.all(spark, cfg)
         Oltp(tables("vehicles"), tables("drivers"), tables("routes"),
           tables("trips"), tables("deliveries"), tables("maintenance"))
+    }
+
+    opts.get("catchup").foreach { lim =>
+      val days = catchUp(spark, t, warehouse, lim.toInt)
+      println(s"""{"etl":"catchup","days":[${days.map(d => s""""$d"""").mkString(",")}]}""")
+      spark.stop()
+      return
     }
 
     val targetDate = opts.get("date").orElse {

@@ -55,11 +55,8 @@ object Pipeline {
     val stgVehicle = Dimensions.dimVehicle(t, day)
     val stgDriver = Dimensions.dimDriver(t, day)
 
-    val vehicleTracked = Seq("license_plate", "vehicle_type", "capacity_kg",
-      "fuel_type", "acquisition_date", "age_months", "status", "last_maintenance_date")
-    val driverTracked = Seq("employee_code", "full_name", "license_number",
-      "license_expiry", "phone", "hire_date", "experience_months", "status",
-      "performance_category", "deliveries_per_hour")
+    val vehicleTracked = Dimensions.vehicleTracked
+    val driverTracked = Dimensions.driverTracked
 
     val dimVehicle = Scd2.applyBatch(
       existingDimVehicle.getOrElse(

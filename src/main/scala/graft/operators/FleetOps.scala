@@ -108,5 +108,24 @@ object FleetOps {
     qEtl("fl_etl_dim_vehicle_scd2")(_.dims("dim_vehicle")),
     qEtl("fl_etl_dim_customer")(_.dims("dim_customer")),
     qEtl("fl_etl_report_driver_totals")(_.reports("report_driver_totals")),
+
+    /** J7 with actual history: two consecutive daily batches through
+      * Scd2.applyBatch — closed versions, re-inserted new versions, and
+      * untouched unchanged rows all hash-compared against a DuckDB
+      * transcription of the MERGE contract (etl_pipeline.py:1030-1098). */
+    QueryDef("fl_etl_dim_vehicle_scd2_2day",
+      (s, _) => {
+        val t = oltp(s)
+        val day2 = Pipeline.nthLastDateWithData(t, 0).get
+        val day1 = Pipeline.nthLastDateWithData(t, 1).get
+        val stg1 = Dimensions.dimVehicle(t, to_date(lit(day1)))
+        val stg2 = Dimensions.dimVehicle(t, to_date(lit(day2)))
+        val d1 = Scd2.applyBatch(
+          Scd2.emptyDim(stg1, "vehicle_id", Dimensions.vehicleTracked, "vehicle_sk"),
+          stg1, "vehicle_id", Dimensions.vehicleTracked, to_date(lit(day1)), "vehicle_sk")
+        Scd2.applyBatch(d1, stg2, "vehicle_id", Dimensions.vehicleTracked,
+          to_date(lit(day2)), "vehicle_sk")
+      },
+      oracles.get("fl_etl_dim_vehicle_scd2_2day")),
   )
 }

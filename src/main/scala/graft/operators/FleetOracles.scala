@@ -346,6 +346,64 @@ object FleetOracles {
         s"""$factCtes
            |SELECT * FROM fact""".stripMargin,
 
+      // Two consecutive SCD2 batches as one SELECT: the reference's
+      // MERGE + INSERT contract (etl_pipeline.py:1030-1098) unrolled —
+      // closed(changed) ∪ inserted(new ∪ changed) ∪ unchanged. Only
+      // age_months can actually drift between the two staging snapshots,
+      // but the predicate covers every tracked column, null-safe, like
+      // the engine's applyBatch.
+      "fl_etl_dim_vehicle_scd2_2day" -> {
+        val changed = Seq("license_plate", "vehicle_type", "capacity_kg",
+          "fuel_type", "acquisition_date", "age_months", "status",
+          "last_maintenance_date")
+          .map(c => s"s1.$c IS DISTINCT FROM s2.$c").mkString("(", " OR ", ")")
+        def stg(alias: String, dayExpr: String) =
+          s"""$alias AS (
+             |  SELECT v.vehicle_id, v.license_plate, v.vehicle_type, v.capacity_kg,
+             |         v.fuel_type, v.acquisition_date,
+             |         CAST(FLOOR(CAST(date_diff('day', v.acquisition_date, $dayExpr) AS DOUBLE) / 30.44) AS INTEGER) AS age_months,
+             |         v.status, lm.last_maintenance_date
+             |  FROM ${t("vehicles")} v
+             |  LEFT JOIN lastm lm ON v.vehicle_id = lm.vehicle_id
+             |)""".stripMargin
+        s"""WITH td AS (
+           |  SELECT MAX(CAST(delivered_datetime AS DATE)) AS d2
+           |  FROM ${t("deliveries")}
+           |  WHERE delivery_status = 'delivered' AND delivered_datetime IS NOT NULL
+           |), td1 AS (
+           |  SELECT MAX(CAST(delivered_datetime AS DATE)) AS d1
+           |  FROM ${t("deliveries")}
+           |  WHERE delivery_status = 'delivered' AND delivered_datetime IS NOT NULL
+           |    AND CAST(delivered_datetime AS DATE) < (SELECT d2 FROM td)
+           |), lastm AS (
+           |  SELECT vehicle_id, MAX(maintenance_date) AS last_maintenance_date
+           |  FROM ${t("maintenance")} GROUP BY vehicle_id
+           |), ${stg("s1", "(SELECT d1 FROM td1)")}, ${stg("s2", "(SELECT d2 FROM td)")}
+           |SELECT s1.*,
+           |       (SELECT d1 FROM td1) AS valid_from,
+           |       (SELECT d2 FROM td) - 1 AS valid_to,
+           |       FALSE AS is_current,
+           |       md5(CAST(s1.vehicle_id AS VARCHAR) || '|' || CAST((SELECT d1 FROM td1) AS VARCHAR)) AS vehicle_sk
+           |FROM s1 JOIN s2 ON s1.vehicle_id = s2.vehicle_id
+           |WHERE $changed
+           |UNION ALL
+           |SELECT s2.*,
+           |       (SELECT d2 FROM td) AS valid_from,
+           |       DATE '9999-12-31' AS valid_to,
+           |       TRUE AS is_current,
+           |       md5(CAST(s2.vehicle_id AS VARCHAR) || '|' || CAST((SELECT d2 FROM td) AS VARCHAR)) AS vehicle_sk
+           |FROM s2 LEFT JOIN s1 ON s1.vehicle_id = s2.vehicle_id
+           |WHERE s1.vehicle_id IS NULL OR $changed
+           |UNION ALL
+           |SELECT s1.*,
+           |       (SELECT d1 FROM td1) AS valid_from,
+           |       DATE '9999-12-31' AS valid_to,
+           |       TRUE AS is_current,
+           |       md5(CAST(s1.vehicle_id AS VARCHAR) || '|' || CAST((SELECT d1 FROM td1) AS VARCHAR)) AS vehicle_sk
+           |FROM s1 LEFT JOIN s2 ON s1.vehicle_id = s2.vehicle_id
+           |WHERE s2.vehicle_id IS NULL OR NOT $changed""".stripMargin
+      },
+
       "fl_etl_report_driver_totals" ->
         s"""$factCtes
            |SELECT driver_id AS driver_key,

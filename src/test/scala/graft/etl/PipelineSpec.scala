@@ -105,6 +105,19 @@ class PipelineSpec extends GraftSpec {
       .count() === 0)
   }
 
+  test("catchUp processes exactly the missed days after the high-water mark (R5)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_catchup").toString
+    val day3 = Pipeline.nthLastDateWithData(t, 2).get
+    EtlMain.runOnce(spark, t, dir, day3) // bootstrap: high water = day3
+    val processed = EtlMain.catchUp(spark, t, dir, limit = 2)
+    assert(processed ===
+      Seq(Pipeline.nthLastDateWithData(t, 1).get, Pipeline.nthLastDateWithData(t, 0).get))
+    // idempotent: nothing newer remains inside the limit window
+    assert(EtlMain.catchUp(spark, t, dir, limit = 2).isEmpty)
+    val fact = spark.read.parquet(s"$dir/fact_deliveries")
+    assert(fact.select("date_key").distinct().count() === 3)
+  }
+
   test("load writes a date-partitioned warehouse and dim_date anti-insert dedupes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wh").toString
     val day = Pipeline.nthLastDateWithData(t, 0).get
