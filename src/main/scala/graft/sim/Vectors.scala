@@ -37,6 +37,17 @@ object Vectors {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine via the native codegen'd `fdot` expression
+    * (functions/FloatVecDot) — bit-identical to [[cosine]] (same
+    * ascending-index accumulation) but stays inside whole-stage codegen
+    * instead of evaluating interpreted lambdas per element. Use on the
+    * pair-scoring hot path when a SparkSession is at hand. */
+  def cosineNative(spark: org.apache.spark.sql.SparkSession,
+      a: Column, b: Column): Column = {
+    val fd = graft.functions.FloatVecDot.dot _
+    fd(spark, a, b) / (sqrt(fd(spark, a, a)) * sqrt(fd(spark, b, b)))
+  }
+
   /** Optimization fence: value-identical (`x + rand·0 ≡ x`), but the
     * nondeterministic term stops Catalyst from substituting the
     * expression into a pushed-down filter — without it, a selective
@@ -255,7 +266,9 @@ object Vectors {
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select("probe_id", "neighbor_id", "pv", "cv")
       .dropDuplicates("probe_id", "neighbor_id")
-      .withColumn("cos", cosine(col("pv"), col("cv")))
+      // native fdot expression: the rerank is the per-pair hot loop and
+      // must stay inside whole-stage codegen (HOF cosine is interpreted)
+      .withColumn("cos", cosineNative(data.sparkSession, col("pv"), col("cv")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("probe_id"), col("rnk"), col("neighbor_id"),

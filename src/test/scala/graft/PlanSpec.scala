@@ -100,6 +100,26 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("fdot native expression: codegen'd, bit-identical to the HOF fold and the kernel loop") {
+    import graft.functions.FloatVecDot
+    val emb = Tables.embeddings(spark, sf("sf0.001")).limit(50).cache()
+    val both = emb.select(
+      FloatVecDot.dot(spark, col("embedding"), col("embedding")).as("native"),
+      sim.Vectors.dot(col("embedding"), col("embedding")).as("hof"))
+    both.collect().foreach { r =>
+      // exact equality — same ascending-index IEEE accumulation
+      assert(r.getDouble(0) === r.getDouble(1))
+    }
+    // the expression participates in whole-stage codegen (no fallback)
+    both.collect()
+    assert(both.queryExecution.executedPlan.toString.contains("*("))
+    // SQL-registry path resolves too
+    FloatVecDot.register(spark)
+    emb.createOrReplaceTempView("fdot_probe")
+    assert(spark.sql("SELECT fdot(embedding, embedding) FROM fdot_probe").count() === 50)
+    emb.unpersist()
+  }
+
   test("fnv64 native expression: codegen'd, SQL-callable, matches the kernel hash") {
     FnvHash64.register(spark)
     import spark.implicits._
