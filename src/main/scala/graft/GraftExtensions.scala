@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.{FloatVecDot, FnvHash64}
+
+/** SparkSessionExtensions entry point: wires the engine's native
+  * Catalyst expressions into any session built with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` — the
+  * deployment-grade alternative to per-session
+  * `FnvHash64.register(spark)` calls (SURVEY §7.3: extensions are the
+  * sanctioned injection point; no session-state mutation after build).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("fnv64"),
+      new ExpressionInfo(classOf[FnvHash64].getName, "fnv64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FnvHash64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("fdot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "fdot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FloatVecDot(exprs.head, exprs(1))))
+  }
+}

@@ -134,5 +134,16 @@ object SimilarityOps {
         .filter($"probe_id" < 20)
         .orderBy($"probe_id", $"rnk")
     },
+
+    /** IVF-bucketed ANN (coarse k-means quantizer, nprobe-bucket
+      * search) — the second scale path: one bucket equi-join, exact
+      * rerank inside, no pair space. Quantizer-specific buckets ⇒
+      * rows-only; the spec measures recall against the exact baseline. */
+    QueryDef.rowsOnly("q44_ann_ivf") { (s, d) =>
+      Vectors.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 3, nlist = 16, nprobe = 4)
+        .filter($"probe_id" < 20)
+        .orderBy($"probe_id", $"rnk")
+    },
   )
 }

@@ -209,6 +209,111 @@ object Vectors {
         round(col("cos"), 4).cast("double").as("cosine"))
   }
 
+  // ---------------------------------------------------------------
+  // IVF (inverted-file) ANN — the second scale path next to LSH:
+  // a coarse k-means quantizer buckets every vector under its nearest
+  // centroid; probes search only their `nprobe` closest buckets.
+  // ---------------------------------------------------------------
+
+  private def cosineTo(v: Array[Float], c: Array[Double], cNorm: Double): Double = {
+    var acc = 0.0; var n2 = 0.0; var i = 0
+    while (i < v.length && i < c.length) {
+      acc += v(i).toDouble * c(i); n2 += v(i).toDouble * v(i); i += 1
+    }
+    if (n2 == 0.0 || cNorm == 0.0) -2.0 else acc / (math.sqrt(n2) * cNorm)
+  }
+
+  /** Indices of the `take` nearest centroids by cosine (ties → lowest
+    * centroid index — deterministic). */
+  private def nearestCentroids(v: Array[Float],
+      cents: Array[Array[Double]], norms: Array[Double], take: Int): Array[Int] =
+    cents.indices
+      .map(j => (j, cosineTo(v, cents(j), norms(j))))
+      .sortBy { case (j, c) => (-c, j) }
+      .take(take).map(_._1).toArray
+
+  /** Train the coarse quantizer: deterministic seeding (the `nlist`
+    * rows with smallest xxhash64(id)) + `iters` Lloyd rounds. Each
+    * round is one shuffle (assignment kernel + per-cluster mean); the
+    * k×d centroid model is driver-side STATE (like any fitted model),
+    * never the data. Empty clusters keep their previous centroid. */
+  def ivfTrain(data: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, iters: Int = 3): Array[Array[Double]] = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val vecs = data.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    var cents: Array[Array[Double]] = data
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("hk", xxhash64(col("id")))
+      .orderBy(col("hk"), col("id"))
+      .limit(nlist)
+      .select(col("v")).as[Array[Float]]
+      .collect().map(_.map(_.toDouble))
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(
+        (cents, cents.map(c => math.sqrt(c.map(x => x * x).sum))))
+      val stats = vecs
+        .map { case (_, v) =>
+          val (cs, ns) = bc.value
+          (nearestCentroids(v, cs, ns, 1)(0), v)
+        }
+        .groupByKey(_._1)
+        .mapGroups { (b, it) =>
+          var n = 0L
+          var acc: Array[Double] = null
+          it.foreach { case (_, v) =>
+            if (acc == null) acc = new Array[Double](v.length)
+            var i = 0
+            while (i < v.length) { acc(i) += v(i).toDouble; i += 1 }
+            n += 1
+          }
+          (b, n, acc)
+        }
+        .collect() // nlist rows of model state
+      val next = cents.map(_.clone())
+      stats.foreach { case (b, n, acc) =>
+        if (n > 0) next(b) = acc.map(_ / n)
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** ANN top-k via IVF: index side assigns each vector to its nearest
+    * centroid bucket; probe side fans out to its `nprobe` nearest
+    * buckets; one bucket equi-join + exact cosine rerank + global
+    * row_number keeps k. Candidates live in exactly one bucket, so
+    * pairs are already unique — no dedup shuffle (unlike multi-table
+    * LSH). Recall is tunable via nlist/nprobe; nprobe = nlist is exact. */
+  def ivfTopK(data: DataFrame, idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val cents = ivfTrain(data, idCol, vecCol, nlist, iters)
+    val bc = spark.sparkContext.broadcast(
+      (cents, cents.map(c => math.sqrt(c.map(x => x * x).sum))))
+    val vecs = data.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    val cand = vecs.map { case (id, v) =>
+      val (cs, ns) = bc.value
+      (nearestCentroids(v, cs, ns, 1)(0), id, v)
+    }.toDF("bucket", "neighbor_id", "cv")
+    val probes = vecs.flatMap { case (id, v) =>
+      val (cs, ns) = bc.value
+      nearestCentroids(v, cs, ns, nprobe).map(b => (b, id, v))
+    }.toDF("bucket", "probe_id", "pv")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    probes.join(cand, Seq("bucket"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosineNative(spark, col("pv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("neighbor_id"),
+        round(col("cos"), 4).cast("double").as("cosine"))
+  }
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1) for
     * (plane, dim), derived from xxhash64 — reproducible across runs and
     * cluster sizes, no driver-side RNG state to ship. */

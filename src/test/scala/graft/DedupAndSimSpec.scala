@@ -120,6 +120,34 @@ class VectorsSpec extends GraftSpec {
     assert(Vectors.annTopK(e, "vec_id", "embedding", k = 3)
       .filter($"probe_id" < 20).count() > 0)
   }
+
+  test("IVF ANN achieves high recall on clustered vectors") {
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(5)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val data = (0 until 100).map { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val truth = Vectors.bruteForceTopK(data, data, "vec_id", "embedding", 3)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    // 8 lists, probe 2: within-cluster neighbors share the probe's own
+    // bucket in this regime, so recall should be near-exact
+    val ivf = Vectors.ivfTopK(data, "vec_id", "embedding", k = 3,
+      nlist = 8, nprobe = 2, iters = 3)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (truth & ivf).size.toDouble / truth.size
+    assert(recall >= 0.8, s"recall $recall")
+    // every probe still gets exactly k rows (bucket join never starves
+    // a probe of its own bucket)
+    val counts = Vectors.ivfTopK(data, "vec_id", "embedding", k = 3,
+      nlist = 8, nprobe = 2, iters = 3)
+      .groupBy($"probe_id").count().select($"count").distinct().collect()
+    assert(counts.map(_.getLong(0)).forall(_ <= 3))
+    // rows-only gate query stays non-empty on testdata
+    val e = Tables.embeddings(spark, sf("sf0.01"))
+    assert(Vectors.ivfTopK(e, "vec_id", "embedding", k = 3)
+      .filter($"probe_id" < 20).count() > 0)
+  }
 }
 
 /** Small helper to share q33's exact-pair logic with specs. */

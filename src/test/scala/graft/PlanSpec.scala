@@ -120,6 +120,18 @@ class PlanSpec extends GraftSpec {
     emb.unpersist()
   }
 
+  test("GraftExtensions injects fnv64/fdot via spark.sql.extensions (SURVEY §7.3)") {
+    // GraftSpec builds the suite session with
+    // .config("spark.sql.extensions", "graft.GraftExtensions") — a
+    // STATIC conf honored at first-session creation, so resolution here
+    // proves config-based injection (no register() call in this test)
+    val r = spark.sql(
+      "SELECT fnv64('abc') AS h, fdot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").head()
+    assert(r.getAs[Long]("h") === graft.functions.FnvHash64.hash("abc"))
+    assert(r.getAs[Double]("d") === 11.0)
+  }
+
   test("fnv64 native expression: codegen'd, SQL-callable, matches the kernel hash") {
     FnvHash64.register(spark)
     import spark.implicits._
