@@ -35,6 +35,20 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    /** BPE-ish regex token counting (training-data cost estimation):
+      * GPT-2-shaped pre-tokenization — space-prefixed letter / digit /
+      * punctuation runs. */
+    QueryDef.sql(
+      "q45_bpe_tokens",
+      """SELECT doc_id,
+        |       CAST(length(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS INTEGER) AS n_bpe_tokens
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select($"doc_id", bpeTokenCount($"text").as("n_bpe_tokens"))
+        .orderBy($"doc_id")
+    },
+
     /** Quality scoring: stopword ratio, mean token length, length
       * buckets — the length/punct/stopword heuristics of an LLM-corpus
       * quality filter, as one codegen'd projection. */

@@ -21,6 +21,14 @@ object TextFunctions {
     size(filter(tokens(text), t => t.isin(stops.map(lit(_)): _*)))
 
   /** Sum of token lengths (chars excluding whitespace). */
+  /** BPE-style pre-tokenizer count: letter runs, digit runs, and
+    * punctuation runs, each optionally space-prefixed — the GPT-2
+    * pre-tokenization shape restricted to character classes that Java
+    * regex (Spark) and RE2 (DuckDB) interpret identically, so the count
+    * is oracle-comparable. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"), lit(0)))
+
   def tokenCharCount(text: Column): Column =
     aggregate(transform(tokens(text), t => length(t)), lit(0), (acc, x) => acc + x)
 

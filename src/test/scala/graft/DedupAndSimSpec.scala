@@ -21,6 +21,18 @@ class TextFunctionsSpec extends GraftSpec {
     assert(df.map(_.getInt(2)).toSeq === Seq(2, 0, 1))
   }
 
+  test("bpe-ish token count matches hand-tokenized literals") {
+    val out = Seq(
+      (1L, "Hello, world 42"),      // [Hello][,][ world][ 42]
+      (2L, "a.b.c"),                // [a][.][b][.][c]
+      (3L, ""),                     // []
+      (4L, "  x  "))                // [ x]  (runs are space-prefixed, once)
+      .toDF("id", "text")
+      .select($"id", TextFunctions.bpeTokenCount($"text").as("n"))
+      .orderBy($"id").collect().map(_.getInt(1))
+    assert(out.toSeq === Seq(4, 5, 0, 1))
+  }
+
   test("fingerprint is whitespace/case-canonical") {
     val fp = Seq("A  B\tC", "a b c", "a b  C ")
       .toDF("text").select(TextFunctions.fingerprint($"text")).distinct()
