@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Tables, QueryDef}
@@ -14,6 +14,53 @@ import graft.text.TextFunctions._
   * scan stays in whole-stage codegen with full parquet pushdown.
   */
 object TextOps {
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS):
+    * char k-gram rolling hashes, one fingerprint per sliding window of
+    * `w` consecutive grams (the window minimum), distinct per document.
+    * Near-identical documents share most fingerprints; any shared
+    * substring of ≥ k+w−1 chars is guaranteed a shared fingerprint.
+    *
+    * Scale shape: window *starts* are exploded and the w gram hashes of
+    * each window are unrolled inline into one `least(...)` projection —
+    * no window function, so no per-document sort and no single-partition
+    * hazard; the only shuffle is the per-doc distinct aggregation. Each
+    * gram hash is recomputed w times, but all w·k `ascii(substr)` terms
+    * live inside whole-stage codegen, which measures far cheaper than a
+    * WindowExec sort at corpus scale.
+    *
+    * Returns one row per input document: `doc_id, n_fingerprints,
+    * min_fp, max_fp` (0/null for docs shorter than k+w−1 chars). */
+  def winnowFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    val canon = regexp_replace(lower(trim($"text")), "\\s+", " ")
+    val starts = docs
+      .select($"doc_id", canon.as("t"))
+      .where(length($"t") >= k + w - 1)
+      .select($"doc_id", $"t",
+        explode(sequence(lit(1), length($"t") - lit(k + w - 2))).as("i"))
+    val fp = starts.select(
+      $"doc_id",
+      least((0 until w).map(o => gramHash($"t", $"i" + lit(o), k)): _*).as("fp"))
+    val agg = fp.groupBy($"doc_id").agg(
+      countDistinct($"fp").as("n_fingerprints"),
+      min($"fp").as("min_fp"),
+      max($"fp").as("max_fp"))
+    docs.select($"doc_id").join(agg, Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        coalesce($"n_fingerprints", lit(0L)).as("n_fingerprints"),
+        $"min_fp", $"max_fp")
+  }
+
+  /** DuckDB spelling of [[graft.text.TextFunctions.gramHash]] for the
+    * window at offset `off`: same unrolled terms, same literal weights,
+    * same modulus — bit-identical BIGINT arithmetic in both engines. */
+  private def gramHashSql(off: Int, k: Int): String =
+    (0 until k)
+      // CAST to BIGINT: DuckDB types ascii() and the smaller weight
+      // literals as INT32, and 'a'·31^6 already overflows INT32
+      .map(j => s"CAST(ascii(substr(t, i + ${off + j}, 1)) AS BIGINT) * ${pow31(k)(j)}")
+      .mkString("(", " + ", s") % $winnowMod")
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -138,6 +185,34 @@ object TextOps {
           (count(lit(1)) - countDistinct(fingerprint($"text"))).as("n_exact_dups"),
           countDistinct(md5(substring(trim($"text"), 1, 40))).as("n_unique_prefix40"))
         .orderBy($"source")
+    },
+
+    /** Rolling-hash document fingerprinting (winnowing): per-doc count
+      * and range of the selected k-gram window minima. The canonical
+      * local-fingerprint scheme for plagiarism/near-dup detection —
+      * robust to insertions, unlike the global md5 of q31. */
+    QueryDef.sql(
+      "q46_winnow_fingerprint",
+      s"""WITH canon AS (
+         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+         |  FROM documents
+         |), win AS (
+         |  SELECT doc_id, t, UNNEST(generate_series(1, length(t) - 10)) AS i
+         |  FROM canon WHERE length(t) >= 11
+         |), fp AS (
+         |  SELECT doc_id,
+         |         least(${(0 until 4).map(gramHashSql(_, 8)).mkString(",\n         |               ")}) AS fp
+         |  FROM win
+         |), agg AS (
+         |  SELECT doc_id, COUNT(DISTINCT fp) AS n_fingerprints,
+         |         MIN(fp) AS min_fp, MAX(fp) AS max_fp
+         |  FROM fp GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, coalesce(a.n_fingerprints, 0) AS n_fingerprints,
+         |       a.min_fp, a.max_fp
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      winnowFingerprints(Tables.documents(s, d)).orderBy($"doc_id")
     },
 
     /** Multimodal baseline: opaque binary content column + typed

@@ -20,7 +20,6 @@ object TextFunctions {
   def stopwordCount(text: Column, stops: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(stops.map(lit(_)): _*)))
 
-  /** Sum of token lengths (chars excluding whitespace). */
   /** BPE-style pre-tokenizer count: letter runs, digit runs, and
     * punctuation runs, each optionally space-prefixed — the GPT-2
     * pre-tokenization shape restricted to character classes that Java
@@ -29,6 +28,7 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"), lit(0)))
 
+  /** Sum of token lengths (chars excluding whitespace). */
   def tokenCharCount(text: Column): Column =
     aggregate(transform(tokens(text), t => length(t)), lit(0), (acc, x) => acc + x)
 
@@ -41,6 +41,25 @@ object TextFunctions {
     * whitespace-collapsed text — the exact-dedup key. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Winnowing modulus: a prime below 2^20 keeps every gram hash small
+    * and identically computable as BIGINT `%` in Spark and DuckDB. */
+  val winnowMod: Long = 1048573L
+
+  /** 31^(k-1) .. 31^0 — the positional weights of a base-31 polynomial
+    * rolling hash (Karp–Rabin). k ≤ 12 keeps Σ code·31^j < 2^63 for any
+    * Unicode code point, so the sum never overflows a long (ANSI-safe). */
+  def pow31(k: Int): Seq[Long] = Iterator.iterate(1L)(_ * 31L).take(k).toSeq.reverse
+
+  /** Polynomial rolling hash of the k-char gram at 1-based position `i`
+    * of canonical text `t`: (Σ_j code(t[i+j])·31^(k−1−j)) mod winnowMod.
+    * Unrolled into k `ascii(substr)` terms so the whole thing is one
+    * codegen'd long expression — no UDF, no array materialization. */
+  def gramHash(t: Column, i: Column, k: Int): Column = {
+    val pows = pow31(k)
+    (0 until k).map(j => ascii(t.substr(i + lit(j), lit(1))) * lit(pows(j)))
+      .reduce(_ + _) % lit(winnowMod)
+  }
 
   /** Word n-gram shingles (space-joined), distinct per document —
     * the unit set for Jaccard/MinHash near-dup detection. */

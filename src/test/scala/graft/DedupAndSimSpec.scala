@@ -33,6 +33,43 @@ class TextFunctionsSpec extends GraftSpec {
     assert(out.toSeq === Seq(4, 5, 0, 1))
   }
 
+  test("winnowing fingerprints match a plain-Scala reference implementation") {
+    val k = 8; val w = 4
+    // independent re-derivation of Schleimer et al. winnowing: all k-gram
+    // rolling hashes, then the min of each w-window, distinct
+    def ref(text: String): Set[Long] = {
+      val t = text.trim.toLowerCase.replaceAll("\\s+", " ")
+      if (t.length < k + w - 1) Set.empty
+      else {
+        val pows = TextFunctions.pow31(k)
+        val hs = (0 to t.length - k).map { p =>
+          (0 until k).map(j => t(p + j).toLong * pows(j)).sum % TextFunctions.winnowMod
+        }
+        (0 to hs.length - w).map(p => hs.slice(p, p + w).min).toSet
+      }
+    }
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog"),
+      (2L, "the  QUICK brown   fox jumps over the lazy dog"), // same canonical form as doc 1
+      (3L, "short doc"),                                      // < k+w-1 chars: no full window
+      (4L, "ababababababababababab"))                         // periodic text: tiny fp set
+    val out = operators.TextOps.winnowFingerprints(docs.toDF("doc_id", "text"))
+      .orderBy($"doc_id").collect()
+    docs.zip(out).foreach { case ((_, text), row) =>
+      val expect = ref(text)
+      assert(row.getLong(1) === expect.size.toLong, s"n_fingerprints for '$text'")
+      if (expect.isEmpty) assert(row.isNullAt(2) && row.isNullAt(3))
+      else {
+        assert(row.getLong(2) === expect.min, s"min_fp for '$text'")
+        assert(row.getLong(3) === expect.max, s"max_fp for '$text'")
+      }
+    }
+    // canonicalization: docs 1 and 2 fingerprint identically
+    assert(out(0).getLong(1) === out(1).getLong(1))
+    assert(out(0).getLong(2) === out(1).getLong(2))
+    assert(out(0).getLong(3) === out(1).getLong(3))
+  }
+
   test("fingerprint is whitespace/case-canonical") {
     val fp = Seq("A  B\tC", "a b c", "a b  C ")
       .toDF("text").select(TextFunctions.fingerprint($"text")).distinct()
