@@ -100,6 +100,18 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("winnowing fingerprints: no window sort, codegen'd gram hashes (q46)") {
+    // the sliding-window min is unrolled into a least() projection over
+    // exploded window starts — a WindowExec here would mean a per-doc
+    // sort crept back in; the per-doc distinct agg is the only shuffle
+    val df = q("q46_winnow_fingerprint")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.linesIterator.take(25).mkString("\n"))
+    assert(p.contains("*("), "gram-hash projection must participate in codegen")
+    assert(p.contains("Scan parquet"), "must read documents directly")
+  }
+
   test("fdot native expression: codegen'd, bit-identical to the HOF fold and the kernel loop") {
     import graft.functions.FloatVecDot
     val emb = Tables.embeddings(spark, sf("sf0.001")).limit(50).cache()
