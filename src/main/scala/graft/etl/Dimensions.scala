@@ -92,7 +92,9 @@ object Dimensions {
     val actual = t.routes
       .join(t.trips.filter(col("status") === "completed"), Seq("route_id"), "left")
       .groupBy(col("route_id"), col("estimated_duration_hours"))
-      .agg((avg(epochDiff(col("arrival_datetime"), col("departure_datetime"))) / 3600)
+      // avgExact: the epoch-diff is a long, so the sum is exact and the
+      // single division deterministic across engines/partitionings
+      .agg((avgExact(epochDiff(col("arrival_datetime"), col("departure_datetime"))) / 3600)
         .as("avg_actual_duration_hours"))
       .withColumn("duration_variance",
         abs((col("avg_actual_duration_hours") - col("estimated_duration_hours")) /
@@ -104,8 +106,11 @@ object Dimensions {
       .select(
         col("route_id").as("route_key"),
         col("route_id"), col("route_code"), col("origin_city"),
-        col("destination_city"), col("distance_km"),
-        col("estimated_duration_hours"), col("toll_cost"),
+        col("destination_city"),
+        // portability rule: decimal measures leave the warehouse as double
+        col("distance_km").cast("double").as("distance_km"),
+        col("estimated_duration_hours").cast("double").as("estimated_duration_hours"),
+        col("toll_cost").cast("double").as("toll_cost"),
         when(col("duration_variance") > 50 || col("distance_km") > 1000, "Difícil")
           .when(col("duration_variance") > 20 || col("distance_km") > 500, "Medio")
           .otherwise("Fácil").as("difficulty_level"),
@@ -161,7 +166,10 @@ object Dimensions {
       .join(broadcast(lastMaint), Seq("vehicle_id"), "left")
       .select(
         col("vehicle_id"), col("license_plate"), col("vehicle_type"),
-        col("capacity_kg"), col("fuel_type"), col("acquisition_date"),
+        // engine-portability rule (Relational.scala:15-21): money/measure
+        // decimals leave the warehouse as double
+        col("capacity_kg").cast("double").as("capacity_kg"),
+        col("fuel_type"), col("acquisition_date"),
         monthsBetween3044(asOf, col("acquisition_date")).cast("int").as("age_months"),
         col("status"), col("last_maintenance_date"),
         asOf.as("valid_from"),
@@ -201,9 +209,9 @@ object Dimensions {
           .when(col("success_rate") >= 74 || expMonths >= 24, "Medio")
           .otherwise("Bajo").as("performance_category"),
         when(col("total_hours") > 0,
-          round(col("total_deliveries") / col("total_hours"), 2))
+          roundPortable(col("total_deliveries") / col("total_hours"), 2))
           .when(col("total_deliveries") > 0,
-            round(col("total_deliveries") / 8.0, 2))
+            roundPortable(col("total_deliveries") / 8.0, 2))
           .otherwise(0.0).as("deliveries_per_hour"),
         asOf.as("valid_from"),
         to_date(lit(Scd2.maxDate)).as("valid_to"),

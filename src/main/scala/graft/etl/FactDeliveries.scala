@@ -86,7 +86,9 @@ object FactDeliveries {
         col("vehicle_id").as("vehicle_key"), col("driver_id").as("driver_key"),
         col("route_key"), col("customer_key"),
         col("delivery_id"), col("trip_id"), col("tracking_number"),
-        col("package_weight_kg"),
+        // decimal → double (portability rule): a raw DECIMAL(10,2) would
+        // hash as Decimal('x.x0') vs the oracle's float on trailing zeros
+        col("package_weight_kg").cast("double").as("package_weight_kg"),
         col("distance_km_c").as("distance_km"),
         col("fuel_c").as("fuel_consumed_liters"),
         col("delivery_time_minutes"), col("delay_minutes"),

@@ -104,10 +104,26 @@ object FleetOps {
     q("fl_q11_monthly_trend")(t => Analytics.q11MonthlyTrend(t)),
     q("fl_q12_hour_dow_pivot")(t => Analytics.q12HourDowPivot(t, asOf)),
 
-    qEtl("fl_etl_fact_deliveries")(_.fact),
-    qEtl("fl_etl_dim_vehicle_scd2")(_.dims("dim_vehicle")),
-    qEtl("fl_etl_dim_customer")(_.dims("dim_customer")),
-    qEtl("fl_etl_report_driver_totals")(_.reports("report_driver_totals")),
+    // deterministic total ORDER BY on every warehouse output, matching
+    // the oracle SQL — the driver's value hash is order-sensitive
+    qEtl("fl_etl_fact_deliveries")(_.fact.orderBy("delivery_id")),
+    qEtl("fl_etl_dim_vehicle_scd2")(_.dims("dim_vehicle").orderBy("vehicle_id")),
+    qEtl("fl_etl_dim_customer")(_.dims("dim_customer").orderBy("customer_key")),
+    qEtl("fl_etl_dim_route")(_.dims("dim_route").orderBy("route_id")),
+    qEtl("fl_etl_dim_driver_scd2")(_.dims("dim_driver").orderBy("driver_id")),
+    qEtl("fl_etl_report_driver_totals")(
+      _.reports("report_driver_totals").orderBy("driver_key")),
+    qEtl("fl_etl_report_route_totals")(
+      _.reports("report_route_totals").orderBy("route_key")),
+
+    // calendar dims are OLTP-independent — gated over a full year / the
+    // fixed 96-slot grid so every derived attribute is exercised
+    QueryDef("fl_etl_dim_date",
+      (s, _) => Dimensions.dimDate(s, "2025-01-01", "2025-12-31").orderBy("date_key"),
+      oracles.get("fl_etl_dim_date")),
+    QueryDef("fl_etl_dim_time",
+      (s, _) => Dimensions.dimTime(s).orderBy("time_key"),
+      oracles.get("fl_etl_dim_time")),
 
     /** J7 with actual history: two consecutive daily batches through
       * Scd2.applyBatch — closed versions, re-inserted new versions, and
@@ -125,7 +141,27 @@ object FleetOps {
           stg1, "vehicle_id", Dimensions.vehicleTracked, to_date(lit(day1)), "vehicle_sk")
         Scd2.applyBatch(d1, stg2, "vehicle_id", Dimensions.vehicleTracked,
           to_date(lit(day2)), "vehicle_sk")
+          .orderBy("vehicle_id", "valid_from")
       },
       oracles.get("fl_etl_dim_vehicle_scd2_2day")),
+
+    /** dim_driver through two daily batches — the dim with the heaviest
+      * derived tracked columns (success rate, /30.44 experience,
+      * performance buckets, ref etl_pipeline.py:733-812, :1041). */
+    QueryDef("fl_etl_dim_driver_scd2_2day",
+      (s, _) => {
+        val t = oltp(s)
+        val day2 = Pipeline.nthLastDateWithData(t, 0).get
+        val day1 = Pipeline.nthLastDateWithData(t, 1).get
+        val stg1 = Dimensions.dimDriver(t, to_date(lit(day1)))
+        val stg2 = Dimensions.dimDriver(t, to_date(lit(day2)))
+        val d1 = Scd2.applyBatch(
+          Scd2.emptyDim(stg1, "driver_id", Dimensions.driverTracked, "driver_sk"),
+          stg1, "driver_id", Dimensions.driverTracked, to_date(lit(day1)), "driver_sk")
+        Scd2.applyBatch(d1, stg2, "driver_id", Dimensions.driverTracked,
+          to_date(lit(day2)), "driver_sk")
+          .orderBy("driver_id", "valid_from")
+      },
+      oracles.get("fl_etl_dim_driver_scd2_2day")),
   )
 }

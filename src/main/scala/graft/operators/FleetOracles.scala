@@ -281,6 +281,51 @@ object FleetOracles {
          |  JOIN cust_ranked c ON a.customer_name = c.customer_name AND c.rn = 1
          |)""".stripMargin
 
+    // Shared perf aggregation of dim_driver (etl_pipeline.py:743-753):
+    // full-history delivery counts / success rate / driving hours for
+    // active drivers. Day-independent, so one CTE serves both SCD2
+    // staging snapshots.
+    val driverPerf =
+      s"""dperf AS (
+         |  SELECT d.driver_id,
+         |         COUNT(del.delivery_id) AS total_deliveries,
+         |         SUM(CASE WHEN del.delivery_status = 'delivered' THEN 1 ELSE 0 END)
+         |           / NULLIF(COUNT(del.delivery_id), 0) * 100 AS success_rate,
+         |         CAST(SUM(epoch_us(t.arrival_datetime)//1000000
+         |                  - epoch_us(t.departure_datetime)//1000000) AS DOUBLE) / 3600 AS total_hours
+         |  FROM ${t("drivers")} d
+         |  LEFT JOIN ${t("trips")} t ON d.driver_id = t.driver_id
+         |  LEFT JOIN ${t("deliveries")} del ON t.trip_id = del.trip_id
+         |  WHERE d.status = 'active'
+         |  GROUP BY d.driver_id
+         |)""".stripMargin
+
+    // Day-parameterized dim_driver staging snapshot (etl_pipeline.py:
+    // 755-812): /30.44 experience, performance buckets, dph fallback.
+    def driverStg(alias: String, dayExpr: String): String =
+      s"""$alias AS (
+         |  SELECT driver_id, employee_code, full_name, license_number,
+         |         license_expiry, phone, hire_date, experience_months, status,
+         |         CASE WHEN success_rate >= 76 AND experience_months >= 36 THEN 'Alto'
+         |              WHEN success_rate >= 74 OR experience_months >= 24 THEN 'Medio'
+         |              ELSE 'Bajo' END AS performance_category,
+         |         CASE WHEN total_hours > 0 THEN ${rp2("total_deliveries / total_hours")}
+         |              WHEN total_deliveries > 0 THEN ${rp2("total_deliveries / 8e0")}
+         |              ELSE 0e0 END AS deliveries_per_hour
+         |  FROM (
+         |    SELECT d.driver_id, d.employee_code,
+         |           substring(concat_ws(' ', d.first_name, d.last_name), 1, 200) AS full_name,
+         |           d.license_number, d.license_expiry, d.phone, d.hire_date,
+         |           CAST(FLOOR(CAST(date_diff('day', d.hire_date, $dayExpr) AS DOUBLE) / 30.44) AS INTEGER) AS experience_months,
+         |           d.status,
+         |           COALESCE(p.success_rate, 0) AS success_rate,
+         |           COALESCE(p.total_deliveries, 0) AS total_deliveries,
+         |           COALESCE(p.total_hours, 0) AS total_hours
+         |    FROM ${t("drivers")} d
+         |    LEFT JOIN dperf p ON d.driver_id = p.driver_id
+         |  )
+         |)""".stripMargin
+
     val factCtes =
       s"""$baseCtes, fm AS (
          |  SELECT e.*,
@@ -297,7 +342,7 @@ object FleetOracles {
          |         e.route_id AS route_key,
          |         dc.customer_key,
          |         e.delivery_id, e.trip_id, e.tracking_number,
-         |         e.package_weight_kg,
+         |         CAST(e.package_weight_kg AS DOUBLE) AS package_weight_kg,
          |         e.distance_km_c AS distance_km,
          |         e.fuel_c AS fuel_consumed_liters,
          |         GREATEST(0, e.mins_raw) AS delivery_time_minutes,
@@ -324,14 +369,15 @@ object FleetOracles {
     val etl = Map(
       "fl_etl_dim_customer" ->
         s"""$baseCtes
-           |SELECT * FROM dim_customer""".stripMargin,
+           |SELECT * FROM dim_customer ORDER BY customer_key""".stripMargin,
 
       "fl_etl_dim_vehicle_scd2" ->
         s"""$baseCtes, lastm AS (
            |  SELECT vehicle_id, MAX(maintenance_date) AS last_maintenance_date
            |  FROM ${t("maintenance")} GROUP BY vehicle_id
            |)
-           |SELECT v.vehicle_id, v.license_plate, v.vehicle_type, v.capacity_kg,
+           |SELECT v.vehicle_id, v.license_plate, v.vehicle_type,
+           |       CAST(v.capacity_kg AS DOUBLE) AS capacity_kg,
            |       v.fuel_type, v.acquisition_date,
            |       CAST(FLOOR(CAST(date_diff('day', v.acquisition_date, (SELECT tdate FROM td)) AS DOUBLE) / 30.44) AS INTEGER) AS age_months,
            |       v.status, lm.last_maintenance_date,
@@ -340,11 +386,12 @@ object FleetOracles {
            |       TRUE AS is_current,
            |       ${sk("v.vehicle_id")} AS vehicle_sk
            |FROM ${t("vehicles")} v
-           |LEFT JOIN lastm lm ON v.vehicle_id = lm.vehicle_id""".stripMargin,
+           |LEFT JOIN lastm lm ON v.vehicle_id = lm.vehicle_id
+           |ORDER BY v.vehicle_id""".stripMargin,
 
       "fl_etl_fact_deliveries" ->
         s"""$factCtes
-           |SELECT * FROM fact""".stripMargin,
+           |SELECT * FROM fact ORDER BY delivery_id""".stripMargin,
 
       // Two consecutive SCD2 batches as one SELECT: the reference's
       // MERGE + INSERT contract (etl_pipeline.py:1030-1098) unrolled —
@@ -359,7 +406,8 @@ object FleetOracles {
           .map(c => s"s1.$c IS DISTINCT FROM s2.$c").mkString("(", " OR ", ")")
         def stg(alias: String, dayExpr: String) =
           s"""$alias AS (
-             |  SELECT v.vehicle_id, v.license_plate, v.vehicle_type, v.capacity_kg,
+             |  SELECT v.vehicle_id, v.license_plate, v.vehicle_type,
+             |         CAST(v.capacity_kg AS DOUBLE) AS capacity_kg,
              |         v.fuel_type, v.acquisition_date,
              |         CAST(FLOOR(CAST(date_diff('day', v.acquisition_date, $dayExpr) AS DOUBLE) / 30.44) AS INTEGER) AS age_months,
              |         v.status, lm.last_maintenance_date
@@ -401,7 +449,8 @@ object FleetOracles {
            |       TRUE AS is_current,
            |       md5(CAST(s1.vehicle_id AS VARCHAR) || '|' || CAST((SELECT d1 FROM td1) AS VARCHAR)) AS vehicle_sk
            |FROM s1 LEFT JOIN s2 ON s1.vehicle_id = s2.vehicle_id
-           |WHERE s2.vehicle_id IS NULL OR NOT $changed""".stripMargin
+           |WHERE s2.vehicle_id IS NULL OR NOT $changed
+           |ORDER BY vehicle_id, valid_from""".stripMargin
       },
 
       "fl_etl_report_driver_totals" ->
@@ -411,7 +460,168 @@ object FleetOracles {
            |       ${rp2(avgExactSql("delivery_time_minutes"))} AS avg_delivery_time_minutes,
            |       CAST(SUM(CAST(ROUND(revenue_per_delivery * 1e2, 0) AS BIGINT)) AS BIGINT) / 1e2 AS total_revenue
            |FROM fact
-           |GROUP BY driver_id""".stripMargin)
+           |GROUP BY driver_id
+           |ORDER BY driver_key""".stripMargin,
+
+      "fl_etl_report_route_totals" ->
+        s"""$factCtes
+           |SELECT route_key,
+           |       COUNT(*) AS total_deliveries,
+           |       ${rp2(avgQuantizedSql("fuel_efficiency_km_per_liter"))} AS avg_fuel_efficiency,
+           |       CAST(SUM(CAST(ROUND(cost_per_delivery * 1e2, 0) AS BIGINT)) AS BIGINT) / 1e2 AS total_cost
+           |FROM fact
+           |GROUP BY route_key
+           |ORDER BY route_key""".stripMargin,
+
+      // dim_route (etl_pipeline.py:545-625): difficulty from
+      // actual-vs-estimated duration variance, route_type from distance.
+      "fl_etl_dim_route" ->
+        s"""WITH actual AS (
+           |  SELECT r.route_id,
+           |         ${avgExactSql(
+                "epoch_us(t.arrival_datetime)//1000000 - epoch_us(t.departure_datetime)//1000000")} / 3600
+           |           AS avg_actual_duration_hours,
+           |         CAST(r.estimated_duration_hours AS DOUBLE) AS est
+           |  FROM ${t("routes")} r
+           |  LEFT JOIN (SELECT * FROM ${t("trips")} WHERE status = 'completed') t
+           |    ON r.route_id = t.route_id
+           |  GROUP BY r.route_id, r.estimated_duration_hours
+           |), dv AS (
+           |  SELECT route_id,
+           |         COALESCE(ABS((avg_actual_duration_hours - est) / NULLIF(est, 0) * 100), 0)
+           |           AS duration_variance
+           |  FROM actual
+           |)
+           |SELECT r.route_id AS route_key, r.route_id, r.route_code, r.origin_city,
+           |       r.destination_city,
+           |       CAST(r.distance_km AS DOUBLE) AS distance_km,
+           |       CAST(r.estimated_duration_hours AS DOUBLE) AS estimated_duration_hours,
+           |       CAST(r.toll_cost AS DOUBLE) AS toll_cost,
+           |       CASE WHEN a.duration_variance > 50 OR r.distance_km > 1000 THEN 'Difícil'
+           |            WHEN a.duration_variance > 20 OR r.distance_km > 500 THEN 'Medio'
+           |            ELSE 'Fácil' END AS difficulty_level,
+           |       CASE WHEN r.distance_km < 100 THEN 'Urbana'
+           |            WHEN r.distance_km < 800 THEN 'Interurbana'
+           |            ELSE 'Rural' END AS route_type
+           |FROM ${t("routes")} r
+           |JOIN dv a ON r.route_id = a.route_id
+           |ORDER BY r.route_id""".stripMargin,
+
+      // dim_date over calendar 2025 (etl_pipeline.py:328-364): pandas
+      // Monday=1 day_of_week == DuckDB isodow; holiday map :339-342.
+      "fl_etl_dim_date" ->
+        s"""WITH days AS (
+           |  SELECT CAST(unnest(generate_series(DATE '2025-01-01', DATE '2025-12-31',
+           |                                     INTERVAL 1 DAY)) AS DATE) AS full_date
+           |), hol AS (
+           |  SELECT * FROM (VALUES
+           |    (DATE '2025-01-01', 'Año Nuevo'), (DATE '2025-05-01', 'Día del Trabajo'),
+           |    (DATE '2025-07-20', 'Independencia'), (DATE '2025-12-25', 'Navidad'))
+           |    AS h(full_date, holiday_name)
+           |)
+           |SELECT CAST(strftime(d.full_date, '%Y%m%d') AS INTEGER) AS date_key,
+           |       d.full_date,
+           |       CAST(isodow(d.full_date) AS INTEGER) AS day_of_week,
+           |       substring(dayname(d.full_date), 1, 10) AS day_name,
+           |       CAST(dayofmonth(d.full_date) AS INTEGER) AS day_of_month,
+           |       CAST(dayofyear(d.full_date) AS INTEGER) AS day_of_year,
+           |       CAST(weekofyear(d.full_date) AS INTEGER) AS week_of_year,
+           |       CAST(month(d.full_date) AS INTEGER) AS month_num,
+           |       substring(monthname(d.full_date), 1, 10) AS month_name,
+           |       CAST(quarter(d.full_date) AS INTEGER) AS quarter,
+           |       CAST(year(d.full_date) AS INTEGER) AS year,
+           |       isodow(d.full_date) >= 6 AS is_weekend,
+           |       h.holiday_name,
+           |       h.holiday_name IS NOT NULL AS is_holiday,
+           |       CAST((month(d.full_date) - 1) // 3 + 1 AS INTEGER) AS fiscal_quarter,
+           |       CAST(year(d.full_date) AS INTEGER) AS fiscal_year
+           |FROM days d LEFT JOIN hol h ON d.full_date = h.full_date
+           |ORDER BY date_key""".stripMargin,
+
+      // dim_time (etl_pipeline.py:366-425): 24h × 15-min grain with the
+      // Spanish shift / time-of-day attributes.
+      "fl_etl_dim_time" ->
+        s"""WITH grid AS (
+           |  SELECT CAST(h AS INTEGER) AS hour, CAST(m AS INTEGER) AS minute
+           |  FROM range(24) t(h), (VALUES (0), (15), (30), (45)) v(m)
+           |)
+           |SELECT CAST(hour * 100 + minute AS INTEGER) AS time_key,
+           |       hour, minute, CAST(0 AS INTEGER) AS second,
+           |       CASE WHEN hour >= 6 AND hour < 12 THEN 'Mañana'
+           |            WHEN hour >= 12 AND hour < 18 THEN 'Tarde'
+           |            WHEN hour >= 18 AND hour < 22 THEN 'Noche'
+           |            ELSE 'Madrugada' END AS time_of_day,
+           |       printf('%02d:%02d', hour, minute) AS hour_24,
+           |       printf('%02d:%02d', CASE WHEN hour % 12 = 0 THEN 12 ELSE hour % 12 END, minute)
+           |         || CASE WHEN hour < 12 THEN ' AM' ELSE ' PM' END AS hour_12,
+           |       CASE WHEN hour < 12 THEN 'AM' ELSE 'PM' END AS am_pm,
+           |       hour >= 9 AND hour < 18 AS is_business_hour,
+           |       CASE WHEN hour >= 6 AND hour < 14 THEN 'Turno 1'
+           |            WHEN hour >= 14 AND hour < 22 THEN 'Turno 2'
+           |            ELSE 'Turno 3' END AS shift
+           |FROM grid
+           |ORDER BY time_key""".stripMargin,
+
+      // dim_driver (etl_pipeline.py:733-812): success-rate over the full
+      // delivery history of active drivers, /30.44 experience months,
+      // performance buckets, deliveries/hour with the 8-hour fallback.
+      "fl_etl_dim_driver_scd2" ->
+        s"""$baseCtes, $driverPerf, ${driverStg("dstg", "(SELECT tdate FROM td)")}
+           |SELECT driver_id, employee_code, full_name, license_number,
+           |       license_expiry, phone, hire_date, experience_months, status,
+           |       performance_category, deliveries_per_hour,
+           |       (SELECT tdate FROM td) AS valid_from,
+           |       DATE '9999-12-31' AS valid_to,
+           |       TRUE AS is_current,
+           |       ${sk("driver_id")} AS driver_sk
+           |FROM dstg
+           |ORDER BY driver_id""".stripMargin,
+
+      // Two consecutive SCD2 batches over dim_driver — same MERGE
+      // contract unroll as the vehicle 2-day entry; only asOf-derived
+      // tracked columns (experience_months, performance_category) can
+      // drift between the two staging snapshots.
+      "fl_etl_dim_driver_scd2_2day" -> {
+        val changed = Seq("employee_code", "full_name", "license_number",
+          "license_expiry", "phone", "hire_date", "experience_months",
+          "status", "performance_category", "deliveries_per_hour")
+          .map(c => s"s1.$c IS DISTINCT FROM s2.$c").mkString("(", " OR ", ")")
+        s"""WITH td AS (
+           |  SELECT MAX(CAST(delivered_datetime AS DATE)) AS d2
+           |  FROM ${t("deliveries")}
+           |  WHERE delivery_status = 'delivered' AND delivered_datetime IS NOT NULL
+           |), td1 AS (
+           |  SELECT MAX(CAST(delivered_datetime AS DATE)) AS d1
+           |  FROM ${t("deliveries")}
+           |  WHERE delivery_status = 'delivered' AND delivered_datetime IS NOT NULL
+           |    AND CAST(delivered_datetime AS DATE) < (SELECT d2 FROM td)
+           |), $driverPerf, ${driverStg("s1", "(SELECT d1 FROM td1)")},
+           |${driverStg("s2", "(SELECT d2 FROM td)")}
+           |SELECT s1.*,
+           |       (SELECT d1 FROM td1) AS valid_from,
+           |       (SELECT d2 FROM td) - 1 AS valid_to,
+           |       FALSE AS is_current,
+           |       md5(CAST(s1.driver_id AS VARCHAR) || '|' || CAST((SELECT d1 FROM td1) AS VARCHAR)) AS driver_sk
+           |FROM s1 JOIN s2 ON s1.driver_id = s2.driver_id
+           |WHERE $changed
+           |UNION ALL
+           |SELECT s2.*,
+           |       (SELECT d2 FROM td) AS valid_from,
+           |       DATE '9999-12-31' AS valid_to,
+           |       TRUE AS is_current,
+           |       md5(CAST(s2.driver_id AS VARCHAR) || '|' || CAST((SELECT d2 FROM td) AS VARCHAR)) AS driver_sk
+           |FROM s2 LEFT JOIN s1 ON s1.driver_id = s2.driver_id
+           |WHERE s1.driver_id IS NULL OR $changed
+           |UNION ALL
+           |SELECT s1.*,
+           |       (SELECT d1 FROM td1) AS valid_from,
+           |       DATE '9999-12-31' AS valid_to,
+           |       TRUE AS is_current,
+           |       md5(CAST(s1.driver_id AS VARCHAR) || '|' || CAST((SELECT d1 FROM td1) AS VARCHAR)) AS driver_sk
+           |FROM s1 LEFT JOIN s2 ON s1.driver_id = s2.driver_id
+           |WHERE s2.driver_id IS NULL OR NOT $changed
+           |ORDER BY driver_id, valid_from""".stripMargin
+      })
 
     kpi ++ etl
   }
