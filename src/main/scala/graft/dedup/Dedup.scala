@@ -23,14 +23,33 @@ object Dedup {
     * point this at job-scoped scratch storage); removed on JVM exit. */
   private lazy val spillRoot: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup-spill")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(dir.toFile)
-    }))
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(dir.toFile)))
     dir.toString
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(): Unit
+  }
+
+  /** Inputs estimated under this size skip the shingle spill entirely —
+    * recomputing the flatMap three times beats a parquet write+read at
+    * small corpus scale (the r3 always-spill variant regressed the
+    * sf0.1 bench); above it the spill caps the recompute at one pass. */
+  private val spillThresholdBytes = BigInt(512L << 20)
+
+  /** Only the most recent spill directory is kept: each new spill
+    * deletes its predecessor, bounding scratch disk at one corpus
+    * regardless of session lifetime (plus the shutdown hook for the
+    * last one). Contract: a DataFrame returned by a previous
+    * [[minhashNearDups]] call must be fully consumed before the next
+    * call — its lineage reads the predecessor directory. */
+  private val lastSpill =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  private def rotateSpill(dir: String): Unit = {
+    val prev = lastSpill.getAndSet(dir)
+    if (prev != null) rmTree(new java.io.File(prev))
   }
 
   /** Exact dedup: keep the lowest-id row per canonical-text fingerprint.
@@ -77,16 +96,24 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     // consumed three times (signature aggregation + both sides of the
-    // verification join): spilled once to scratch parquet instead of
-    // persist() — same single shingling pass, but no cached blocks left
-    // behind after the query completes (persist leaked across calls)
-    val spill = s"$spillRoot/shingles-${java.util.UUID.randomUUID()}"
-    df.select(col(idCol).cast("long"), col(textCol))
+    // verification join). Large corpora spill once to scratch parquet
+    // instead of persist() — same single shingling pass, no cached
+    // blocks left behind (persist leaked across calls), scratch bounded
+    // by rotateSpill. Small inputs skip the spill: the recompute is
+    // cheaper than the write+read round trip.
+    val shingled = df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .flatMap { case (id, t) => shingleHashes(t, shingleLen).map(h => (id, h)) }
       .toDF("id", "h")
-      .write.parquet(spill)
-    val hashed = spark.read.parquet(spill)
+    val hashed =
+      if (df.queryExecution.optimizedPlan.stats.sizeInBytes < spillThresholdBytes)
+        shingled
+      else {
+        val spill = s"$spillRoot/shingles-${java.util.UUID.randomUUID()}"
+        shingled.write.parquet(spill)
+        rotateSpill(spill)
+        spark.read.parquet(spill)
+      }
     // one groupBy carries the k min-hashes AND the set size (the
     // shingle explode is expensive enough not to recompute per branch)
     val sigCols = (0 until bands * rowsPerBand)
@@ -167,9 +194,15 @@ object Dedup {
     import spark.implicits._
     val B = blocks
 
-    def intersectSize(a: Array[Long], b: Array[Long]): Int = {
+    // sorted-merge intersection with a progress bound: once the best
+    // still-reachable intersection (current + min remaining) drops
+    // under `needed`, the pair cannot reach the Jaccard threshold —
+    // return -1 and skip. Exactness-preserving: the bound only fires
+    // when the true intersection is provably below `needed`.
+    def intersectSize(a: Array[Long], b: Array[Long], needed: Int): Int = {
       var i = 0; var j = 0; var c = 0
       while (i < a.length && j < b.length) {
+        if (c + math.min(a.length - i, b.length - j) < needed) return -1
         if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
         else if (a(i) < b(j)) i += 1 else j += 1
       }
@@ -205,12 +238,25 @@ object Dedup {
             // same-block groups emit the x<y triangle; cross-block
             // groups see each unordered pair once — emit it ordered
             if ((if (pa == pb) x < y else x != y) && vx.nonEmpty && vy.nonEmpty) {
-              val inter = intersectSize(vx, vy)
-              if (inter > 0) {
-                val jac = inter * 1.0 / (vx.length + vy.length - inter)
-                if (jac >= threshold)
-                  out += ((math.min(x, y), math.max(x, y),
-                    graft.sim.Vectors.roundHalfUp(jac, 4)))
+              val mn = math.min(vx.length, vy.length)
+              val mx = math.max(vx.length, vy.length)
+              // length filter: jac ≤ min/max, so a size-skewed pair can
+              // never reach the threshold — skip before merging. The
+              // merge bound below needs inter ≥ t(na+nb)/(1+t); the
+              // 1e-9 slack keeps a double-rounding wobble from ever
+              // excluding an exactly-at-threshold pair (jaccard is a
+              // small-denominator rational — it cannot sit within the
+              // slack of the threshold without being exactly on it).
+              if (mn.toDouble / mx >= threshold) {
+                val needed = math.max(1, math.ceil(
+                  threshold * (vx.length + vy.length) / (1.0 + threshold) - 1e-9).toInt)
+                val inter = intersectSize(vx, vy, needed)
+                if (inter > 0) {
+                  val jac = inter * 1.0 / (vx.length + vy.length - inter)
+                  if (jac >= threshold)
+                    out += ((math.min(x, y), math.max(x, y),
+                      graft.sim.Vectors.roundHalfUp(jac, 4)))
+                }
               }
             }
             j += 1

@@ -171,22 +171,45 @@ object Analytics {
   }
 
   /** Q10 — driver efficiency ranking (triple RANK + composite score,
-    * 3-month window, HAVING ≥20 trips; ref 02:181-213). */
+    * 3-month window, HAVING ≥20 trips; ref 02:181-213).
+    *
+    * The reference SQL joins trips×deliveries and takes two
+    * COUNT(DISTINCT) on different keys — as written that plans as a
+    * double Expand over the full fan-out (each input row duplicated per
+    * distinct-aggregate), the r3 scale-killer. Both keys are unique in
+    * their own table, so deliveries pre-aggregated per trip turn the
+    * distincts into exact sums of per-trip partials: one map-side
+    * combine on deliveries, one broadcast to routes, one final shuffle
+    * on driver_id — no Expand, same values bit-for-bit (the quantized
+    * consumo average keeps the reference's fan-out row weights). */
   def q10DriverRanking(t: Oltp, asOf: Column): DataFrame = {
+    val perTrip = t.deliveries.groupBy(col("trip_id")).agg(
+      count(col("delivery_id")).as("n_del"),
+      count(when(col("delivered_datetime") <= col("scheduled_datetime"), lit(1)))
+        .as("n_ontime"))
+    val tripRows = t.trips.filter(col("departure_datetime") >= date_sub(asOf, 90))
+      .join(broadcast(t.routes.select(col("route_id"), col("distance_km"))), "route_id")
+      .join(perTrip, Seq("trip_id"), "left")
+      .select(col("driver_id"), col("trip_id"),
+        coalesce(col("n_del"), lit(0L)).as("n_del"),
+        coalesce(col("n_ontime"), lit(0L)).as("n_ontime"),
+        // per-trip quantized ratio (avgQuantized's integer grain) and its
+        // weight = the trip's row count in the reference's joined shape
+        // (a delivery-less trip still contributes one row via LEFT JOIN)
+        round(col("fuel_consumed_liters").cast("double") /
+          nullIfZero(col("distance_km").cast("double")) * 1e6, 0).cast("long").as("q"),
+        greatest(coalesce(col("n_del"), lit(0L)), lit(1L)).as("w"))
     val metrics = t.drivers
-      .join(t.trips.filter(col("departure_datetime") >= date_sub(asOf, 90)), "driver_id")
-      .join(t.routes, "route_id")
-      .join(t.deliveries, Seq("trip_id"), "left")
+      .join(tripRows, "driver_id")
       .groupBy(col("driver_id"),
         concat_ws(" ", col("first_name"), col("last_name")).as("nombre"))
       .agg(
-        countDistinct(col("trip_id")).as("viajes"),
-        countDistinct(col("delivery_id")).as("entregas"),
-        (avgQuantized(col("fuel_consumed_liters").cast("double") /
-          nullIfZero(col("distance_km").cast("double"))) * 100)
-          .as("consumo_100km"),
-        (count(when(col("delivered_datetime") <= col("scheduled_datetime"), lit(1)))
-          / nullIfZero(count(col("delivery_id"))) * 100).as("puntualidad_pct"))
+        count(col("trip_id")).as("viajes"),
+        sum(col("n_del")).as("entregas"),
+        (sum(when(col("q").isNotNull, col("w") * col("q"))).cast("double") /
+          sum(when(col("q").isNotNull, col("w"))) / 1e6 * 100).as("consumo_100km"),
+        (sum(col("n_ontime")) / nullIfZero(sum(col("n_del"))) * 100)
+          .as("puntualidad_pct"))
       .filter(col("viajes") >= 20)
     val rPunt = rank().over(Window.orderBy(col("puntualidad_pct").desc))
     val rEff = rank().over(Window.orderBy(col("consumo_100km").asc))

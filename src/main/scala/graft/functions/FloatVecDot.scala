@@ -22,6 +22,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * both. Elements are assumed non-null (embedding vectors); a null
   * ARRAY input yields null (nullIntolerant).
   *
+  * Equal-length precondition: both arrays must have the same length
+  * (true for any embedding column). On mismatched inputs fdot folds
+  * over the common prefix, which differs from the HOF formulation
+  * (`zip_with` null-pads → null) and from the kernels (throw) — do not
+  * rely on any of the three for ragged arrays.
+  *
   * Exposed to SQL as `fdot(a, b)`; cosine composes as
   * `fdot(a,b) / (sqrt(fdot(a,a)) * sqrt(fdot(b,b)))`.
   */
@@ -81,7 +87,15 @@ object FloatVecDot {
   /** Register `fdot` in the session's function registry. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "fdot", (exprs: Seq[Expression]) => FloatVecDot(exprs.head, exprs(1)), "built-in")
+      "fdot", (exprs: Seq[Expression]) => {
+        if (exprs.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "fdot", "expectedNum" -> "2",
+              "actualNum" -> exprs.length.toString, "legacyNum" -> "2"))
+        FloatVecDot(exprs.head, exprs(1))
+      }, "built-in")
 
   /** Column form (registers `fdot` in the session first, idempotent). */
   def dot(spark: SparkSession, a: Column, b: Column): Column = {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
@@ -130,38 +130,39 @@ object FleetOps {
       * untouched unchanged rows all hash-compared against a DuckDB
       * transcription of the MERGE contract (etl_pipeline.py:1030-1098). */
     QueryDef("fl_etl_dim_vehicle_scd2_2day",
-      (s, _) => {
-        val t = oltp(s)
-        val day2 = Pipeline.nthLastDateWithData(t, 0).get
-        val day1 = Pipeline.nthLastDateWithData(t, 1).get
-        val stg1 = Dimensions.dimVehicle(t, to_date(lit(day1)))
-        val stg2 = Dimensions.dimVehicle(t, to_date(lit(day2)))
-        val d1 = Scd2.applyBatch(
-          Scd2.emptyDim(stg1, "vehicle_id", Dimensions.vehicleTracked, "vehicle_sk"),
-          stg1, "vehicle_id", Dimensions.vehicleTracked, to_date(lit(day1)), "vehicle_sk")
-        Scd2.applyBatch(d1, stg2, "vehicle_id", Dimensions.vehicleTracked,
-          to_date(lit(day2)), "vehicle_sk")
-          .orderBy("vehicle_id", "valid_from")
-      },
+      (s, _) => scd2TwoDay(s, Dimensions.dimVehicle,
+        "vehicle_id", Dimensions.vehicleTracked, "vehicle_sk"),
       oracles.get("fl_etl_dim_vehicle_scd2_2day")),
 
     /** dim_driver through two daily batches — the dim with the heaviest
       * derived tracked columns (success rate, /30.44 experience,
       * performance buckets, ref etl_pipeline.py:733-812, :1041). */
     QueryDef("fl_etl_dim_driver_scd2_2day",
-      (s, _) => {
-        val t = oltp(s)
-        val day2 = Pipeline.nthLastDateWithData(t, 0).get
-        val day1 = Pipeline.nthLastDateWithData(t, 1).get
-        val stg1 = Dimensions.dimDriver(t, to_date(lit(day1)))
-        val stg2 = Dimensions.dimDriver(t, to_date(lit(day2)))
-        val d1 = Scd2.applyBatch(
-          Scd2.emptyDim(stg1, "driver_id", Dimensions.driverTracked, "driver_sk"),
-          stg1, "driver_id", Dimensions.driverTracked, to_date(lit(day1)), "driver_sk")
-        Scd2.applyBatch(d1, stg2, "driver_id", Dimensions.driverTracked,
-          to_date(lit(day2)), "driver_sk")
-          .orderBy("driver_id", "valid_from")
-      },
+      (s, _) => scd2TwoDay(s, Dimensions.dimDriver,
+        "driver_id", Dimensions.driverTracked, "driver_sk"),
       oracles.get("fl_etl_dim_driver_scd2_2day")),
   )
+
+  /** Two consecutive daily SCD2 batches over a staged dim. The staging
+    * snapshots and the batch-1 result are persisted: applyBatch reads
+    * each input from three union branches, and batch 2's full-outer join
+    * re-reads batch 1's entire output — without a persist the staging
+    * derivation (a trips×deliveries aggregate for dim_driver) would be
+    * recomputed ~6×. In the real pipeline these inputs are materialized
+    * warehouse tables; the persist plays that role for the gate. */
+  private def scd2TwoDay(
+      s: SparkSession,
+      stg: (Oltp, Column) => DataFrame,
+      key: String, tracked: Seq[String], skName: String): DataFrame = {
+    val t = oltp(s)
+    val day2 = Pipeline.nthLastDateWithData(t, 0).get
+    val day1 = Pipeline.nthLastDateWithData(t, 1).get
+    val stg1 = stg(t, to_date(lit(day1))).persist()
+    val stg2 = stg(t, to_date(lit(day2))).persist()
+    val d1 = Scd2.applyBatch(
+      Scd2.emptyDim(stg1, key, tracked, skName),
+      stg1, key, tracked, to_date(lit(day1)), skName).persist()
+    Scd2.applyBatch(d1, stg2, key, tracked, to_date(lit(day2)), skName)
+      .orderBy(col(key), col("valid_from"))
+  }
 }

@@ -88,7 +88,7 @@ object TextOps {
     QueryDef.sql(
       "q45_bpe_tokens",
       """SELECT doc_id,
-        |       CAST(length(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS INTEGER) AS n_bpe_tokens
+        |       CAST(length(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\f\r]+')) AS INTEGER) AS n_bpe_tokens
         |FROM documents
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       Tables.documents(s, d)

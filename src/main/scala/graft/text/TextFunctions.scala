@@ -24,9 +24,13 @@ object TextFunctions {
     * punctuation runs, each optionally space-prefixed — the GPT-2
     * pre-tokenization shape restricted to character classes that Java
     * regex (Spark) and RE2 (DuckDB) interpret identically, so the count
-    * is oracle-comparable. */
+    * is oracle-comparable. The whitespace class is spelled out because
+    * `\s` itself is NOT portable: Java includes U+000B (vertical tab),
+    * RE2's is exactly [ \t\n\f\r] — with the explicit class both
+    * engines classify VT as punctuation by construction. */
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"), lit(0)))
+    size(regexp_extract_all(text,
+      lit(" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\f\\r]+"), lit(0)))
 
   /** Sum of token lengths (chars excluding whitespace). */
   def tokenCharCount(text: Column): Column =
@@ -47,8 +51,13 @@ object TextFunctions {
   val winnowMod: Long = 1048573L
 
   /** 31^(k-1) .. 31^0 — the positional weights of a base-31 polynomial
-    * rolling hash (Karp–Rabin). k ≤ 12 keeps Σ code·31^j < 2^63 for any
-    * Unicode code point, so the sum never overflows a long (ANSI-safe). */
+    * rolling hash (Karp–Rabin). Overflow bound: Σ code·31^j ≤
+    * code_max · 31^k/30, which stays under 2^63 for k ≤ 9 with
+    * arbitrary code points (max U+10FFFF ≈ 1.1e6; 31^9·1.1e6/0.97 ≈
+    * 3e19 overflows at k = 10) and for k ≤ 12 with ASCII-only text.
+    * [[gramHash]] enforces the unconditional k ≤ 9 so the sum is
+    * ANSI-safe (no checked-arithmetic error, no silent divergence)
+    * whatever the corpus contains. */
   def pow31(k: Int): Seq[Long] = Iterator.iterate(1L)(_ * 31L).take(k).toSeq.reverse
 
   /** Polynomial rolling hash of the k-char gram at 1-based position `i`
@@ -56,6 +65,8 @@ object TextFunctions {
     * Unrolled into k `ascii(substr)` terms so the whole thing is one
     * codegen'd long expression — no UDF, no array materialization. */
   def gramHash(t: Column, i: Column, k: Int): Column = {
+    require(k <= 9, s"gramHash k=$k would overflow the long sum for " +
+      "non-ASCII code points (see pow31's bound); use k <= 9")
     val pows = pow31(k)
     (0 until k).map(j => ascii(t.substr(i + lit(j), lit(1))) * lit(pows(j)))
       .reduce(_ + _) % lit(winnowMod)
