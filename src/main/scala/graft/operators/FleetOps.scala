@@ -19,12 +19,15 @@ import graft.etl._
   */
 object FleetOps {
 
-  private[operators] val cfg = DataGen.Config(
-    nTrips = 5000, nMaintenance = 500, nDrivers = 40, nVehicles = 60)
+  /** Reference volume (01_data_generation.py:97,155,316,661): 100k
+    * trips / 400 drivers / 200 vehicles / 5000 maintenance — the gate
+    * set now runs at the same scale the reference ships with, so the
+    * per-query baseline ratios are measured on equal row counts. */
+  private[operators] val cfg = DataGen.Config()
 
   /** Bump when DataGen output changes — the directory is keyed by it so
     * stale parquet from an older generator version is never reused. */
-  private val genVersion = 3
+  private val genVersion = 4
 
   /** Stable absolute home of the generated OLTP parquet. Must be
     * absolute: the path is embedded into the oracle SQL that the
