@@ -326,6 +326,50 @@ object FleetOracles {
          |  )
          |)""".stripMargin
 
+    // The full 2-batch dim_driver history as a `dim2` CTE — shared by
+    // the SCD2 gate and the point-in-time key-resolution gate.
+    val driver2dayCtes = {
+      val changed = Seq("employee_code", "full_name", "license_number",
+        "license_expiry", "phone", "hire_date", "experience_months",
+        "status", "performance_category", "deliveries_per_hour")
+        .map(c => s"s1.$c IS DISTINCT FROM s2.$c").mkString("(", " OR ", ")")
+      s"""WITH td AS (
+         |  SELECT MAX(CAST(delivered_datetime AS DATE)) AS d2
+         |  FROM ${t("deliveries")}
+         |  WHERE delivery_status = 'delivered' AND delivered_datetime IS NOT NULL
+         |), td1 AS (
+         |  SELECT MAX(CAST(delivered_datetime AS DATE)) AS d1
+         |  FROM ${t("deliveries")}
+         |  WHERE delivery_status = 'delivered' AND delivered_datetime IS NOT NULL
+         |    AND CAST(delivered_datetime AS DATE) < (SELECT d2 FROM td)
+         |), $driverPerf, ${driverStg("s1", "(SELECT d1 FROM td1)")},
+         |${driverStg("s2", "(SELECT d2 FROM td)")}, dim2 AS (
+         |SELECT s1.*,
+         |       (SELECT d1 FROM td1) AS valid_from,
+         |       (SELECT d2 FROM td) - 1 AS valid_to,
+         |       FALSE AS is_current,
+         |       md5(CAST(s1.driver_id AS VARCHAR) || '|' || CAST((SELECT d1 FROM td1) AS VARCHAR)) AS driver_sk
+         |FROM s1 JOIN s2 ON s1.driver_id = s2.driver_id
+         |WHERE $changed
+         |UNION ALL
+         |SELECT s2.*,
+         |       (SELECT d2 FROM td) AS valid_from,
+         |       DATE '9999-12-31' AS valid_to,
+         |       TRUE AS is_current,
+         |       md5(CAST(s2.driver_id AS VARCHAR) || '|' || CAST((SELECT d2 FROM td) AS VARCHAR)) AS driver_sk
+         |FROM s2 LEFT JOIN s1 ON s1.driver_id = s2.driver_id
+         |WHERE s1.driver_id IS NULL OR $changed
+         |UNION ALL
+         |SELECT s1.*,
+         |       (SELECT d1 FROM td1) AS valid_from,
+         |       DATE '9999-12-31' AS valid_to,
+         |       TRUE AS is_current,
+         |       md5(CAST(s1.driver_id AS VARCHAR) || '|' || CAST((SELECT d1 FROM td1) AS VARCHAR)) AS driver_sk
+         |FROM s1 LEFT JOIN s2 ON s1.driver_id = s2.driver_id
+         |WHERE s2.driver_id IS NULL OR NOT $changed
+         |)""".stripMargin
+    }
+
     val factCtes =
       s"""$baseCtes, fm AS (
          |  SELECT e.*,
@@ -581,47 +625,30 @@ object FleetOracles {
       // contract unroll as the vehicle 2-day entry; only asOf-derived
       // tracked columns (experience_months, performance_category) can
       // drift between the two staging snapshots.
-      "fl_etl_dim_driver_scd2_2day" -> {
-        val changed = Seq("employee_code", "full_name", "license_number",
-          "license_expiry", "phone", "hire_date", "experience_months",
-          "status", "performance_category", "deliveries_per_hour")
-          .map(c => s"s1.$c IS DISTINCT FROM s2.$c").mkString("(", " OR ", ")")
-        s"""WITH td AS (
-           |  SELECT MAX(CAST(delivered_datetime AS DATE)) AS d2
-           |  FROM ${t("deliveries")}
-           |  WHERE delivery_status = 'delivered' AND delivered_datetime IS NOT NULL
-           |), td1 AS (
-           |  SELECT MAX(CAST(delivered_datetime AS DATE)) AS d1
-           |  FROM ${t("deliveries")}
-           |  WHERE delivery_status = 'delivered' AND delivered_datetime IS NOT NULL
-           |    AND CAST(delivered_datetime AS DATE) < (SELECT d2 FROM td)
-           |), $driverPerf, ${driverStg("s1", "(SELECT d1 FROM td1)")},
-           |${driverStg("s2", "(SELECT d2 FROM td)")}
-           |SELECT s1.*,
-           |       (SELECT d1 FROM td1) AS valid_from,
-           |       (SELECT d2 FROM td) - 1 AS valid_to,
-           |       FALSE AS is_current,
-           |       md5(CAST(s1.driver_id AS VARCHAR) || '|' || CAST((SELECT d1 FROM td1) AS VARCHAR)) AS driver_sk
-           |FROM s1 JOIN s2 ON s1.driver_id = s2.driver_id
-           |WHERE $changed
-           |UNION ALL
-           |SELECT s2.*,
-           |       (SELECT d2 FROM td) AS valid_from,
-           |       DATE '9999-12-31' AS valid_to,
-           |       TRUE AS is_current,
-           |       md5(CAST(s2.driver_id AS VARCHAR) || '|' || CAST((SELECT d2 FROM td) AS VARCHAR)) AS driver_sk
-           |FROM s2 LEFT JOIN s1 ON s1.driver_id = s2.driver_id
-           |WHERE s1.driver_id IS NULL OR $changed
-           |UNION ALL
-           |SELECT s1.*,
-           |       (SELECT d1 FROM td1) AS valid_from,
-           |       DATE '9999-12-31' AS valid_to,
-           |       TRUE AS is_current,
-           |       md5(CAST(s1.driver_id AS VARCHAR) || '|' || CAST((SELECT d1 FROM td1) AS VARCHAR)) AS driver_sk
-           |FROM s1 LEFT JOIN s2 ON s1.driver_id = s2.driver_id
-           |WHERE s2.driver_id IS NULL OR NOT $changed
-           |ORDER BY driver_id, valid_from""".stripMargin
-      })
+      "fl_etl_dim_driver_scd2_2day" ->
+        s"""$driver2dayCtes
+           |SELECT * FROM dim2 ORDER BY driver_id, valid_from""".stripMargin,
+
+      // Point-in-time surrogate-key resolution against the 2-batch
+      // driver history (ref etl_pipeline.py:1137-1168: fact.date BETWEEN
+      // dim.valid_from AND dim.valid_to): day-1 facts of changed drivers
+      // land on the closed version, day-2 facts on the re-inserted one.
+      "fl_etl_fact_pit_keys_2day" ->
+        s"""$driver2dayCtes, ev AS (
+           |  SELECT d.delivery_id, t.driver_id,
+           |         CAST(d.delivered_datetime AS DATE) AS event_date
+           |  FROM ${t("deliveries")} d
+           |  JOIN ${t("trips")} t ON d.trip_id = t.trip_id
+           |  WHERE d.delivery_status = 'delivered'
+           |    AND CAST(d.delivered_datetime AS DATE)
+           |          IN ((SELECT d1 FROM td1), (SELECT d2 FROM td))
+           |)
+           |SELECT e.delivery_id, e.driver_id, e.event_date, dm.driver_sk
+           |FROM ev e
+           |LEFT JOIN dim2 dm
+           |  ON e.driver_id = dm.driver_id
+           | AND e.event_date BETWEEN dm.valid_from AND dm.valid_to
+           |ORDER BY e.delivery_id""".stripMargin)
 
     kpi ++ etl
   }
