@@ -97,6 +97,26 @@ class DedupSpec extends GraftSpec {
     assert(kept.toSeq === Seq(1L, 2L))
   }
 
+  test("jaccard kernel pruning is exactness-preserving, incl. at-threshold pairs") {
+    // the round-4 prunes (length filter + bounded merge) may only skip
+    // pairs that provably cannot reach the threshold; a pair sitting
+    // EXACTLY on it must survive. Docs 1/2 share 2 of their 3 shingles
+    // → jaccard = 2/4 = 0.5 = threshold. Docs 3/4 are identical (jac 1),
+    // doc 5 is long (exercises the length filter against the others),
+    // docs 6/7 share one rare shingle (merge bound trips early).
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 xx"), (2L, "w1 w2 w3 w4 yy"),
+      (3L, "alpha beta gamma delta"), (4L, "alpha beta gamma delta"),
+      (5L, (1 to 80).map(i => s"t$i").mkString(" ") + " w1 w2 w3"),
+      (6L, "p q r s t u"), (7L, "p q r a b c"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairsKernel(docs, "doc_id", "text", n = 3,
+      threshold = 0.5, blocks = 3)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set((1L, 2L, 0.5), (3L, 4L, 1.0)))
+  }
+
   test("minhash LSH recovers the planted near-dup pairs (recall vs exact jaccard)") {
     val docs = Tables.documents(spark, sf("sf0.01"))
     // ground truth: q33's exact shingle jaccard ≥ 0.5

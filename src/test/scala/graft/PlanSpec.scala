@@ -100,6 +100,17 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("fl_q10 driver ranking plans without Expand (distinct-by-key pre-aggregation)") {
+    // two COUNT(DISTINCT) on different keys over the trips×deliveries
+    // fan-out plan as a double Expand (every input row duplicated per
+    // distinct aggregate) — the round-3 scale-killer. The per-trip
+    // pre-aggregation must keep it out of the plan for good.
+    val df = SparkEntry.queries("fl_q10_driver_ranking")(spark, sf("sf0.001"))
+    val p = plan(df)
+    assert(!p.contains("Expand"), p.linesIterator.take(30).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"), "routes/drivers must broadcast")
+  }
+
   test("winnowing fingerprints: no window sort, codegen'd gram hashes (q46)") {
     // the sliding-window min is unrolled into a least() projection over
     // exploded window starts — a WindowExec here would mean a per-doc
