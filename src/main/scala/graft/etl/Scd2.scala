@@ -75,35 +75,31 @@ object Scd2 {
     val joined = current.as("cur")
       .join(s.as("stg"), col(s"cur.$keyCol") === col(s"stg.$keyCol"), "full_outer")
 
-    val curCols = existing.columns.map(c => col(s"cur.$c").as(c))
-    val stgCols = s.columns.map(c => col(s"stg.$c").as(c))
+    // One pass over the joined rows: each MERGE case emits its output
+    // version(s) as structs and a single explode flattens them —
+    // matched+changed keys yield two rows (the closed old version, ref
+    // DATEADD(day,-1,...) etl_pipeline.py:1052, plus the re-inserted
+    // new one, ref :1064-1082); unmatched dim rows and unchanged
+    // matches pass through; batch-only keys insert. The previous
+    // three-branch union evaluated the full-outer join three times —
+    // at dim scale that is three scans of both inputs for one shuffle's
+    // worth of semantics.
+    val outCols = existing.columns
+    def emit(side: String, overrides: Map[String, Column]): Column =
+      struct(outCols.map(c =>
+        overrides.getOrElse(c, col(s"$side.$c")).as(c)): _*)
+    val curRow = emit("cur", Map.empty)
+    val closedRow = emit("cur", Map(
+      "valid_to" -> date_sub(asOf, 1), "is_current" -> lit(false)))
+    val stgRow = emit("stg", Map.empty)
+    val versions =
+      when(col(s"stg.$keyCol").isNull, array(curRow))            // not in batch
+        .when(col(s"cur.$keyCol").isNull, array(stgRow))         // new key
+        .when(changed, array(closedRow, stgRow))                 // close + re-insert
+        .otherwise(array(curRow))                                // unchanged
 
-    // rows in dim but absent from the batch, or present and unchanged:
-    // pass through as-is (MERGE leaves them alone)
-    val unchanged = joined
-      .filter(col(s"stg.$keyCol").isNull || (col(s"cur.$keyCol").isNotNull && !changed))
-      .select(curCols: _*)
-
-    // matched + changed: close the old version a day before the batch
-    // (ref DATEADD(day,-1,CURRENT_DATE()), etl_pipeline.py:1052)
-    val closed = joined
-      .filter(col(s"cur.$keyCol").isNotNull && col(s"stg.$keyCol").isNotNull && changed)
-      .select(curCols: _*)
-      .withColumn("valid_to", date_sub(asOf, 1))
-      .withColumn("is_current", lit(false))
-
-    // new keys + new versions of changed keys (ref :1064-1082); the
-    // staging guard matters: `changed` is null-safe-true for keys ABSENT
-    // from the batch, which must not synthesize an all-null insert
-    val inserted = joined
-      .filter(col(s"stg.$keyCol").isNotNull &&
-        (col(s"cur.$keyCol").isNull || changed))
-      .select(stgCols: _*)
-
-    history
-      .unionByName(unchanged)
-      .unionByName(closed)
-      .unionByName(inserted.select(existing.columns.map(col): _*))
+    history.unionByName(
+      joined.select(explode(versions).as("__v")).select(col("__v.*")))
   }
 
   /** Bootstrap an empty dim with the right shape for [[applyBatch]]. */
