@@ -48,20 +48,28 @@ object Analytics {
     t.trips.groupBy(col("status")).agg(count(lit(1)).as("total_viajes"))
       .orderBy(col("status"))
 
-  /** Q4 — deliveries per destination city, last 60 days (ref 02:48-60). */
-  def q4DeliveriesByCity(t: Oltp, asOf: Column): DataFrame =
+  /** Q4 — deliveries per destination city, last 60 days (ref 02:48-60).
+    * Deliveries pre-aggregated per trip: COUNT(DISTINCT trip_id) over
+    * the fan-out becomes a plain count of per-trip rows — no Expand in
+    * the plan, map-side combine on the biggest table. The inner join
+    * keeps only trips with ≥1 delivery, exactly the original shape. */
+  def q4DeliveriesByCity(t: Oltp, asOf: Column): DataFrame = {
+    val perTrip = t.deliveries.groupBy(col("trip_id")).agg(
+      count(col("delivery_id")).as("n_del"),
+      sum(col("package_weight_kg")).as("w_sum"))
     t.routes
-      .join(t.trips, "route_id")
-      .join(t.deliveries, "trip_id")
-      .filter(col("departure_datetime") >= date_sub(asOf, 60))
+      .join(t.trips.filter(col("departure_datetime") >= date_sub(asOf, 60)),
+        "route_id")
+      .join(perTrip, "trip_id")
       .groupBy(col("destination_city"))
       .agg(
-        countDistinct(col("trip_id")).as("total_viajes"),
-        count(col("delivery_id")).as("total_entregas"),
+        count(col("trip_id")).as("total_viajes"),
+        sum(col("n_del")).as("total_entregas"),
         // exact decimal sum surfaced as double — the engine-portable
         // output type (DuckDB's SUM(DECIMAL) widens to DECIMAL(38,2))
-        sum(col("package_weight_kg")).cast("double").as("peso_total_kg"))
+        sum(col("w_sum")).cast("double").as("peso_total_kg"))
       .orderBy(col("total_entregas").desc, col("destination_city"))
+  }
 
   /** Q5 — active drivers' workload (ref 02:65-77). */
   def q5DriverWorkload(t: Oltp): DataFrame =
@@ -76,23 +84,28 @@ object Analytics {
       .filter(col("viajes_totales") > 0)
       .orderBy(col("viajes_completados").desc, col("driver_id"))
 
-  /** Q6 — deliveries per driver, last 6 months ≈ 180 days (ref 02:82-95). */
-  def q6DriverProductivity(t: Oltp, asOf: Column): DataFrame =
+  /** Q6 — deliveries per driver, last 6 months ≈ 180 days (ref 02:82-95).
+    * Same distinct-by-key pre-aggregation as Q4/Q10: per-trip delivery
+    * counts turn COUNT(DISTINCT trip_id) into a plain count — no Expand. */
+  def q6DriverProductivity(t: Oltp, asOf: Column): DataFrame = {
+    val perTrip = t.deliveries.groupBy(col("trip_id"))
+      .agg(count(col("delivery_id")).as("n_del"))
     t.drivers
       .join(t.trips.filter(
         col("departure_datetime") >= date_sub(asOf, 180) &&
           col("status") === "completed"), "driver_id")
-      .join(t.deliveries, "trip_id")
+      .join(perTrip, "trip_id")
       .groupBy(col("driver_id"),
         concat_ws(" ", col("first_name"), col("last_name")).as("conductor"))
       .agg(
-        countDistinct(col("trip_id")).as("total_viajes"),
-        count(col("delivery_id")).as("total_entregas"),
-        roundPortable(count(col("delivery_id")) /
-          nullIfZero(countDistinct(col("trip_id"))), 2).as("promedio_entregas_por_viaje"),
-        roundPortable(count(col("delivery_id")) / lit(180.0), 2).as("promedio_entregas_diarias"))
+        count(col("trip_id")).as("total_viajes"),
+        sum(col("n_del")).as("total_entregas"),
+        roundPortable(sum(col("n_del")) /
+          nullIfZero(count(col("trip_id"))), 2).as("promedio_entregas_por_viaje"),
+        roundPortable(sum(col("n_del")) / lit(180.0), 2).as("promedio_entregas_diarias"))
       .filter(col("total_viajes") >= 10)
       .orderBy(col("promedio_entregas_por_viaje").desc, col("driver_id"))
+  }
 
   /** Q7 — fuel per 100 km by route, HAVING ≥50 trips, top 10 (ref 02:100-116). */
   def q7RouteFuel(t: Oltp): DataFrame =
@@ -141,18 +154,35 @@ object Analytics {
   }
 
   /** Q9 — maintenance cost per km by vehicle type, WITH the reference's
-    * trips×maintenance fan-out quirk preserved (ref 02:144-176). */
+    * trips×maintenance fan-out quirk preserved (ref 02:144-176).
+    *
+    * The quirk (each trip's distance counted once per maintenance row
+    * and vice versa) is reproduced ARITHMETICALLY — per-vehicle sums
+    * scaled by the other side's row count — instead of materializing
+    * the trips×maintenance cross product per vehicle (~12k rows per
+    * vehicle at reference volume, with a double-countDistinct Expand on
+    * top). Bit-identical: the fan-out sum of an exact decimal IS the
+    * pre-aggregated sum times the fan-out factor. */
   def q9MaintenanceCostPerKm(t: Oltp): DataFrame = {
+    val perTrip = t.trips.filter(col("status") === "completed")
+      .join(t.routes.select(col("route_id"), col("distance_km")),
+        Seq("route_id"), "left")
+      .groupBy(col("vehicle_id"))
+      .agg(count(col("trip_id")).as("nt"), sum(col("distance_km")).as("skm"))
+    val perMaint = t.maintenance
+      .groupBy(col("vehicle_id"))
+      .agg(count(col("maintenance_id")).as("nm"), sum(col("cost")).as("scost"))
     val metrics = t.vehicles
-      .join(t.trips.filter(col("status") === "completed"), Seq("vehicle_id"), "left")
-      .join(t.routes, Seq("route_id"), "left")
-      .join(t.maintenance.withColumnRenamed("cost", "m_cost"), Seq("vehicle_id"), "left")
-      .groupBy(col("vehicle_id"), col("vehicle_type"), col("license_plate"))
-      .agg(
-        countDistinct(col("trip_id")).as("total_viajes"),
-        sum(col("distance_km")).as("km_totales"),
-        sum(col("m_cost")).as("costo_mantenimiento_total"),
-        countDistinct(col("maintenance_id")).as("cantidad_mantenimientos"))
+      .join(perTrip, Seq("vehicle_id"), "left")
+      .join(perMaint, Seq("vehicle_id"), "left")
+      .select(
+        col("vehicle_id"), col("vehicle_type"), col("license_plate"),
+        coalesce(col("nt"), lit(0L)).as("total_viajes"),
+        (col("skm") * greatest(coalesce(col("nm"), lit(0L)), lit(1L)))
+          .as("km_totales"),
+        (col("scost") * greatest(coalesce(col("nt"), lit(0L)), lit(1L)))
+          .as("costo_mantenimiento_total"),
+        coalesce(col("nm"), lit(0L)).as("cantidad_mantenimientos"))
     metrics
       .filter(col("km_totales") > 0 && col("costo_mantenimiento_total") > 0)
       .groupBy(col("vehicle_type"))

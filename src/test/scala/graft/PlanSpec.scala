@@ -100,15 +100,20 @@ class PlanSpec extends GraftSpec {
     }
   }
 
-  test("fl_q10 driver ranking plans without Expand (distinct-by-key pre-aggregation)") {
-    // two COUNT(DISTINCT) on different keys over the trips×deliveries
-    // fan-out plan as a double Expand (every input row duplicated per
-    // distinct aggregate) — the round-3 scale-killer. The per-trip
-    // pre-aggregation must keep it out of the plan for good.
-    val df = SparkEntry.queries("fl_q10_driver_ranking")(spark, sf("sf0.001"))
-    val p = plan(df)
-    assert(!p.contains("Expand"), p.linesIterator.take(30).mkString("\n"))
-    assert(p.contains("BroadcastHashJoin"), "routes/drivers must broadcast")
+  test("fleet KPI fan-out queries plan without Expand (distinct-by-key pre-aggregation)") {
+    // COUNT(DISTINCT) on one-or-two keys over the trips×deliveries /
+    // trips×maintenance fan-outs plans as an Expand (every input row
+    // duplicated per distinct aggregate) — the round-3 scale-killer on
+    // fl_q10 and the same latent shape in q4/q6/q9. The per-side
+    // pre-aggregations must keep it out of these plans for good.
+    Seq("fl_q04_deliveries_by_city", "fl_q06_driver_productivity",
+      "fl_q09_maintenance_cost_km", "fl_q10_driver_ranking").foreach { name =>
+      val p = plan(SparkEntry.queries(name)(spark, sf("sf0.001")))
+      assert(!p.contains("Expand"), s"$name:\n" +
+        p.linesIterator.take(30).mkString("\n"))
+    }
+    val q10 = plan(SparkEntry.queries("fl_q10_driver_ranking")(spark, sf("sf0.001")))
+    assert(q10.contains("BroadcastHashJoin"), "routes/drivers must broadcast")
   }
 
   test("winnowing fingerprints: no window sort, codegen'd gram hashes (q46)") {
