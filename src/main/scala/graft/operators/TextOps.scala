@@ -232,5 +232,68 @@ object TextOps {
           sha2($"text".cast("binary"), 256).as("content_sha"))
         .orderBy($"doc_id")
     },
+
+    /** Composed corpus-preprocessing pipeline — the end-to-end flow a
+      * training-data run executes, as ONE declarative plan: per-doc
+      * stats → quality filter (q29's buckets) → language-ID (q30) →
+      * exact dedup keeping the lowest doc_id per canonical fingerprint
+      * (q31/E1) → per-(source, language) token accounting. One corpus
+      * scan feeds everything; the only shuffles are the dedup window
+      * and the final rollup, so the whole pipeline runs at the scan's
+      * parallelism on a 100 TB corpus. */
+    QueryDef.sql(
+      "q47_corpus_pipeline",
+      """WITH stats AS (
+        |  SELECT doc_id, source, text,
+        |         length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                         x -> x IN ('the','a','and','of','is'))) AS s_en,
+        |         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                         x -> x IN ('el','la','los','de','es'))) AS s_es,
+        |         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                         x -> x IN ('der','die','das','und','ist'))) AS s_de,
+        |         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                         x -> x IN ('le','la','les','et','est'))) AS s_fr,
+        |         length(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\f\r]+')) AS n_bpe,
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents
+        |), ok AS (
+        |  SELECT *,
+        |         CASE WHEN s_en >= greatest(s_en, s_es, s_de, s_fr) AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'en'
+        |              WHEN s_es >= greatest(s_en, s_es, s_de, s_fr) AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'es'
+        |              WHEN s_de >= greatest(s_en, s_es, s_de, s_fr) AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'de'
+        |              WHEN s_fr >= greatest(s_en, s_es, s_de, s_fr) AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'fr'
+        |              ELSE 'und' END AS predicted_lang
+        |  FROM stats
+        |  WHERE NOT (n_tokens < 20) AND NOT (s_en * 1.0 / n_tokens > 0.10)
+        |), dedup AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM ok
+        |)
+        |SELECT source, predicted_lang,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |       CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens
+        |FROM dedup
+        |WHERE rn = 1
+        |GROUP BY source, predicted_lang
+        |ORDER BY source, predicted_lang""".stripMargin) { (s, d) =>
+      val nTokens = tokenCount($"text")
+      val nStop = stopwordCount($"text", langStops.head._2)
+      val stats = Tables.documents(s, d)
+        .select($"doc_id", $"source", $"text",
+          nTokens.as("n_tokens"), nStop.as("n_stop"),
+          langPredict($"text").as("predicted_lang"),
+          bpeTokenCount($"text").as("n_bpe"))
+      val ok = stats.filter(
+        !($"n_tokens" < 20) && !($"n_stop" * lit(1.0) / $"n_tokens" > 0.10))
+      graft.dedup.Dedup.exact(ok, "doc_id", "text")
+        .groupBy($"source", $"predicted_lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_tokens").cast("long").as("total_tokens"),
+          sum($"n_bpe").cast("long").as("total_bpe_tokens"))
+        .orderBy($"source", $"predicted_lang")
+    },
   )
 }
