@@ -152,6 +152,88 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard").cast("double"))
   }
 
+  /** Persistable MinHash+LSH index of a corpus (or corpus increment):
+    * banded signatures for candidate generation, the hashed shingle
+    * rows and per-doc set sizes for exact verification. All three are
+    * plain DataFrames — in a deployment they live as warehouse parquet
+    * tables and each daily batch appends its increment. */
+  final case class MinHashIndex(
+      bands: DataFrame,    // (id, band_idx, band_key)
+      shingles: DataFrame, // (id, h)
+      sizes: DataFrame)    // (id, n_sh)
+
+  /** Build the [[MinHashIndex]] of `df` — the banding scheme (and thus
+    * candidate behavior) is identical to [[minhashNearDups]]. */
+  def minhashIndex(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): MinHashIndex = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, t) => shingleHashes(t, shingleLen).map(h => (id, h)) }
+      .toDF("id", "h")
+    val sigCols = (0 until bands * rowsPerBand)
+      .map(i => min(mix(col("h"), i)).as(s"mh_$i")) :+
+      count(lit(1)).as("n_sh")
+    val sigs = hashed.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandKeys = (0 until bands).map { b =>
+      xxhash64((lit(b) +: (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))): _*)
+        .as(s"band_$b")
+    }
+    val bandRows = sigs.select((col("id") +: bandKeys): _*)
+      .select(col("id"),
+        posexplode(array((0 until bands).map(b => col(s"band_$b")): _*))
+          .as(Seq("band_idx", "band_key")))
+    MinHashIndex(bandRows, hashed, sigs.select(col("id"), col("n_sh")))
+  }
+
+  /** Incremental near-dup detection: verified pairs with AT LEAST ONE
+    * side in the `increment`, against `base` ∪ `increment` — the daily
+    * workflow of a growing 100 TB corpus, where re-shingling the whole
+    * store per batch is not an option. Candidates come from equi-joining
+    * the increment's band rows against the combined band index (shuffle
+    * ∝ increment size + collisions, never the full pair space);
+    * verification is the same exact shingle-intersection join as
+    * [[minhashNearDups]]. Running a batch fully then incrementally
+    * adding the rest yields exactly the full-corpus pair set. */
+  def minhashIncrementalNearDups(
+      increment: MinHashIndex, base: MinHashIndex,
+      threshold: Double = 0.5): DataFrame = {
+    val allBands = base.bands.unionByName(increment.bands)
+    val candidates = increment.bands
+      .select(col("band_idx"), col("band_key"), col("id").as("new_id"))
+      .join(allBands.select(col("band_idx"), col("band_key"), col("id").as("other_id")),
+        Seq("band_idx", "band_key"))
+      .filter(col("new_id") =!= col("other_id"))
+      .select(
+        least(col("new_id"), col("other_id")).as("id_a"),
+        greatest(col("new_id"), col("other_id")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val shingles = base.shingles.unionByName(increment.shingles)
+    val sizes = base.sizes.unionByName(increment.sizes)
+    val inter = candidates
+      .join(shingles.select(col("id").as("id_a"), col("h")), Seq("id_a"))
+      .join(shingles.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("inter") * lit(1.0) / (col("n_a") + col("n_b") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard").cast("double"))
+  }
+
+  /** An empty [[MinHashIndex]] — the bootstrap base for the first batch. */
+  def emptyMinhashIndex(spark: org.apache.spark.sql.SparkSession): MinHashIndex = {
+    import spark.implicits._
+    MinHashIndex(
+      Seq.empty[(Long, Int, Long)].toDF("id", "band_idx", "band_key"),
+      Seq.empty[(Long, Long)].toDF("id", "h"),
+      Seq.empty[(Long, Long)].toDF("id", "n_sh"))
+  }
+
   /** FNV-1a 64-bit over chars — the shingle hash used by both the
     * Jaccard kernel and the MinHash shingling (collision argument in
     * [[ngramJaccardPairsKernel]]'s doc). */

@@ -71,6 +71,20 @@ object SimilarityOps {
         .orderBy($"id_a", $"id_b")
     },
 
+    /** Incremental MinHash: the corpus split into two batches, the
+      * second detected against the first's persisted index — the
+      * growing-corpus dedup workflow (never re-shingle the store).
+      * Output = exactly q34's pair set, proven batch-invariant in
+      * DedupSpec. Hash-family-specific ⇒ rows-only. */
+    QueryDef.rowsOnly("q48_minhash_incremental") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val idxA = Dedup.minhashIndex(docs.filter($"doc_id" % 2 === 0), "doc_id", "text")
+      val idxB = Dedup.minhashIndex(docs.filter($"doc_id" % 2 === 1), "doc_id", "text")
+      Dedup.minhashIncrementalNearDups(idxA, Dedup.emptyMinhashIndex(s))
+        .unionByName(Dedup.minhashIncrementalNearDups(idxB, idxA))
+        .orderBy($"id_a", $"id_b")
+    },
+
     /** SimHash 64-bit signatures + block keys (pigeonhole candidate
       * scheme). Signature values are hash-family-specific ⇒ rows-only. */
     QueryDef.rowsOnly("q35_simhash_signatures") { (s, d) =>

@@ -133,6 +133,21 @@ class DedupSpec extends GraftSpec {
     assert(found.subsetOf(exact))
   }
 
+  test("incremental minhash index: batch-wise build equals the full-corpus run") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val full = pairs(Dedup.minhashNearDups(docs, "doc_id", "text"))
+    val idxA = Dedup.minhashIndex(docs.filter($"doc_id" % 2 === 0), "doc_id", "text")
+    val idxB = Dedup.minhashIndex(docs.filter($"doc_id" % 2 === 1), "doc_id", "text")
+    val batch1 = pairs(Dedup.minhashIncrementalNearDups(idxA, Dedup.emptyMinhashIndex(spark)))
+    val batch2 = pairs(Dedup.minhashIncrementalNearDups(idxB, idxA))
+    // batch-1 pairs are within-A; batch-2 pairs touch ≥1 B doc;
+    // together they must be EXACTLY the single-shot corpus result
+    assert((batch1 ++ batch2) === full)
+    assert(batch2.exists { case (a, b) => a % 2 == 1 || b % 2 == 1 })
+  }
+
   test("simhash: identical texts collide, near-dups are close") {
     val sigs = Seq(
       (1L, "spark makes big data small again today"),
