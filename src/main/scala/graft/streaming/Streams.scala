@@ -116,6 +116,40 @@ object Streams {
       }
   }
 
+  /** A document flowing through the streaming-ingest dedup. */
+  final case class StreamDoc(doc_id: Long, text: String)
+
+  /** Streaming exact-dedup over a document ingest stream: first-seen
+    * wins per canonical fingerprint (lower-cased, whitespace-collapsed
+    * md5 — the same key as the batch `Dedup.exact` / q31). Keyed state
+    * holds one (fingerprint → first doc_id) entry, the minimum ANY
+    * exact dedup must retain; within a micro-batch the lowest doc_id
+    * wins, so a replayed batch emits identically. Later duplicates are
+    * silently dropped — the streaming counterpart of the batch
+    * operator, for corpora that arrive continuously instead of as
+    * snapshots. State is O(#distinct documents); where the dedup
+    * horizon is finite, swap NoTimeout for a processing-time timeout
+    * to bound it. */
+  def streamingExactDedup(docs: Dataset[StreamDoc]): Dataset[StreamDoc] = {
+    import docs.sparkSession.implicits._
+    def canonicalFp(text: String): String = {
+      val canon = text.trim.toLowerCase.replaceAll("\\s+", " ")
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    docs.groupByKey(d => canonicalFp(d.text))
+      .flatMapGroupsWithState[Long, StreamDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[StreamDoc], state: GroupState[Long]) =>
+          if (state.exists || rows.isEmpty) Iterator.empty
+          else {
+            val first = rows.minBy(_.doc_id)
+            state.update(first.doc_id)
+            Iterator(first)
+          }
+      }
+  }
+
   /** Watermarked tumbling-window aggregation over the GPS/event stream —
     * the bounded-state extension SURVEY §2.11 flags (the reference has
     * no late-data policy; the watermark caps state for exactly that

@@ -152,6 +152,31 @@ class StreamsSpec extends GraftSpec {
       assert(state === Map(1L -> 0.2, 2L -> 0.3))
     } finally q.stop()
   }
+
+  test("streaming exact-dedup: first-seen wins within and across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.StreamDoc]
+    val q = Streams.streamingExactDedup(mem.toDS())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: ids 3 and 1 share a fingerprint (case/whitespace
+      // canonicalization) — the LOWER id must win within the batch
+      mem.addData(
+        Streams.StreamDoc(3L, "hello world"),
+        Streams.StreamDoc(1L, "Hello   WORLD"),
+        Streams.StreamDoc(2L, "unique text"))
+      q.processAllAvailable()
+      // batch 2: a late duplicate of batch 1 is dropped; a new doc passes
+      mem.addData(
+        Streams.StreamDoc(9L, "HELLO world"),
+        Streams.StreamDoc(4L, "another one"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_stream")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(kept === Seq(1L, 2L, 4L))
+    } finally q.stop()
+  }
 }
 
 class MultimodalSpec extends GraftSpec {
