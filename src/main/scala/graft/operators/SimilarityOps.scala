@@ -78,8 +78,14 @@ object SimilarityOps {
       * DedupSpec. Hash-family-specific ⇒ rows-only. */
     QueryDef.rowsOnly("q48_minhash_incremental") { (s, d) =>
       val docs = Tables.documents(s, d)
-      val idxA = Dedup.minhashIndex(docs.filter($"doc_id" % 2 === 0), "doc_id", "text")
-      val idxB = Dedup.minhashIndex(docs.filter($"doc_id" % 2 === 1), "doc_id", "text")
+      // each index is read by both incremental passes — persisted, as
+      // the warehouse parquet tables they model would be
+      def idx(half: org.apache.spark.sql.DataFrame) = {
+        val i = Dedup.minhashIndex(half, "doc_id", "text")
+        Dedup.MinHashIndex(i.bands.persist(), i.shingles.persist(), i.sizes.persist())
+      }
+      val idxA = idx(docs.filter($"doc_id" % 2 === 0))
+      val idxB = idx(docs.filter($"doc_id" % 2 === 1))
       Dedup.minhashIncrementalNearDups(idxA, Dedup.emptyMinhashIndex(s))
         .unionByName(Dedup.minhashIncrementalNearDups(idxB, idxA))
         .orderBy($"id_a", $"id_b")
