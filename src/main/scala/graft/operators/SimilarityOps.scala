@@ -71,6 +71,16 @@ object SimilarityOps {
         .orderBy($"id_a", $"id_b")
     },
 
+    /** PQ-compressed ANN (product quantization): m-byte codes scored
+      * by ADC lookup tables, exact-reranked — the memory-side scale
+      * path (a billion-vector candidate scan in bytes, not floats).
+      * Codebooks are hash-family/seed-specific ⇒ rows-only; the spec
+      * checks recall vs exact brute force on clustered vectors. */
+    QueryDef.rowsOnly("q49_ann_pq") { (s, d) =>
+      Vectors.pqTopK(Tables.embeddings(s, d), "vec_id", "embedding", k = 3)
+        .orderBy($"probe_id", $"rnk")
+    },
+
     /** Incremental MinHash: the corpus split into two batches, the
       * second detected against the first's persisted index — the
       * growing-corpus dedup workflow (never re-shingle the store).

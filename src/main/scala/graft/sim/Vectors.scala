@@ -379,4 +379,183 @@ object Vectors {
       .select(col("probe_id"), col("rnk"), col("neighbor_id"),
         round(col("cos"), 4).cast("double").as("cosine"))
   }
+
+  // ---------------------------------------------------------------
+  // Product quantization (PQ) — the memory-side scale path: each
+  // vector compressed to `m` one-byte codes (64-d float → 8 bytes at
+  // m=8, 32×), scored against float probes with ADC lookup tables,
+  // then exact-reranked. What makes a billion-vector candidate scan
+  // fit a cluster's memory (FAISS's IVFADC layout, minus the IVF
+  // coarse level — compose with ivfTopK for both).
+  // ---------------------------------------------------------------
+
+  /** Per-subspace codebooks: `codebooks(s)(c)` is the `dsub`-dim
+    * centroid for code `c` of subspace `s`. Driver-side fitted-model
+    * state (m·ksub·dsub doubles), like the IVF centroids. */
+  final case class PqModel(m: Int, dsub: Int, ksub: Int,
+      codebooks: Array[Array[Array[Double]]])
+
+  private def subSlice(v: Array[Float], s: Int, dsub: Int): Array[Double] = {
+    val out = new Array[Double](dsub)
+    var i = 0
+    while (i < dsub) { out(i) = v(s * dsub + i).toDouble; i += 1 }
+    out
+  }
+
+  /** L2 argmin over a codebook; ties → lowest code (deterministic). */
+  private def nearestCode(x: Array[Double], book: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < book.length) {
+      val cb = book(c)
+      var d = 0.0; var i = 0
+      while (i < x.length) { val t = x(i) - cb(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Train the PQ codebooks: deterministic seeding (the `ksub` rows
+    * with smallest xxhash64(id), sliced per subspace) + `iters` Lloyd
+    * rounds. ALL m subspaces train in one shuffle per round (the
+    * assignment kernel keys on (subspace, code)); the model is the
+    * only driver-side state. */
+  def pqTrain(data: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 16, iters: Int = 3): PqModel = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val vecs = data.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    val seed = data
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("hk", xxhash64(col("id")))
+      .orderBy(col("hk"), col("id"))
+      .limit(ksub)
+      .select(col("v")).as[Array[Float]]
+      .collect()
+    require(seed.nonEmpty, "pqTrain needs a non-empty corpus")
+    val dim = seed.head.length
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+    val dsub = dim / m
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => seed.map(v => subSlice(v, s, dsub)))
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(books)
+      val stats = vecs
+        .flatMap { case (_, v) =>
+          (0 until bc.value.length).iterator.map { s =>
+            val x = subSlice(v, s, v.length / bc.value.length)
+            (s * 100000 + nearestCode(x, bc.value(s)), x)
+          }
+        }
+        .groupByKey(_._1)
+        .mapGroups { (key, it) =>
+          var n = 0L
+          var acc: Array[Double] = null
+          it.foreach { case (_, x) =>
+            if (acc == null) acc = new Array[Double](x.length)
+            var i = 0
+            while (i < x.length) { acc(i) += x(i); i += 1 }
+            n += 1
+          }
+          (key, n, acc)
+        }
+        .collect() // ≤ m·ksub rows of model state
+      val next = books.map(_.map(_.clone()))
+      stats.foreach { case (key, n, acc) =>
+        if (n > 0) next(key / 100000)(key % 100000) = acc.map(_ / n)
+      }
+      books = next
+    }
+    PqModel(m, dsub, ksub, books)
+  }
+
+  /** ANN top-k over PQ codes: encode once (id, m byte codes,
+    * reconstructed norm), blocked-cogroup ADC scan (per probe: one
+    * m×ksub dot-product lookup table, then m adds per candidate),
+    * local top-R → global top-R (R = k·rerankFactor) → exact cosine
+    * rerank on the original vectors → top-k. Same output contract and
+    * tie-break as the other ANN operators. Shuffle volume: the code
+    * table once (bytes, not floats) + blocks×R rows per probe. */
+  def pqTopK(data: DataFrame, idCol: String, vecCol: String, k: Int,
+      m: Int = 8, ksub: Int = 16, iters: Int = 3,
+      rerankFactor: Int = 4, blocks: Int = 8): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val model = pqTrain(data, idCol, vecCol, m, ksub, iters)
+    val bc = spark.sparkContext.broadcast(
+      (model, model.codebooks.map(_.map(c => c.map(x => x * x).sum))))
+    val vecs = data.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    val B = blocks
+    val R = k * rerankFactor
+    val codes = vecs.map { case (id, v) =>
+      val (mod, sq) = bc.value
+      val code = new Array[Byte](mod.m)
+      var rn2 = 0.0
+      var s = 0
+      while (s < mod.m) {
+        val c = nearestCode(subSlice(v, s, mod.dsub), mod.codebooks(s))
+        code(s) = c.toByte
+        rn2 += sq(s)(c)
+        s += 1
+      }
+      ((((id % B) + B) % B).toInt, id, code, math.sqrt(rn2))
+    }
+    val probes = vecs.flatMap { case (id, v) =>
+      (0 until B).map(b => (b, id, v))
+    }
+    val adc = probes.groupByKey(_._1)
+      .cogroup(codes.groupByKey(_._1)) { (_, ps, cs) =>
+        val cArr = cs.map { case (_, id, code, rn) => (id, code, rn) }
+          .toArray.sortBy(_._1)
+        ps.flatMap { case (_, pid, pv) =>
+          val (mod, _) = bc.value
+          // ADC lookup table: dot(probe subvector, codebook centroid)
+          val lut = Array.tabulate(mod.m, mod.ksub) { (s, c) =>
+            val q = subSlice(pv, s, mod.dsub)
+            val cb = mod.codebooks(s)(c)
+            var acc = 0.0; var i = 0
+            while (i < q.length) { acc += q(i) * cb(i); i += 1 }
+            acc
+          }
+          val qn = normD(pv)
+          val scored = Array.newBuilder[(Long, Double)]
+          var j = 0
+          while (j < cArr.length) {
+            val (cid, code, rn) = cArr(j)
+            if (cid != pid && rn > 0 && qn > 0) {
+              var acc = 0.0; var s = 0
+              while (s < code.length) {
+                acc += lut(s)(code(s) & 0xFF); s += 1
+              }
+              scored += ((cid, acc / (qn * rn)))
+            }
+            j += 1
+          }
+          scored.result().sortBy { case (cid, c) => (-c, cid) }
+            .take(R).map { case (cid, c) => (pid, cid, c) }
+        }
+      }.toDF("probe_id", "neighbor_id", "adc")
+    val wR = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val cand = adc
+      .withColumn("rnk", row_number().over(wR))
+      .filter(col("rnk") <= R)
+      .select(col("probe_id"), col("neighbor_id"))
+    // exact rerank of the R candidates on the original vectors
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand
+      .join(data.select(col(idCol).cast("long").as("probe_id"),
+        col(vecCol).as("pv")), Seq("probe_id"))
+      .join(data.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).as("cv")), Seq("neighbor_id"))
+      .withColumn("cos", cosineNative(spark, col("pv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("neighbor_id"),
+        round(col("cos"), 4).cast("double").as("cosine"))
+  }
 }

@@ -205,6 +205,28 @@ class VectorsSpec extends GraftSpec {
       .filter($"probe_id" < 20).count() > 0)
   }
 
+  test("PQ ANN: ADC + exact rerank achieves high recall on clustered vectors") {
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(5)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val data = (0 until 100).map { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val truth = Vectors.bruteForceTopK(data, data, "vec_id", "embedding", 3)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Vectors.pqTopK(data, "vec_id", "embedding", k = 3,
+      m = 4, ksub = 16, rerankFactor = 6)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (truth & pq).size.toDouble / truth.size
+    assert(recall >= 0.8, s"recall $recall")
+    // compression sanity: the trained model is m codebooks of ksub
+    // dsub-dim centroids — 4 bytes/vector here vs 64 raw floats
+    val model = Vectors.pqTrain(data, "vec_id", "embedding", m = 4, ksub = 16)
+    assert(model.codebooks.length === 4)
+    assert(model.codebooks.forall(_.length === 16))
+    assert(model.codebooks.forall(_.forall(_.length === 4)))
+  }
+
   test("IVF ANN achieves high recall on clustered vectors") {
     val rnd = new scala.util.Random(11)
     val centers = Array.fill(5)(Array.fill(16)(rnd.nextGaussian().toFloat))
