@@ -167,5 +167,92 @@ object Advanced {
           ($"rev_cents" / 10000.0).cast("double").as("revenue"),
           $"o_orderdate".cast("date").as("order_date"))
     },
+
+    /** CUBE over two dimensions — all 2² grouping combinations with
+      * GROUPING_ID disambiguation (the ROLLUP sibling of q40). */
+    QueryDef.sql(
+      "q50_cube",
+      s"""SELECT CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+         |       o_orderstatus, o_orderpriority,
+         |       COUNT(*) AS n_orders,
+         |       CAST(SUM(${centsSql("o_totalprice")}) / 100.0 AS DOUBLE) AS total_price
+         |FROM orders
+         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY gid, coalesce(o_orderstatus, ''), coalesce(o_orderpriority, '')""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_orders"),
+          (sum(cents($"o_totalprice")) / 100.0).cast("double").as("total_price"))
+        .select($"gid", $"o_orderstatus", $"o_orderpriority", $"n_orders", $"total_price")
+        .orderBy($"gid", coalesce($"o_orderstatus", lit("")),
+          coalesce($"o_orderpriority", lit("")))
+    },
+
+    /** Edit-distance fuzzy matching: near-matching name pairs with
+      * `levenshtein` (identical semantics in Spark and DuckDB). Runs on
+      * the nation dim here; at corpus scale the same predicate sits
+      * behind length/prefix banding (dist ≤ k ⇒ length gap ≤ k and a
+      * shared (len−k)-prefix class) so the pair space never
+      * materializes — the blocking mirrors the dedup operators'. */
+    QueryDef.sql(
+      "q51_edit_distance",
+      """SELECT a.n_name AS name_a, b.n_name AS name_b,
+        |       CAST(levenshtein(a.n_name, b.n_name) AS INTEGER) AS dist
+        |FROM nation a JOIN nation b ON a.n_name < b.n_name
+        |WHERE levenshtein(a.n_name, b.n_name) <= 4
+        |ORDER BY dist, name_a, name_b""".stripMargin) { (s, d) =>
+      val n = Tables.nation(s, d)
+      n.select($"n_name".as("name_a"))
+        .join(n.select($"n_name".as("name_b")), $"name_a" < $"name_b")
+        .withColumn("dist", levenshtein($"name_a", $"name_b"))
+        .filter($"dist" <= 4)
+        .orderBy($"dist", $"name_a", $"name_b")
+    },
+
+    /** Time-series gap filling: the full day grid per group, missing
+      * days at count 0, plus a carry-forward of the last observed
+      * value (`last IGNORE NULLS` ≡ Spark `last(_, ignoreNulls)`) —
+      * the standard warehouse densification step before window math.
+      * One shuffle (the grid join is on the group key + day). */
+    QueryDef.sql(
+      "q52_gap_fill",
+      """WITH daily AS (
+        |  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+        |  FROM orders GROUP BY 1, 2
+        |), span AS (
+        |  SELECT CAST(MIN(o_orderdate) AS DATE) AS lo, CAST(MAX(o_orderdate) AS DATE) AS hi FROM orders
+        |), grid AS (
+        |  SELECT p.o_orderpriority,
+        |         CAST(unnest(generate_series((SELECT lo FROM span), (SELECT hi FROM span),
+        |                                     INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+        |)
+        |SELECT g.o_orderpriority, g.d AS day,
+        |       COALESCE(dl.n, 0) AS n_orders,
+        |       last_value(dl.n IGNORE NULLS) OVER (
+        |         PARTITION BY g.o_orderpriority ORDER BY g.d
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+        |FROM grid g
+        |LEFT JOIN daily dl ON g.o_orderpriority = dl.o_orderpriority AND g.d = dl.d
+        |ORDER BY g.o_orderpriority, day""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val daily = orders
+        .groupBy($"o_orderpriority", $"o_orderdate".cast("date").as("d"))
+        .agg(count(lit(1)).as("n"))
+      val grid = orders
+        .agg(min($"o_orderdate".cast("date")).as("lo"),
+          max($"o_orderdate".cast("date")).as("hi"))
+        .select(explode(sequence($"lo", $"hi", expr("INTERVAL 1 DAY"))).as("d"))
+        .crossJoin(orders.select($"o_orderpriority").distinct())
+      val w = Window.partitionBy($"o_orderpriority").orderBy($"d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("o_orderpriority", "d"), "left")
+        .select($"o_orderpriority", $"d".as("day"),
+          coalesce($"n", lit(0L)).as("n_orders"),
+          last($"n", ignoreNulls = true).over(w).as("carried"))
+        .orderBy($"o_orderpriority", $"day")
+    },
   )
 }
