@@ -254,5 +254,31 @@ object Advanced {
           last($"n", ignoreNulls = true).over(w).as("carried"))
         .orderBy($"o_orderpriority", $"day")
     },
+
+    /** Correlated scalar subquery (TPC-H Q17 shape): small-quantity
+      * revenue per brand, "small" = below 20% of the part's own average
+      * quantity. The Spark side runs the SAME correlated SQL text
+      * through `spark.sql` — Catalyst decorrelates it into an
+      * aggregate + join (no per-row subquery execution, no nested
+      * loop), which is exactly the rewrite a 100 TB plan needs.
+      * l_quantity is integer-valued, so SUM(double) is exact in any
+      * accumulation order; money goes through the cents rule. */
+    {
+      val sql =
+        """SELECT p.p_brand,
+          |       COUNT(*) AS n_small,
+          |       CAST(SUM(CAST(ROUND(l.l_extendedprice * 1e2, 0) AS BIGINT)) AS BIGINT) / 1e2 AS small_qty_revenue
+          |FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+          |WHERE l.l_quantity < (
+          |  SELECT 2e-1 * (CAST(SUM(l2.l_quantity) AS DOUBLE) / COUNT(*))
+          |  FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+          |GROUP BY p.p_brand
+          |ORDER BY p.p_brand""".stripMargin
+      QueryDef.sql("q53_correlated_subquery", sql) { (s, d) =>
+        Tables.part(s, d).createOrReplaceTempView("part")
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql(sql)
+      }
+    },
   )
 }

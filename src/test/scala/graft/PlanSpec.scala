@@ -116,6 +116,15 @@ class PlanSpec extends GraftSpec {
     assert(q10.contains("BroadcastHashJoin"), "routes/drivers must broadcast")
   }
 
+  test("correlated scalar subquery decorrelates into aggregate + join (q53)") {
+    // a per-row subquery execution or a nested-loop join here would be
+    // the classic 100 TB killer; Catalyst must rewrite the correlation
+    val p = plan(SparkEntry.queries("q53_correlated_subquery")(spark, sf("sf0.001")))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashAggregate"), "the subquery aggregate must be a real aggregate")
+  }
+
   test("winnowing fingerprints: no window sort, codegen'd gram hashes (q46)") {
     // the sliding-window min is unrolled into a least() projection over
     // exploded window starts — a WindowExec here would mean a per-doc
