@@ -280,5 +280,93 @@ object Advanced {
         s.sql(sql)
       }
     },
+
+    /** RANGE-frame window: 7-day trailing order count per priority —
+      * the frame is value-based (epoch days), so gaps in the calendar
+      * narrow the window instead of sliding over a fixed row count
+      * (the semantic difference vs q13's ROWS moving average). */
+    QueryDef.sql(
+      "q54_range_window",
+      """WITH daily AS (
+        |  SELECT o_orderpriority,
+        |         CAST(o_orderdate AS DATE) AS day,
+        |         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS ed,
+        |         COUNT(*) AS n
+        |  FROM orders GROUP BY 1, 2, 3
+        |)
+        |SELECT o_orderpriority, day, n,
+        |       CAST(SUM(n) OVER (PARTITION BY o_orderpriority ORDER BY ed
+        |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_7d
+        |FROM daily
+        |ORDER BY o_orderpriority, day""".stripMargin) { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .groupBy($"o_orderpriority",
+          $"o_orderdate".cast("date").as("day"),
+          datediff($"o_orderdate".cast("date"), lit("1970-01-01")).as("ed"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"o_orderpriority").orderBy($"ed")
+        .rangeBetween(-6, Window.currentRow)
+      daily.select($"o_orderpriority", $"day", $"n",
+        sum($"n").over(w).as("trailing_7d"))
+        .orderBy($"o_orderpriority", $"day")
+    },
+
+    /** Distribution window functions: ntile / percent_rank / cume_dist
+      * over a TOTAL order (acctbal, custkey) — the key tie-break makes
+      * ntile's positional bucketing deterministic across engines.
+      *
+      * The Spark side computes all three FROM the two-stage distributed
+      * rank instead of a global window (which would put every row in
+      * one partition): under a total order, percent_rank = (rn−1)/(n−1),
+      * cume_dist = rn/n, and ntile's first (n mod k) buckets carry one
+      * extra row — closed forms of the SQL-standard definitions. */
+    QueryDef.sql(
+      "q55_distribution_windows",
+      """SELECT c_custkey,
+        |       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |       CAST(ROUND(percent_rank() OVER w * 1e4, 0) AS BIGINT) / 1e4 AS pct_rank,
+        |       CAST(ROUND(cume_dist() OVER w * 1e4, 0) AS BIGINT) / 1e4 AS cum_dist
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d).select($"c_custkey", $"c_acctbal")
+      val ranked = Relational.surrogateKeyScalable(
+        cust, Seq($"c_acctbal", $"c_custkey"), "rn")
+      val tot = cust.agg(count(lit(1)).as("n"))
+      val rn = $"rn"; val n = $"n"
+      val base = (n / 4).cast("long")
+      val big = n % 4
+      val szBig = base + 1
+      val cutoff = big * szBig
+      val quartile =
+        when(rn <= cutoff, ((rn - 1) / szBig).cast("long") + 1)
+          .otherwise(big + ((rn - 1 - cutoff) / base).cast("long") + 1)
+      ranked.crossJoin(broadcast(tot)).select(
+        $"c_custkey",
+        quartile.cast("int").as("quartile"),
+        graft.functions.Shims.roundPortable(
+          when(n === 1, lit(0.0))
+            .otherwise((rn - 1).cast("double") / (n - 1)), 4).as("pct_rank"),
+        graft.functions.Shims.roundPortable(
+          rn.cast("double") / n, 4).as("cum_dist"))
+        .orderBy($"c_custkey")
+    },
+
+    /** Ordered string aggregation: DuckDB `string_agg(x, ',' ORDER BY
+      * x)` ≡ Spark `concat_ws(',', sort_array(collect_list(x)))` — the
+      * sort makes collect_list's partition-order nondeterminism
+      * irrelevant. */
+    QueryDef.sql(
+      "q56_string_agg",
+      """SELECT n_regionkey,
+        |       string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation
+        |GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin) { (s, d) =>
+      Tables.nation(s, d)
+        .groupBy($"n_regionkey")
+        .agg(concat_ws(",", sort_array(collect_list($"n_name"))).as("nations"))
+        .orderBy($"n_regionkey")
+    },
   )
 }
