@@ -60,16 +60,23 @@ object Bench {
     val results = SparkEntry.allDefs.map { q =>
       val warm = timeOnce(q)
       val measured = timeOnce(q)
-      (q.name, if (measured < 0) warm else math.min(warm, measured),
-        q.oracle.isDefined)
+      // either pass may fail transiently; a -1 sentinel must never win
+      // the min (it would subtract from the totals)
+      val t =
+        if (warm < 0) measured
+        else if (measured < 0) warm
+        else math.min(warm, measured)
+      (q.name, t, q.oracle.isDefined)
     }
+    // per-query -1 stays visible as the failure signal; totals clamp it
+    // to 0 so a failed entry can never shrink a headline number
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map { case (_, v, _) => math.max(0.0, v) }.sum
     val adjusted = results.map { case (_, v, _) => math.max(0.0, v - floor) }.sum
     // the apples-to-apples subtotal: only entries with a DuckDB oracle
     // (rows-only entries have no baseline counterpart to compare against)
-    val oracleMatched = results.collect { case (_, v, true) => v }.sum
+    val oracleMatched = results.collect { case (_, v, true) => math.max(0.0, v) }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","floor":$floor,"value_adjusted":$adjusted,"value_oracle_matched":$oracleMatched,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

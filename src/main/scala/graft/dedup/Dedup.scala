@@ -38,18 +38,19 @@ object Dedup {
     * sf0.1 bench); above it the spill caps the recompute at one pass. */
   private val spillThresholdBytes = BigInt(512L << 20)
 
-  /** Only the most recent spill directory is kept: each new spill
-    * deletes its predecessor, bounding scratch disk at one corpus
-    * regardless of session lifetime (plus the shutdown hook for the
-    * last one). Contract: a DataFrame returned by a previous
-    * [[minhashNearDups]] call must be fully consumed before the next
-    * call — its lineage reads the predecessor directory. */
-  private val lastSpill =
-    new java.util.concurrent.atomic.AtomicReference[String](null)
+  /** Spill-directory bookkeeping: the most recent `maxLiveSpills` dirs
+    * stay on disk (a returned DataFrame's lineage may still read its
+    * own spill on a later action — deleting the immediate predecessor
+    * would break hold-and-consume-later callers); older ones are
+    * removed, so scratch disk is bounded at a few corpora even in a
+    * pathological loop, and the shutdown hook clears the remainder. */
+  private val maxLiveSpills = 4
+  private val liveSpills = new java.util.ArrayDeque[String]()
 
-  private def rotateSpill(dir: String): Unit = {
-    val prev = lastSpill.getAndSet(dir)
-    if (prev != null) rmTree(new java.io.File(prev))
+  private def rotateSpill(dir: String): Unit = liveSpills.synchronized {
+    liveSpills.addLast(dir)
+    while (liveSpills.size() > maxLiveSpills)
+      rmTree(new java.io.File(liveSpills.removeFirst()))
   }
 
   /** Exact dedup: keep the lowest-id row per canonical-text fingerprint.
@@ -114,65 +115,23 @@ object Dedup {
         rotateSpill(spill)
         spark.read.parquet(spill)
       }
-    // one groupBy carries the k min-hashes AND the set size (the
-    // shingle explode is expensive enough not to recompute per branch)
-    val sigCols = (0 until bands * rowsPerBand)
-      .map(i => min(mix(col("h"), i)).as(s"mh_$i")) :+
-      count(lit(1)).as("n_sh")
-    val sigs = hashed.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
-
-    val bandKeys = (0 until bands).map { b =>
-      xxhash64((lit(b) +: (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))): _*)
-        .as(s"band_$b")
-    }
-    val keyed = sigs.select((col("id") +: bandKeys): _*)
-    val bandRows = keyed.select(col("id"),
-      posexplode(array((0 until bands).map(b => col(s"band_$b")): _*))
-        .as(Seq("band_idx", "band_key")))
-    val candidates = bandRows.select(col("band_idx"), col("band_key"), col("id").as("id_a"))
-      .join(bandRows.select(col("band_idx"), col("band_key"), col("id").as("id_b")),
-        Seq("band_idx", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
-
-    // exact verification on candidates only: rejoin the hashed shingle
-    // rows (no array payloads ride the candidate shuffle)
-    val sizes = sigs.select(col("id"), col("n_sh"))
-    val inter = candidates
-      .join(hashed.select(col("id").as("id_a"), col("h")), Seq("id_a"))
-      .join(hashed.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        round(col("inter") * lit(1.0) / (col("n_a") + col("n_b") - col("inter")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard").cast("double"))
+    // one-shot = the incremental operator over its own index with an
+    // empty base: candidates and verification go through the exact
+    // same code, so the band scheme cannot drift between the paths
+    val (bandRows, sizes) = bandedIndex(hashed, bands, rowsPerBand)
+    minhashIncrementalNearDups(
+      MinHashIndex(bandRows, hashed, sizes),
+      emptyMinhashIndex(spark), threshold)
   }
 
-  /** Persistable MinHash+LSH index of a corpus (or corpus increment):
-    * banded signatures for candidate generation, the hashed shingle
-    * rows and per-doc set sizes for exact verification. All three are
-    * plain DataFrames — in a deployment they live as warehouse parquet
-    * tables and each daily batch appends its increment. */
-  final case class MinHashIndex(
-      bands: DataFrame,    // (id, band_idx, band_key)
-      shingles: DataFrame, // (id, h)
-      sizes: DataFrame)    // (id, n_sh)
-
-  /** Build the [[MinHashIndex]] of `df` — the banding scheme (and thus
-    * candidate behavior) is identical to [[minhashNearDups]]. */
-  def minhashIndex(
-      df: DataFrame, idCol: String, textCol: String,
-      shingleLen: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): MinHashIndex = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val hashed = df.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .flatMap { case (id, t) => shingleHashes(t, shingleLen).map(h => (id, h)) }
-      .toDF("id", "h")
+  /** THE banding scheme: banded signature rows + per-doc set sizes from
+    * hashed shingle rows. Both the one-shot and the incremental paths
+    * derive their collision keys here, so they collide identically by
+    * construction (the invariant DedupSpec's batch-equality test
+    * depends on). One groupBy carries the k min-hashes AND the set
+    * size — the shingle pass is expensive enough not to recompute. */
+  private def bandedIndex(hashed: DataFrame, bands: Int,
+      rowsPerBand: Int): (DataFrame, DataFrame) = {
     val sigCols = (0 until bands * rowsPerBand)
       .map(i => min(mix(col("h"), i)).as(s"mh_$i")) :+
       count(lit(1)).as("n_sh")
@@ -185,7 +144,34 @@ object Dedup {
       .select(col("id"),
         posexplode(array((0 until bands).map(b => col(s"band_$b")): _*))
           .as(Seq("band_idx", "band_key")))
-    MinHashIndex(bandRows, hashed, sigs.select(col("id"), col("n_sh")))
+    (bandRows, sigs.select(col("id"), col("n_sh")))
+  }
+
+  /** Persistable MinHash+LSH index of a corpus (or corpus increment):
+    * banded signatures for candidate generation, the hashed shingle
+    * rows and per-doc set sizes for exact verification. All three are
+    * plain DataFrames — in a deployment they live as warehouse parquet
+    * tables and each daily batch appends its increment. */
+  final case class MinHashIndex(
+      bands: DataFrame,    // (id, band_idx, band_key)
+      shingles: DataFrame, // (id, h)
+      sizes: DataFrame)    // (id, n_sh)
+
+  /** Build the [[MinHashIndex]] of `df` — bands/sizes come from the
+    * same [[bandedIndex]] the one-shot path uses, so candidate behavior
+    * is identical by construction. The caller owns materialization
+    * (persist or parquet) — the index tables are meant to be stored. */
+  def minhashIndex(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): MinHashIndex = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, t) => shingleHashes(t, shingleLen).map(h => (id, h)) }
+      .toDF("id", "h")
+    val (bandRows, sizes) = bandedIndex(hashed, bands, rowsPerBand)
+    MinHashIndex(bandRows, hashed, sizes)
   }
 
   /** Incremental near-dup detection: verified pairs with AT LEAST ONE

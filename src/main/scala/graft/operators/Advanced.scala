@@ -334,13 +334,18 @@ object Advanced {
         cust, Seq($"c_acctbal", $"c_custkey"), "rn")
       val tot = cust.agg(count(lit(1)).as("n"))
       val rn = $"rn"; val n = $"n"
-      val base = (n / 4).cast("long")
+      // exact integer floor division: Column `/` promotes to double,
+      // whose quotient can round up across an integer boundary past
+      // 2^31 rows — decimal division + floor never does
+      def ldiv(a: Column, b: Column): Column =
+        floor(a.cast("decimal(38,0)") / b.cast("decimal(38,0)")).cast("long")
+      val base = ldiv(n, lit(4))
       val big = n % 4
       val szBig = base + 1
       val cutoff = big * szBig
       val quartile =
-        when(rn <= cutoff, ((rn - 1) / szBig).cast("long") + 1)
-          .otherwise(big + ((rn - 1 - cutoff) / base).cast("long") + 1)
+        when(rn <= cutoff, ldiv(rn - 1, szBig) + 1)
+          .otherwise(big + ldiv(rn - 1 - cutoff, base) + 1)
       ranked.crossJoin(broadcast(tot)).select(
         $"c_custkey",
         quartile.cast("int").as("quartile"),

@@ -190,26 +190,30 @@ object FleetOps {
     * persists applyBatch's three union branches (and batch 2's
     * full-outer join over batch 1's whole output) recompute the staging
     * aggregation ~6×. */
-  private val twoDayInputs =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+  // keyed by (session identity, dim) so a fresh SparkSession never
+  // receives DataFrames bound to a stopped one; the cached day2 string
+  // also spares the per-call date-probe job. The skName key is 1:1
+  // with the staging builder on this surface (vehicle_sk ↔ dimVehicle,
+  // driver_sk ↔ dimDriver).
+  private val twoDayInputs = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), (DataFrame, DataFrame, String)]()
 
   private def scd2TwoDay(
       s: SparkSession,
       stg: (Oltp, Column) => DataFrame,
       key: String, tracked: Seq[String], skName: String): DataFrame = {
-    val (d1, stg2) = twoDayInputs.computeIfAbsent(skName, _ => {
-      val t = oltp(s)
-      val day2 = Pipeline.nthLastDateWithData(t, 0).get
-      val day1 = Pipeline.nthLastDateWithData(t, 1).get
-      val s1 = stg(t, to_date(lit(day1))).persist()
-      val s2 = stg(t, to_date(lit(day2))).persist()
-      val dim1 = Scd2.applyBatch(
-        Scd2.emptyDim(s1, key, tracked, skName),
-        s1, key, tracked, to_date(lit(day1)), skName).persist()
-      (dim1, s2)
-    })
-    val t = oltp(s)
-    val day2 = Pipeline.nthLastDateWithData(t, 0).get
+    val (d1, stg2, day2) = twoDayInputs.computeIfAbsent(
+      (System.identityHashCode(s), skName), _ => {
+        val t = oltp(s)
+        val d2 = Pipeline.nthLastDateWithData(t, 0).get
+        val d1s = Pipeline.nthLastDateWithData(t, 1).get
+        val s1 = stg(t, to_date(lit(d1s))).persist()
+        val s2 = stg(t, to_date(lit(d2))).persist()
+        val dim1 = Scd2.applyBatch(
+          Scd2.emptyDim(s1, key, tracked, skName),
+          s1, key, tracked, to_date(lit(d1s)), skName).persist()
+        (dim1, s2, d2)
+      })
     Scd2.applyBatch(d1, stg2, key, tracked, to_date(lit(day2)), skName)
       .orderBy(col(key), col("valid_from"))
   }

@@ -21,6 +21,11 @@ object SimilarityOps {
 
   private val DIM = 64
 
+  /** q48's persisted index pieces from the previous invocation —
+    * released (recompute-safe) at the start of the next one. */
+  private val q48Persists = new java.util.concurrent.atomic.AtomicReference[
+    Seq[org.apache.spark.sql.DataFrame]](Nil)
+
   /** `CAST(x.embedding[i] AS DOUBLE)` term chains, left-associative. */
   private def dotSql(a: String, b: String): String =
     (1 to DIM).map(i =>
@@ -89,13 +94,20 @@ object SimilarityOps {
     QueryDef.rowsOnly("q48_minhash_incremental") { (s, d) =>
       val docs = Tables.documents(s, d)
       // each index is read by both incremental passes — persisted, as
-      // the warehouse parquet tables they model would be
+      // the warehouse parquet tables they model would be; the previous
+      // invocation's cache entries are released first (unpersist is
+      // recompute-safe, unlike file deletion) so repeated runs don't
+      // leak cached blocks
+      val persists = Seq.newBuilder[org.apache.spark.sql.DataFrame]
       def idx(half: org.apache.spark.sql.DataFrame) = {
         val i = Dedup.minhashIndex(half, "doc_id", "text")
+        persists += i.bands += i.shingles += i.sizes
         Dedup.MinHashIndex(i.bands.persist(), i.shingles.persist(), i.sizes.persist())
       }
       val idxA = idx(docs.filter($"doc_id" % 2 === 0))
       val idxB = idx(docs.filter($"doc_id" % 2 === 1))
+      q48Persists.getAndSet(persists.result())
+        .foreach(_.unpersist(blocking = false))
       Dedup.minhashIncrementalNearDups(idxA, Dedup.emptyMinhashIndex(s))
         .unionByName(Dedup.minhashIncrementalNearDups(idxB, idxA))
         .orderBy($"id_a", $"id_b")

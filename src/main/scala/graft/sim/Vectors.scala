@@ -427,6 +427,7 @@ object Vectors {
     import spark.implicits._
     val vecs = data.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
+    require(ksub >= 1 && ksub <= 256, s"ksub=$ksub must fit a byte code (1..256)")
     val seed = data
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .withColumn("hk", xxhash64(col("id")))
@@ -438,6 +439,9 @@ object Vectors {
     val dim = seed.head.length
     require(dim % m == 0, s"dim $dim must be divisible by m=$m")
     val dsub = dim / m
+    // a corpus smaller than ksub seeds fewer centroids — the model's
+    // ksub must reflect the actual codebook size or ADC tables overrun
+    val ksubActual = seed.length
     var books: Array[Array[Array[Double]]] =
       Array.tabulate(m)(s => seed.map(v => subSlice(v, s, dsub)))
     for (_ <- 0 until iters) {
@@ -468,7 +472,7 @@ object Vectors {
       }
       books = next
     }
-    PqModel(m, dsub, ksub, books)
+    PqModel(m, dsub, ksubActual, books)
   }
 
   /** ANN top-k over PQ codes: encode once (id, m byte codes,
