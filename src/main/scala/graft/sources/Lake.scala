@@ -52,6 +52,30 @@ object Lake {
     if (fs.exists(bak)) fs.delete(bak, true)
   }
 
+  /** Compact a directory of small parquet files into
+    * ⌈bytes / targetFileBytes⌉ files (min 1), preserving content —
+    * incremental appends (daily batches, streaming micro-batches)
+    * accumulate small files whose per-file open/footer cost dominates
+    * scans at lake scale. Optional sort columns restore min/max
+    * skipping in the compacted files. The rewrite goes through
+    * [[atomicOverwrite]], so a crash leaves either the old or the new
+    * layout, never a mix. */
+  def compact(spark: SparkSession, dir: String,
+      targetFileBytes: Long = 128L << 20,
+      sortCols: Seq[String] = Nil): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(dir)
+    val laidOut =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(nFiles)
+    atomicOverwrite(laidOut, dir)
+  }
+
   /** Register a bucketed table: both sides of a recurring equi-join
     * bucketed on the join key join WITHOUT a shuffle (verified in
     * LakeSpec by asserting the join plan has no Exchange). */

@@ -59,4 +59,24 @@ class LakeSpec extends GraftSpec {
     assert(df.queryExecution.executedPlan.toString.contains("PushedFilters"))
     assert(df.count() > 0)
   }
+
+  test("compaction collapses small files, preserves content, keeps sort skipping") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = spark.range(2000).select($"id", ($"id" % 7).as("k"))
+    df.repartition(20).write.mode("overwrite").parquet(dir)
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = parquetFiles
+    assert(before >= 10, s"fixture should be fragmented, got $before files")
+    Lake.compact(spark, dir, targetFileBytes = 1L << 30, sortCols = Seq("id"))
+    val after = parquetFiles
+    assert(after < before, s"$before -> $after")
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 2000)
+    assert(back.agg(sum($"id")).head.getLong(0) === (0L until 2000L).sum)
+    // no leftover staging/backup dirs from the atomic swap
+    val siblings = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(!siblings.exists(n => n.endsWith("__tmp") || n.endsWith("__bak")))
+  }
 }
