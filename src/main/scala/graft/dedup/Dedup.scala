@@ -115,13 +115,21 @@ object Dedup {
         rotateSpill(spill)
         spark.read.parquet(spill)
       }
-    // one-shot = the incremental operator over its own index with an
-    // empty base: candidates and verification go through the exact
-    // same code, so the band scheme cannot drift between the paths
+    // band scheme and verification are the shared [[bandedIndex]] /
+    // [[verifyCandidates]] code paths (so one-shot and incremental
+    // cannot drift); only the candidate orientation differs — a pure
+    // self-join can keep the `id_a < id_b` triangle and halve the rows
+    // through the dedup aggregate vs the incremental formulation's
+    // both-orientations + least/greatest normalization
     val (bandRows, sizes) = bandedIndex(hashed, bands, rowsPerBand)
-    minhashIncrementalNearDups(
-      MinHashIndex(bandRows, hashed, sizes),
-      emptyMinhashIndex(spark), threshold)
+    val candidates = bandRows
+      .select(col("band_idx"), col("band_key"), col("id").as("id_a"))
+      .join(bandRows.select(col("band_idx"), col("band_key"), col("id").as("id_b")),
+        Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    verifyCandidates(candidates, hashed, sizes, threshold)
   }
 
   /** THE banding scheme: banded signature rows + per-doc set sizes from
@@ -196,8 +204,16 @@ object Dedup {
         least(col("new_id"), col("other_id")).as("id_a"),
         greatest(col("new_id"), col("other_id")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val shingles = base.shingles.unionByName(increment.shingles)
-    val sizes = base.sizes.unionByName(increment.sizes)
+    verifyCandidates(candidates,
+      base.shingles.unionByName(increment.shingles),
+      base.sizes.unionByName(increment.sizes), threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the hashed
+    * shingle rows — shared by the one-shot and incremental paths so
+    * the accept/reject arithmetic exists in exactly one place. */
+  private def verifyCandidates(candidates: DataFrame, shingles: DataFrame,
+      sizes: DataFrame, threshold: Double): DataFrame = {
     val inter = candidates
       .join(shingles.select(col("id").as("id_a"), col("h")), Seq("id_a"))
       .join(shingles.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))

@@ -190,20 +190,22 @@ object FleetOps {
     * persists applyBatch's three union branches (and batch 2's
     * full-outer join over batch 1's whole output) recompute the staging
     * aggregation ~6×. */
-  // keyed by (session identity, dim) so a fresh SparkSession never
-  // receives DataFrames bound to a stopped one; the cached day2 string
-  // also spares the per-call date-probe job. The skName key is 1:1
-  // with the staging builder on this surface (vehicle_sk ↔ dimVehicle,
+  // keyed by (session reference, dim) — SparkSession equality is
+  // identity, so a fresh session never receives DataFrames bound to a
+  // stopped one and two live sessions cannot collide; the cached day2
+  // string also spares the per-call date-probe job. Entries pin at
+  // most two dims per session — bounded. The skName key is 1:1 with
+  // the staging builder on this surface (vehicle_sk ↔ dimVehicle,
   // driver_sk ↔ dimDriver).
   private val twoDayInputs = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), (DataFrame, DataFrame, String)]()
+    (SparkSession, String), (DataFrame, DataFrame, String)]()
 
   private def scd2TwoDay(
       s: SparkSession,
       stg: (Oltp, Column) => DataFrame,
       key: String, tracked: Seq[String], skName: String): DataFrame = {
     val (d1, stg2, day2) = twoDayInputs.computeIfAbsent(
-      (System.identityHashCode(s), skName), _ => {
+      (s, skName), _ => {
         val t = oltp(s)
         val d2 = Pipeline.nthLastDateWithData(t, 0).get
         val d1s = Pipeline.nthLastDateWithData(t, 1).get

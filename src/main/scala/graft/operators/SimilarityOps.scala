@@ -106,8 +106,10 @@ object SimilarityOps {
       }
       val idxA = idx(docs.filter($"doc_id" % 2 === 0))
       val idxB = idx(docs.filter($"doc_id" % 2 === 1))
+      // best-effort: a previous invocation may belong to a since-
+      // stopped session, whose cache manager would throw on unpersist
       q48Persists.getAndSet(persists.result())
-        .foreach(_.unpersist(blocking = false))
+        .foreach(p => scala.util.Try(p.unpersist(blocking = false)))
       Dedup.minhashIncrementalNearDups(idxA, Dedup.emptyMinhashIndex(s))
         .unionByName(Dedup.minhashIncrementalNearDups(idxB, idxA))
         .orderBy($"id_a", $"id_b")

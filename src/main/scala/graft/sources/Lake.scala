@@ -52,19 +52,32 @@ object Lake {
     if (fs.exists(bak)) fs.delete(bak, true)
   }
 
-  /** Compact a directory of small parquet files into
+  /** Compact a FLAT directory of small parquet files into
     * ⌈bytes / targetFileBytes⌉ files (min 1), preserving content —
     * incremental appends (daily batches, streaming micro-batches)
     * accumulate small files whose per-file open/footer cost dominates
     * scans at lake scale. Optional sort columns restore min/max
     * skipping in the compacted files. The rewrite goes through
     * [[atomicOverwrite]], so a crash leaves either the old or the new
-    * layout, never a mix. */
+    * layout, never a mix.
+    *
+    * Constraints (maintenance ops on a bare parquet lake have no
+    * transaction log):
+    *  - SINGLE WRITER: rows appended between the read snapshot and the
+    *    swap would be lost — run under the same scheduler slot that owns
+    *    writes to the directory (as the daily `load` does).
+    *  - Hive-partitioned layouts are rejected: a flat rewrite would
+    *    silently destroy partition pruning. Compact leaf partition
+    *    directories individually. */
   def compact(spark: SparkSession, dir: String,
       targetFileBytes: Long = 128L << 20,
       sortCols: Seq[String] = Nil): Unit = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partitioned = fs.listStatus(path).exists(st =>
+      st.isDirectory && st.getPath.getName.contains("="))
+    require(!partitioned,
+      s"$dir is Hive-partitioned — compact its leaf partitions individually")
     val bytes = fs.getContentSummary(path).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(dir)

@@ -69,14 +69,40 @@ class LakeSpec extends GraftSpec {
       .count(f => f.getName.endsWith(".parquet"))
     val before = parquetFiles
     assert(before >= 10, s"fixture should be fragmented, got $before files")
-    Lake.compact(spark, dir, targetFileBytes = 1L << 30, sortCols = Seq("id"))
+    // small target → several output files, so range disjointness is a
+    // real assertion (a 1-file result would make it vacuous)
+    Lake.compact(spark, dir, targetFileBytes = 8L << 10, sortCols = Seq("id"))
     val after = parquetFiles
-    assert(after < before, s"$before -> $after")
+    assert(after < before && after >= 2, s"$before -> $after")
     val back = spark.read.parquet(dir)
     assert(back.count() === 2000)
     assert(back.agg(sum($"id")).head.getLong(0) === (0L until 2000L).sum)
+    // sort layout survives: per-file [min,max] id ranges are disjoint
+    // (the property min/max row-group skipping depends on)
+    val ranges = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min($"id"), max($"id")).head
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo, ranges.mkString(", "))
+      case _ =>
+    }
     // no leftover staging/backup dirs from the atomic swap
     val siblings = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
     assert(!siblings.exists(n => n.endsWith("__tmp") || n.endsWith("__bak")))
+  }
+
+  test("compact refuses a Hive-partitioned layout") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_p").toString + "/t"
+    spark.range(100).select($"id", ($"id" % 3).as("p"))
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Lake.compact(spark, dir)
+    }
+    assert(e.getMessage.contains("partition"))
   }
 }
