@@ -82,6 +82,17 @@ object Dedup {
     * key; candidates are then verified with EXACT shingle-set Jaccard
     * and filtered at `threshold`. Returns (id_a, id_b, jaccard) with
     * id_a < id_b. The pair space is only touched for band collisions.
+    *
+    * ==Result lifetime (spill contract)==
+    * For corpora above the spill threshold the returned DataFrame's
+    * lineage reads a scratch-parquet spill that stays valid only while
+    * the spill is among the `maxLiveSpills` (4) most recent large-corpus
+    * results from this object. Callers holding MORE than 4 such results
+    * must materialize each one (collect, write, or persist+count) before
+    * requesting the next — acting on an evicted result throws
+    * FileNotFoundException. Hold-and-consume-later of up to 4 results is
+    * safe; small corpora (below the threshold) never spill and carry no
+    * lifetime restriction.
     */
   def minhashNearDups(
       df: DataFrame,

@@ -36,22 +36,51 @@ object FleetOps {
     new java.io.File(sys.props("user.dir"),
       s"target/fleet-oltp-v$genVersion-t${cfg.nTrips}").getAbsolutePath)
 
-  @volatile private var cached: Option[Oltp] = None
+  // Every cache below holds DataFrames bound to one SparkSession, so
+  // each is keyed by the owning session (identity) and evicted when
+  // that session's context ends — a long-lived JVM hosting many
+  // sessions never accumulates dead-session references (advice r4).
+  @volatile private var cached: Option[(SparkSession, Oltp)] = None
+
+  private val sessionsHooked = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  private def hookEviction(s: SparkSession): Unit =
+    if (sessionsHooked.add(s))
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = evict(s)
+      })
+
+  /** Drop every cache entry bound to `s` (called on its application
+    * end; its cached blocks die with the context, so removal of the
+    * references is all that is needed). */
+  private def evict(s: SparkSession): Unit = synchronized {
+    twoDayInputs.keySet.removeIf(_._1 eq s)
+    twoDayDims.keySet.removeIf(_._1 eq s)
+    if (cached.exists(_._1 eq s)) cached = None
+    if (cachedEtl.exists(_._1 eq s)) cachedEtl = None
+    sessionsHooked.remove(s): Unit
+  }
 
   /** Generate-once, read-from-parquet OLTP tables. */
-  def oltp(spark: SparkSession): Oltp = cached.getOrElse {
-    synchronized {
-      cached.getOrElse {
-        val marker = new java.io.File(oltpDir, "_OLTP_READY")
-        if (!marker.exists()) {
-          DataGen.writeAll(spark, cfg, oltpDir)
-          marker.createNewFile()
-        }
-        def rd(n: String) = spark.read.parquet(s"$oltpDir/$n")
-        val t = Oltp(rd("vehicles"), rd("drivers"), rd("routes"),
-          rd("trips"), rd("deliveries"), rd("maintenance"))
-        cached = Some(t)
-        t
+  def oltp(spark: SparkSession): Oltp = cached match {
+    case Some((s, t)) if s eq spark => t
+    case _ => synchronized {
+      cached match {
+        case Some((s, t)) if s eq spark => t
+        case _ =>
+          hookEviction(spark)
+          val marker = new java.io.File(oltpDir, "_OLTP_READY")
+          if (!marker.exists()) {
+            DataGen.writeAll(spark, cfg, oltpDir)
+            marker.createNewFile()
+          }
+          def rd(n: String) = spark.read.parquet(s"$oltpDir/$n")
+          val t = Oltp(rd("vehicles"), rd("drivers"), rd("routes"),
+            rd("trips"), rd("deliveries"), rd("maintenance"))
+          cached = Some((spark, t))
+          t
       }
     }
   }
@@ -61,18 +90,22 @@ object FleetOps {
   // The ETL entries all read from one pipeline run — memoized so four
   // gate entries don't rebuild dims/SCD2/fact four times. Bench calls
   // [[warmup]] first so the build cost never pollutes per-query timing.
-  @volatile private var cachedEtl: Option[Pipeline.EtlOutput] = None
+  @volatile private var cachedEtl: Option[(SparkSession, Pipeline.EtlOutput)] = None
 
-  def etl(spark: SparkSession): Pipeline.EtlOutput = cachedEtl.getOrElse {
-    synchronized {
-      cachedEtl.getOrElse {
-        val t = oltp(spark)
-        val out = Pipeline.run(spark, t, Pipeline.nthLastDateWithData(t, 0).get)
-        val cachedOut = out.copy(
-          dims = out.dims.map { case (k, v) => k -> v.cache() },
-          fact = out.fact.cache())
-        cachedEtl = Some(cachedOut)
-        cachedOut
+  def etl(spark: SparkSession): Pipeline.EtlOutput = cachedEtl match {
+    case Some((s, out)) if s eq spark => out
+    case _ => synchronized {
+      cachedEtl match {
+        case Some((s, out)) if s eq spark => out
+        case _ =>
+          hookEviction(spark)
+          val t = oltp(spark)
+          val out = Pipeline.run(spark, t, Pipeline.nthLastDateWithData(t, 0).get)
+          val cachedOut = out.copy(
+            dims = out.dims.map { case (k, v) => k -> v.cache() },
+            fact = out.fact.cache())
+          cachedEtl = Some((spark, cachedOut))
+          cachedOut
       }
     }
   }
@@ -84,10 +117,11 @@ object FleetOps {
     out.fact.count()
     out.dims.values.foreach(_.count())
     // materialize the 2-day gate inputs (staging snapshots + day-1 dim
-    // state) — warehouse tables in the real pipeline, built off-clock
+    // state) — warehouse tables in the real pipeline, built off-clock —
+    // and the stored driver dim the PIT entry's key resolution reads
     scd2TwoDay(spark, Dimensions.dimVehicle,
       "vehicle_id", Dimensions.vehicleTracked, "vehicle_sk").count()
-    scd2TwoDay(spark, Dimensions.dimDriver,
+    scd2TwoDayStored(spark, Dimensions.dimDriver,
       "driver_id", Dimensions.driverTracked, "driver_sk").count()
   }
 
@@ -161,7 +195,7 @@ object FleetOps {
         val t = oltp(s)
         val day2 = Pipeline.nthLastDateWithData(t, 0).get
         val day1 = Pipeline.nthLastDateWithData(t, 1).get
-        val dim2 = scd2TwoDay(s, Dimensions.dimDriver,
+        val dim2 = scd2TwoDayStored(s, Dimensions.dimDriver,
           "driver_id", Dimensions.driverTracked, "driver_sk")
         val events = t.deliveries
           .filter(col("delivery_status") === "delivered" &&
@@ -194,9 +228,10 @@ object FleetOps {
   // identity, so a fresh session never receives DataFrames bound to a
   // stopped one and two live sessions cannot collide; the cached day2
   // string also spares the per-call date-probe job. Entries pin at
-  // most two dims per session — bounded. The skName key is 1:1 with
-  // the staging builder on this surface (vehicle_sk ↔ dimVehicle,
-  // driver_sk ↔ dimDriver).
+  // most two dims per live session and are evicted when the session's
+  // context ends ([[evict]]). The skName key is 1:1 with the staging
+  // builder on this surface (vehicle_sk ↔ dimVehicle, driver_sk ↔
+  // dimDriver).
   private val twoDayInputs = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, DataFrame, String)]()
 
@@ -204,6 +239,7 @@ object FleetOps {
       s: SparkSession,
       stg: (Oltp, Column) => DataFrame,
       key: String, tracked: Seq[String], skName: String): DataFrame = {
+    hookEviction(s)
     val (d1, stg2, day2) = twoDayInputs.computeIfAbsent(
       (s, skName), _ => {
         val t = oltp(s)
@@ -218,5 +254,21 @@ object FleetOps {
       })
     Scd2.applyBatch(d1, stg2, key, tracked, to_date(lit(day2)), skName)
       .orderBy(col(key), col("valid_from"))
+  }
+
+  /** The STORED 2-day dim table — what a fact-load's key resolution
+    * reads in the warehouse (the dim is a materialized table there,
+    * never a re-run of the SCD2 merge). Persisted per session; the
+    * `_2day` gate entries keep measuring [[scd2TwoDay]]'s live merge. */
+  private val twoDayDims = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private def scd2TwoDayStored(
+      s: SparkSession,
+      stg: (Oltp, Column) => DataFrame,
+      key: String, tracked: Seq[String], skName: String): DataFrame = {
+    hookEviction(s)
+    twoDayDims.computeIfAbsent((s, skName),
+      _ => scd2TwoDay(s, stg, key, tracked, skName).persist())
   }
 }

@@ -287,10 +287,14 @@ object Vectors {
     * pairs are already unique — no dedup shuffle (unlike multi-table
     * LSH). Recall is tunable via nlist/nprobe; nprobe = nlist is exact. */
   def ivfTopK(data: DataFrame, idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
+      pretrained: Option[Array[Array[Double]]] = None): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
-    val cents = ivfTrain(data, idCol, vecCol, nlist, iters)
+    // the coarse quantizer is fitted-model state: in a deployment it is
+    // trained once per corpus snapshot and STORED with the index (the
+    // query path only loads it) — callers pass it via `pretrained`
+    val cents = pretrained.getOrElse(ivfTrain(data, idCol, vecCol, nlist, iters))
     val bc = spark.sparkContext.broadcast(
       (cents, cents.map(c => math.sqrt(c.map(x => x * x).sum))))
     val vecs = data.select(col(idCol).cast("long"), col(vecCol))
@@ -484,10 +488,13 @@ object Vectors {
     * table once (bytes, not floats) + blocks×R rows per probe. */
   def pqTopK(data: DataFrame, idCol: String, vecCol: String, k: Int,
       m: Int = 8, ksub: Int = 16, iters: Int = 3,
-      rerankFactor: Int = 4, blocks: Int = 8): DataFrame = {
+      rerankFactor: Int = 4, blocks: Int = 8,
+      pretrained: Option[PqModel] = None): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
-    val model = pqTrain(data, idCol, vecCol, m, ksub, iters)
+    // codebooks are fitted-model state — stored with the index in a
+    // deployment, loaded (not re-trained) on the query path
+    val model = pretrained.getOrElse(pqTrain(data, idCol, vecCol, m, ksub, iters))
     val bc = spark.sparkContext.broadcast(
       (model, model.codebooks.map(_.map(c => c.map(x => x * x).sum))))
     val vecs = data.select(col(idCol).cast("long"), col(vecCol))
