@@ -67,23 +67,45 @@ object Bench {
       // Any pass may fail transiently (-1 sentinel); the median is
       // taken over the successful passes, falling back to the warm
       // pass, then to -1 as the per-entry failure signal.
-      val ok = (0 until 3).map(_ => timeOnce(q)).filter(_ >= 0).sorted
+      val passes = (0 until 3).map(_ => timeOnce(q))
+      val ok = passes.filter(_ >= 0).sorted
       val t =
         if (ok.nonEmpty) ok(ok.length / 2)
         else if (warm >= 0) warm
         else -1.0
-      (q.name, t, q.oracle.isDefined)
+      (q.name, t, q.oracle.isDefined, warm, passes)
     }
     // per-query -1 stays visible as the failure signal; totals clamp it
     // to 0 so a failed entry can never shrink a headline number
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map { case (_, v, _) => math.max(0.0, v) }.sum
-    val adjusted = results.map { case (_, v, _) => math.max(0.0, v - floor) }.sum
+    val total = results.map { case (_, v, _, _, _) => math.max(0.0, v) }.sum
+    val adjusted = results.map { case (_, v, _, _, _) => math.max(0.0, v - floor) }.sum
     // the apples-to-apples subtotal: only entries with a DuckDB oracle
     // (rows-only entries have no baseline counterpart to compare against)
-    val oracleMatched = results.collect { case (_, v, true) => math.max(0.0, v) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","floor":$floor,"value_adjusted":$adjusted,"value_oracle_matched":$oracleMatched,"queries":$qs,"sf":"$sfDir"}""")
+    val oracleMatched = results.collect { case (_, v, true, _, _) => math.max(0.0, v) }.sum
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val headline = s""""value":${r4(total)},"unit":"sec","floor":${r4(floor)},"value_adjusted":${r4(adjusted)},"value_oracle_matched":${r4(oracleMatched)}"""
+
+    // Full machine-readable artifact: medians, plus the per-pass raw
+    // times that make a contended session detectable (a clean session
+    // has tight pass spreads; a noisy one shows outlier passes). Written
+    // to a FILE because the driver only captures a bounded stdout tail.
+    val detail = results.map { case (k, v, _, warm, passes) =>
+      s""""$k":{"t":$v,"warm":$warm,"passes":[${passes.mkString(",")}]}"""
+    }.mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total",$headline,"floor_samples":[${floorSamples.map(r4).mkString(",")}],"queries":$qs,"detail":$detail,"sf":"$sfDir"}"""
+    val outFile = new java.io.File("BENCH_FULL.json")
+    val w = new java.io.PrintWriter(outFile, "UTF-8")
+    try w.println(fullJson) finally w.close()
+
     spark.stop()
+    // contract line (full per-query map) first, then a SHORT headline
+    // line LAST: the driver keeps only the final ~2KB of stdout, and the
+    // 85-entry query map alone overflows that — the closing line always
+    // fits, parses on its own, and points at the full artifact.
+    println(fullJson)
+    println(s"""{"metric":"total",$headline,"queries_file":"${outFile.getAbsolutePath}","sf":"$sfDir"}""")
   }
 }

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Seeded, Spark-native corpus generator for the SCALING benchmark
+  * (PERF.md): `documents` and `embeddings` tables with the same schema
+  * as the driver testdata, at arbitrary row counts.
+  *
+  * Determinism: every random draw is `xxhash64(seed, salt, rowIdentity)`
+  * — a function of row identity only (partition-layout-independent, the
+  * same rule as etl.DataGen), so a corpus at any scale is byte-stable
+  * across runs and cluster layouts.
+  *
+  * Structure matters for honest scaling curves:
+  *  - a 1000-word vocabulary keeps the 3-gram shingle space large
+  *    enough that shingle collisions come from real near-duplicates,
+  *    not vocabulary exhaustion (the driver corpus' tiny vocabulary
+  *    would make every candidate join quadratic at 250k docs for the
+  *    wrong reason);
+  *  - near-duplicate documents are PLANTED at a fixed rate (1% of docs
+  *    mirror their predecessor with ~8% word mutation) so true-pair
+  *    density grows linearly with n, as in a real dedup corpus;
+  *  - embeddings cluster around 32 centroids (IVF/PQ recall stays
+  *    meaningful) with 2% planted near-identical vectors.
+  */
+object CorpusGen {
+
+  private def h(seed: Long, salt: Int, cols: Column*): Column =
+    xxhash64((lit(seed) +: lit(salt) +: cols): _*)
+
+  /** Uniform [0,1) from row identity. */
+  private def u(seed: Long, salt: Int, cols: Column*): Column =
+    (h(seed, salt, cols: _*).bitwiseAND(lit(Long.MaxValue)))
+      .cast("double") / lit(Long.MaxValue.toDouble)
+
+  def documents(spark: SparkSession, n: Long, seed: Long = 7L): DataFrame = {
+    val vocab = 1000
+    val id = col("id")
+    val isDup = id % 100 === 1 && id > 0
+    val baseId = when(isDup, id - 1).otherwise(id)
+    // 30..89 words, drawn from the BASE doc's identity so a planted
+    // near-dup has the same length and word sequence as its original
+    val len = (u(seed, 1, baseId) * 60 + 30).cast("int")
+    val words = transform(sequence(lit(0), len - 1), i => {
+      val baseWord = pmod(h(seed, 2, baseId, i), lit(vocab))
+      val mutWord = pmod(h(seed, 3, id, i), lit(vocab))
+      val mutate = isDup && pmod(h(seed, 4, id, i), lit(12)) === 0
+      format_string("w%04d", when(mutate, mutWord).otherwise(baseWord))
+    })
+    spark.range(n).select(
+      id.as("doc_id"),
+      concat_ws(" ", words).as("text"),
+      element_at(
+        array(lit("en"), lit("es"), lit("de"), lit("fr"), lit("zh")),
+        (pmod(h(seed, 5, id), lit(5)) + 1).cast("int")).as("lang"),
+      format_string("src%d", pmod(h(seed, 6, id), lit(10))).as("source"))
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  def embeddings(spark: SparkSession, n: Long, dim: Int = 64,
+      seed: Long = 7L): DataFrame = {
+    val id = col("id")
+    val isDup = id % 50 === 1 && id > 0
+    val baseId = when(isDup, id - 1).otherwise(id)
+    val cluster = pmod(baseId, lit(32L))
+    def unit(salt: Int, k: Column, i: Column): Column =
+      u(seed, salt, k, i) * 2 - 1
+    val emb = transform(sequence(lit(1), lit(dim)), i =>
+      (unit(7, cluster, i) * 0.5 + unit(8, baseId, i) * 0.15 +
+        when(isDup, unit(9, id, i) * 0.02).otherwise(lit(0.0))).cast("float"))
+    spark.range(n).select(
+      id.as("vec_id"),
+      emb.as("embedding"),
+      pmod(h(seed, 10, id), lit(5)).cast("int").as("label"))
+  }
+
+  /** Write a corpus dir compatible with [[Tables]] (documents.parquet /
+    * embeddings.parquet), marker-guarded so repeated runs reuse it. */
+  def write(spark: SparkSession, dir: String, nDocs: Long, nVecs: Long): Unit = {
+    val marker = new java.io.File(dir, "_CORPUS_READY")
+    if (marker.exists()) return
+    documents(spark, nDocs)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    embeddings(spark, nVecs)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    marker.createNewFile(): Unit
+  }
+}

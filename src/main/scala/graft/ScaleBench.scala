@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-curve benchmark (PERF.md): runs the corpus operators (dedup
+  * / similarity / text, SURVEY §2.14 E-ops) over CorpusGen corpora at
+  * 1× / 10× / 50× the sf0.1 corpus size (5k/50k/250k docs — 2k/20k/100k
+  * vectors) and reports per-entry seconds at each scale, so the "this
+  * plan scales" claims rest on MEASURED growth, not plan reading.
+  *
+  * The exact all-pairs baselines (q33 n-gram Jaccard, q36 cosine pairs)
+  * are O(n²) BY CONTRACT — they run only up to 10× and PERF.md records
+  * the measured super-linear growth and the crossover where the LSH/IVF
+  * scale paths take over.
+  *
+  * Statistic: min of 2 measured passes after 1 warm pass — the curve
+  * compares an op WITH ITSELF across scales, so a noise-robust floor
+  * estimate is the right per-point statistic (unlike BENCH's cross-
+  * engine median-of-3 contract).
+  *
+  * Usage: runMain graft.ScaleBench [scales]   (default "1,10,50")
+  * Output: one JSON line per scale + PERF_SCALING.json with everything.
+  */
+object ScaleBench {
+
+  private val scaleOps = Seq(
+    "q28_token_count", "q29_text_quality", "q30_langid", "q31_fingerprint",
+    "q32_binary_meta", "q34_minhash_lsh", "q35_simhash_signatures",
+    "q37_ann_bruteforce", "q38_ann_lsh", "q44_ann_ivf", "q45_bpe_tokens",
+    "q46_winnow_fingerprint", "q47_corpus_pipeline",
+    "q48_minhash_incremental", "q49_ann_pq")
+
+  /** Exact all-pairs baselines: quadratic by contract, capped at 10×. */
+  private val exactOps = Seq("q33_ngram_jaccard", "q36_embedding_neardup")
+
+  def main(args: Array[String]): Unit = {
+    val scales = args.headOption.getOrElse("1,10,50")
+      .split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scalebench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val defs = SparkEntry.allDefs.map(q => q.name -> q).toMap
+
+    val perScale = scales.map { scale =>
+      val dir = new java.io.File(
+        sys.props("user.dir"), s"target/corpus-x$scale").getAbsolutePath
+      CorpusGen.write(spark, dir, nDocs = 5000L * scale, nVecs = 2000L * scale)
+
+      val names = scaleOps ++ (if (scale <= 10) exactOps else Nil)
+      val times = names.map { name =>
+        val q = defs(name)
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try q.fn(spark, dir).count() catch { case _: Throwable => return -1.0 }
+          (System.nanoTime() - t0) / 1e9
+        }
+        once() // warm
+        val ok = Seq(once(), once()).filter(_ >= 0)
+        name -> (if (ok.nonEmpty) ok.min else -1.0)
+      }
+      val line = times.map { case (k, v) =>
+        "\"" + k + "\":" + math.rint(v * 1e4) / 1e4
+      }.mkString(s"""{"scale":$scale,"docs":${5000L * scale},"queries":{""", ",", "}}")
+      println(line)
+      line
+    }
+
+    val w = new java.io.PrintWriter("PERF_SCALING.json", "UTF-8")
+    try w.println(perScale.mkString("[", ",\n", "]")) finally w.close()
+    spark.stop()
+  }
+}

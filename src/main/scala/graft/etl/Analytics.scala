@@ -71,18 +71,24 @@ object Analytics {
       .orderBy(col("total_entregas").desc, col("destination_city"))
   }
 
-  /** Q5 — active drivers' workload (ref 02:65-77). */
-  def q5DriverWorkload(t: Oltp): DataFrame =
-    t.drivers.filter(col("status") === "active").drop("status")
-      .join(t.trips, Seq("driver_id"), "left")
-      .groupBy(col("driver_id"),
+  /** Q5 — active drivers' workload (ref 02:65-77). Trips pre-aggregate
+    * per driver_id first (map-side combine down to ≤#drivers rows), then
+    * broadcast-join the 400-row drivers dim — no sort-merge shuffle of
+    * the full trips table, the same rewrite shape as Q4/Q6/Q10. The
+    * original LEFT join + HAVING COUNT(trip_id) > 0 keeps exactly the
+    * drivers with ≥1 trip, which is what the inner join against the
+    * per-driver aggregate (whose every row has count ≥ 1) yields. */
+  def q5DriverWorkload(t: Oltp): DataFrame = {
+    val perDriver = t.trips.groupBy(col("driver_id")).agg(
+      count(col("trip_id")).as("viajes_totales"),
+      sum(when(col("status") === "completed", 1).otherwise(0)).as("viajes_completados"))
+    perDriver
+      .join(broadcast(t.drivers.filter(col("status") === "active")), Seq("driver_id"))
+      .select(col("driver_id"),
         concat_ws(" ", col("first_name"), col("last_name")).as("nombre_completo"),
-        col("license_expiry"))
-      .agg(
-        count(col("trip_id")).as("viajes_totales"),
-        sum(when(col("status") === "completed", 1).otherwise(0)).as("viajes_completados"))
-      .filter(col("viajes_totales") > 0)
+        col("license_expiry"), col("viajes_totales"), col("viajes_completados"))
       .orderBy(col("viajes_completados").desc, col("driver_id"))
+  }
 
   /** Q6 — deliveries per driver, last 6 months ≈ 180 days (ref 02:82-95).
     * Same distinct-by-key pre-aggregation as Q4/Q10: per-trip delivery

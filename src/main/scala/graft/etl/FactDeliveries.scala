@@ -14,10 +14,26 @@ object FactDeliveries {
 
   /** Incremental extract: delivered deliveries of one day, joined to
     * their trip and route (ref extract_deliveries, etl_pipeline.py:
-    * 230-277 — the 3-way join pushed to the source). On a
-    * date-partitioned lake this filter IS the partition prune. */
-  def extractDay(t: Oltp, day: Column): DataFrame =
-    t.deliveries
+    * 230-277 — the 3-way join pushed to the source). On the
+    * date-partitioned store (DataGen.writeAll lays deliveries out by
+    * `p_date`) the added partition-column equality prunes the scan to
+    * ONE directory — the daily batch never reads the whole table
+    * (asserted in PlanSpec); the original predicates stay for semantic
+    * identity on unpartitioned inputs (unit-test frames, JDBC edge). */
+  def extractDay(t: Oltp, day: Column): DataFrame = {
+    val pruned =
+      if (t.deliveries.columns.contains("p_month"))
+        t.deliveries
+          // partition prune to the month directory, then a RAW timestamp
+          // range (pushable — the to_date() wrapper below is not) so
+          // parquet min/max skips straight to the day's row groups in
+          // the month-sorted files
+          .filter(col("p_month") === trunc(day, "month") &&
+            col("delivered_datetime") >= day.cast("timestamp") &&
+            col("delivered_datetime") < date_add(day, 1).cast("timestamp"))
+          .drop("p_month")
+      else t.deliveries
+    pruned
       .filter(col("delivery_status") === "delivered" &&
         to_date(col("delivered_datetime")) === day)
       .join(t.trips.select(
@@ -26,6 +42,7 @@ object FactDeliveries {
         Seq("trip_id"))
       .join(broadcast(t.routes.select(
         col("route_id"), col("distance_km"), col("toll_cost"))), Seq("route_id"))
+  }
 
   /** The fact transform proper (ref :817-944). `extract` must carry the
     * columns produced by [[extractDay]]. */

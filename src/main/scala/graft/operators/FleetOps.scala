@@ -26,8 +26,9 @@ object FleetOps {
   private[operators] val cfg = DataGen.Config()
 
   /** Bump when DataGen output changes — the directory is keyed by it so
-    * stale parquet from an older generator version is never reused. */
-  private val genVersion = 4
+    * stale parquet from an older generator version is never reused.
+    * v6: deliveries stored month-partitioned (p_month), day-sorted. */
+  private val genVersion = 6
 
   /** Stable absolute home of the generated OLTP parquet. Must be
     * absolute: the path is embedded into the oracle SQL that the
@@ -53,14 +54,50 @@ object FleetOps {
       })
 
   /** Drop every cache entry bound to `s` (called on its application
-    * end; its cached blocks die with the context, so removal of the
-    * references is all that is needed). */
-  private def evict(s: SparkSession): Unit = synchronized {
-    twoDayInputs.keySet.removeIf(_._1 eq s)
-    twoDayDims.keySet.removeIf(_._1 eq s)
-    if (cached.exists(_._1 eq s)) cached = None
-    if (cachedEtl.exists(_._1 eq s)) cachedEtl = None
+    * end). The ConcurrentHashMap removals run OUTSIDE the FleetOps
+    * monitor: a thread inside those maps' computeIfAbsent lambdas holds
+    * the bin lock while calling `oltp` (which takes the monitor), so
+    * holding the monitor here while taking bin locks would be a lock-
+    * order inversion that can deadlock the listener-bus thread (advice
+    * r5). Unpersists are best-effort: for a stopped session the blocks
+    * died with the context and the call throws harmlessly, but when a
+    * still-live session's entries are displaced ([[etl]]) the same
+    * helper actually frees the cached blocks. */
+  private def unpersistAll(dfs: Iterable[DataFrame]): Unit =
+    dfs.foreach(df => scala.util.Try(df.unpersist(blocking = false)))
+
+  private[operators] def evict(s: SparkSession): Unit = {
+    Seq(twoDayInputs, threeDayInputs).foreach { m =>
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 eq s) { unpersistAll(e.getValue._4); it.remove() }
+      }
+    }
+    synchronized {
+      if (cached.exists(_._1 eq s)) cached = None
+      cachedEtl match {
+        case Some((cs, out)) if cs eq s =>
+          cachedEtl = None
+          unpersistAll(out.dims.values.toSeq :+ out.fact)
+        case _ => ()
+      }
+    }
     sessionsHooked.remove(s): Unit
+  }
+
+  /** Number of cache entries currently bound to `s`, across every map
+    * and slot — test hook for the eviction contract (FleetOpsSpec). */
+  private[operators] def boundEntryCount(s: SparkSession): Int = {
+    var n = 0
+    twoDayInputs.keySet.forEach(k => if (k._1 eq s) n += 1)
+    threeDayInputs.keySet.forEach(k => if (k._1 eq s) n += 1)
+    synchronized {
+      if (cached.exists(_._1 eq s)) n += 1
+      if (cachedEtl.exists(_._1 eq s)) n += 1
+    }
+    if (sessionsHooked.contains(s)) n += 1
+    n
   }
 
   /** Generate-once, read-from-parquet OLTP tables. */
@@ -104,6 +141,13 @@ object FleetOps {
           val cachedOut = out.copy(
             dims = out.dims.map { case (k, v) => k -> v.cache() },
             fact = out.fact.cache())
+          // a second live session displacing this slot must release the
+          // displaced entry's cached blocks — with several sessions on
+          // one shared context they would otherwise accumulate until the
+          // context ends (advice r5)
+          cachedEtl.foreach { case (_, old) =>
+            unpersistAll(old.dims.values.toSeq :+ old.fact)
+          }
           cachedEtl = Some((spark, cachedOut))
           cachedOut
       }
@@ -121,8 +165,11 @@ object FleetOps {
     // and the stored driver dim the PIT entry's key resolution reads
     scd2TwoDay(spark, Dimensions.dimVehicle,
       "vehicle_id", Dimensions.vehicleTracked, "vehicle_sk").count()
-    scd2TwoDayStored(spark, Dimensions.dimDriver,
-      "driver_id", Dimensions.driverTracked, "driver_sk").count()
+    scd2ThreeDay(spark, Dimensions.dimVehicle,
+      "vehicle_id", Dimensions.vehicleTracked, "vehicle_sk", "status").count()
+    scd2ThreeDay(spark, Dimensions.dimDriver,
+      "driver_id", Dimensions.driverTracked, "driver_sk", "phone").count()
+    storedDriverDim(spark).count()
   }
 
   private val oracles: Map[String, String] = FleetOracles.all(oltpDir, cfg.asOfDate)
@@ -185,6 +232,20 @@ object FleetOps {
         "driver_id", Dimensions.driverTracked, "driver_sk"),
       oracles.get("fl_etl_dim_driver_scd2_2day")),
 
+    /** J7 composed: THREE daily batches with the deterministic A→B→A
+      * flip-back probe ([[scd2ThreeDay]]) — closed, reopened, and
+      * re-closed versions all hash-compared against an independent
+      * 3-fold MERGE unroll in DuckDB. */
+    QueryDef("fl_etl_dim_vehicle_scd2_3day",
+      (s, _) => scd2ThreeDay(s, Dimensions.dimVehicle,
+        "vehicle_id", Dimensions.vehicleTracked, "vehicle_sk", "status"),
+      oracles.get("fl_etl_dim_vehicle_scd2_3day")),
+
+    QueryDef("fl_etl_dim_driver_scd2_3day",
+      (s, _) => scd2ThreeDay(s, Dimensions.dimDriver,
+        "driver_id", Dimensions.driverTracked, "driver_sk", "phone"),
+      oracles.get("fl_etl_dim_driver_scd2_3day")),
+
     /** Point-in-time surrogate-key resolution (Scd2.resolveKeys — the
       * as-of join formulation of `fact.date BETWEEN dim.valid_from AND
       * dim.valid_to`, ref etl_pipeline.py:1137-1168) against the
@@ -195,9 +256,13 @@ object FleetOps {
         val t = oltp(s)
         val day2 = Pipeline.nthLastDateWithData(t, 0).get
         val day1 = Pipeline.nthLastDateWithData(t, 1).get
-        val dim2 = scd2TwoDayStored(s, Dimensions.dimDriver,
-          "driver_id", Dimensions.driverTracked, "driver_sk")
+        val dim2 = storedDriverDim(s)
+        def monthOf(d: String) = java.sql.Date.valueOf(d.substring(0, 7) + "-01")
         val events = t.deliveries
+          // partition prune to the event days' months (p_month layout),
+          // then the semantic predicates — the scan skips every other
+          // month directory
+          .filter(col("p_month").isin(monthOf(day1), monthOf(day2)))
           .filter(col("delivery_status") === "delivered" &&
             to_date(col("delivered_datetime"))
               .isin(java.sql.Date.valueOf(day1), java.sql.Date.valueOf(day2)))
@@ -233,14 +298,14 @@ object FleetOps {
   // builder on this surface (vehicle_sk ↔ dimVehicle, driver_sk ↔
   // dimDriver).
   private val twoDayInputs = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, DataFrame, String)]()
+    (SparkSession, String), (DataFrame, DataFrame, String, Seq[DataFrame])]()
 
   private def scd2TwoDay(
       s: SparkSession,
       stg: (Oltp, Column) => DataFrame,
       key: String, tracked: Seq[String], skName: String): DataFrame = {
     hookEviction(s)
-    val (d1, stg2, day2) = twoDayInputs.computeIfAbsent(
+    val (d1, stg2, day2, _) = twoDayInputs.computeIfAbsent(
       (s, skName), _ => {
         val t = oltp(s)
         val d2 = Pipeline.nthLastDateWithData(t, 0).get
@@ -250,25 +315,86 @@ object FleetOps {
         val dim1 = Scd2.applyBatch(
           Scd2.emptyDim(s1, key, tracked, skName),
           s1, key, tracked, to_date(lit(d1s)), skName).persist()
-        (dim1, s2, d2)
+        // every persisted handle rides along so eviction can actually
+        // release the blocks (s1 is only reachable via dim1's lineage)
+        (dim1, s2, d2, Seq(s1, s2, dim1))
       })
     Scd2.applyBatch(d1, stg2, key, tracked, to_date(lit(day2)), skName)
       .orderBy(col(key), col("valid_from"))
   }
 
-  /** The STORED 2-day dim table — what a fact-load's key resolution
-    * reads in the warehouse (the dim is a materialized table there,
-    * never a re-run of the SCD2 merge). Persisted per session; the
-    * `_2day` gate entries keep measuring [[scd2TwoDay]]'s live merge. */
-  private val twoDayDims = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+  /** Three consecutive daily SCD2 batches with a deterministic A→B→A
+    * flip-back probe: every key with `key % 5 == 0` gets one tracked
+    * column suffixed `~probe` in the MIDDLE day's staging snapshot only,
+    * so those keys change A→B at day 2 and back B→A at day 3 — the
+    * classic reopened-version shape that breaks naive surrogate schemes.
+    * `md5(key || valid_from)` stays unique across the reopened versions
+    * because each carries a distinct valid_from (d1/d2/d3); the gate's
+    * DuckDB oracle recomputes the same 3-fold merge independently
+    * (FleetOracles.threeDayMerge), so composition of the fold is
+    * hash-verified, not just one application (ref daily scheduler,
+    * run_etl_scheduler.py:65-70; MERGE contract etl_pipeline.py:
+    * 1030-1098). Input snapshots and the day-2 dim state are memoized
+    * like the 2-day gate's — materialized warehouse tables in the real
+    * pipeline — so the timed region is the day-3 merge itself. */
+  private val threeDayInputs = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame, String, Seq[DataFrame])]()
 
-  private def scd2TwoDayStored(
+  /** The day-2 probe: suffix `probeCol` for keys ≡ 0 (mod 5). NULL
+    * values stay NULL (concat propagates), matching the SQL `||`. */
+  private def probeDay2(stg: DataFrame, key: String, probeCol: String): DataFrame =
+    stg.withColumn(probeCol,
+      when(col(key) % 5 === 0, concat(col(probeCol), lit("~probe")))
+        .otherwise(col(probeCol)))
+
+  private[operators] def scd2ThreeDay(
       s: SparkSession,
       stg: (Oltp, Column) => DataFrame,
-      key: String, tracked: Seq[String], skName: String): DataFrame = {
+      key: String, tracked: Seq[String], skName: String,
+      probeCol: String): DataFrame = {
     hookEviction(s)
-    twoDayDims.computeIfAbsent((s, skName),
-      _ => scd2TwoDay(s, stg, key, tracked, skName).persist())
+    val (d2state, stg3, day3, _) = threeDayInputs.computeIfAbsent(
+      (s, skName), _ => {
+        val t = oltp(s)
+        val d3 = Pipeline.nthLastDateWithData(t, 0).get
+        val d2 = Pipeline.nthLastDateWithData(t, 1).get
+        val d1 = Pipeline.nthLastDateWithData(t, 2).get
+        val s1 = stg(t, to_date(lit(d1))).persist()
+        val s2 = probeDay2(stg(t, to_date(lit(d2))), key, probeCol).persist()
+        val s3 = stg(t, to_date(lit(d3))).persist()
+        val dim1 = Scd2.applyBatch(
+          Scd2.emptyDim(s1, key, tracked, skName),
+          s1, key, tracked, to_date(lit(d1)), skName).persist()
+        val dim2 = Scd2.applyBatch(
+          dim1, s2, key, tracked, to_date(lit(d2)), skName).persist()
+        (dim2, s3, d3, Seq(s1, s2, s3, dim1, dim2))
+      })
+    Scd2.applyBatch(d2state, stg3, key, tracked, to_date(lit(day3)), skName)
+      .orderBy(col(key), col("valid_from"))
+  }
+
+  /** The STORED 2-day driver dim — what a fact-load's key resolution
+    * reads in the warehouse (the dim is a materialized TABLE there,
+    * never a re-run of the SCD2 merge). Materialized once as parquet
+    * under [[oltpDir]] so the PIT gate's DuckDB oracle reads the SAME
+    * stored table — both engines then time only key resolution, keeping
+    * the measured ratio symmetric (advice r5; the `_2day` gate entries
+    * keep measuring [[scd2TwoDay]]'s live merge, which is what proves
+    * the stored content). */
+  private[operators] val storedDriverDimName = "stored_dim_driver_2day"
+  private val storedDimLock = new Object
+
+  private[operators] def storedDriverDim(s: SparkSession): DataFrame = {
+    val marker = new java.io.File(oltpDir, "_STORED_DIM_READY")
+    if (!marker.exists()) storedDimLock.synchronized {
+      if (!marker.exists()) {
+        scd2TwoDay(s, Dimensions.dimDriver,
+          "driver_id", Dimensions.driverTracked, "driver_sk")
+          .write.mode("overwrite")
+          .parquet(s"$oltpDir/$storedDriverDimName")
+        marker.createNewFile(): Unit
+      }
+    }
+    s.read.parquet(s"$oltpDir/$storedDriverDimName")
   }
 }

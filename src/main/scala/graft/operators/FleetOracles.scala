@@ -23,7 +23,13 @@ object FleetOracles {
   private def rp2(x: String) = roundPortableSql(x, 2)
 
   def all(dir: String, asOf: String): Map[String, String] = {
-    def t(name: String) = s"read_parquet('$dir/$name/*.parquet')"
+    // deliveries is stored date-partitioned (p_date=… directories); the
+    // two-level glob reads the leaf files, whose columns are exactly the
+    // logical schema (the partition column lives in directory names and
+    // no oracle references it)
+    def t(name: String) =
+      if (name == "deliveries") s"read_parquet('$dir/$name/*/*.parquet')"
+      else s"read_parquet('$dir/$name/*.parquet')"
     val D = s"DATE '$asOf'"
 
     val kpi = Map(
@@ -326,6 +332,91 @@ object FleetOracles {
          |  )
          |)""".stripMargin
 
+    // Day-parameterized dim_vehicle staging snapshot (etl_pipeline.py:
+    // 640-731): /30.44 age months + last maintenance date. Shared by
+    // the 2-day and 3-day SCD2 gates (requires a `lastm` CTE in scope).
+    def vehicleStg(alias: String, dayExpr: String): String =
+      s"""$alias AS (
+         |  SELECT v.vehicle_id, v.license_plate, v.vehicle_type,
+         |         CAST(v.capacity_kg AS DOUBLE) AS capacity_kg,
+         |         v.fuel_type, v.acquisition_date,
+         |         CAST(FLOOR(CAST(date_diff('day', v.acquisition_date, $dayExpr) AS DOUBLE) / 30.44) AS INTEGER) AS age_months,
+         |         v.status, lm.last_maintenance_date
+         |  FROM ${t("vehicles")} v
+         |  LEFT JOIN lastm lm ON v.vehicle_id = lm.vehicle_id
+         |)""".stripMargin
+
+    val vehicleTrackedSql = Seq("license_plate", "vehicle_type", "capacity_kg",
+      "fuel_type", "acquisition_date", "age_months", "status",
+      "last_maintenance_date")
+    val driverTrackedSql = Seq("employee_code", "full_name", "license_number",
+      "license_expiry", "phone", "hire_date", "experience_months",
+      "status", "performance_category", "deliveries_per_hour")
+
+    // The 3-day target-date ladder (newest with data = d3, then d2, d1).
+    val threeDayTds =
+      s"""t3d AS (
+         |  SELECT MAX(CAST(delivered_datetime AS DATE)) AS d3
+         |  FROM ${t("deliveries")}
+         |  WHERE delivery_status = 'delivered' AND delivered_datetime IS NOT NULL
+         |), t2d AS (
+         |  SELECT MAX(CAST(delivered_datetime AS DATE)) AS d2
+         |  FROM ${t("deliveries")}
+         |  WHERE delivery_status = 'delivered' AND delivered_datetime IS NOT NULL
+         |    AND CAST(delivered_datetime AS DATE) < (SELECT d3 FROM t3d)
+         |), t1d AS (
+         |  SELECT MAX(CAST(delivered_datetime AS DATE)) AS d1
+         |  FROM ${t("deliveries")}
+         |  WHERE delivery_status = 'delivered' AND delivered_datetime IS NOT NULL
+         |    AND CAST(delivered_datetime AS DATE) < (SELECT d2 FROM t2d)
+         |)""".stripMargin
+    val (dd1, dd2, dd3) =
+      ("(SELECT d1 FROM t1d)", "(SELECT d2 FROM t2d)", "(SELECT d3 FROM t3d)")
+
+    // The day-2 flip-back probe as a staging wrapper CTE — identical to
+    // FleetOps.probeDay2 (keys ≡ 0 mod 5 get `probeCol || '~probe'`).
+    def probedS2(key: String, probeCol: String): String =
+      s"""s2 AS (
+         |  SELECT * REPLACE (CASE WHEN $key % 5 = 0
+         |                         THEN $probeCol || '~probe'
+         |                         ELSE $probeCol END AS $probeCol)
+         |  FROM s2raw
+         |)""".stripMargin
+
+    // Three consecutive SCD2 batches as one SELECT: the MERGE contract
+    // (etl_pipeline.py:1030-1098) applied twice on top of the bootstrap.
+    // Staging snapshots are FULL-table (every key present in s1/s2/s3 —
+    // the builders left-join off the base entity tables), so the fold
+    // enumerates as six branches over one 3-way inner join:
+    // with ch12 = s1≠s2, ch23 = s2≠s3, ch13 = s1≠s3 (null-safe, any
+    // tracked column):
+    //   ch12             → v1 closed at d2-1
+    //   ch12 ∧ ch23      → v2 closed at d3-1, v3 current
+    //   ch12 ∧ ¬ch23     → v2 current
+    //   ¬ch12 ∧ ch13     → v1 closed at d3-1, v3 current
+    //   ¬ch12 ∧ ¬ch13    → v1 current
+    def threeDayMerge(key: String, tracked: Seq[String], skName: String): String = {
+      def chg(a: String, b: String) = tracked
+        .map(c => s"$a.$c IS DISTINCT FROM $b.$c").mkString("(", " OR ", ")")
+      val (ch12, ch23, ch13) = (chg("s1", "s2"), chg("s2", "s3"), chg("s1", "s3"))
+      def skOf(alias: String, day: String) =
+        s"md5(CAST($alias.$key AS VARCHAR) || '|' || CAST($day AS VARCHAR))"
+      def row(alias: String, vf: String, vt: String, cur: String, cond: String) =
+        s"""SELECT $alias.*, $vf AS valid_from, $vt AS valid_to,
+           |       $cur AS is_current, ${skOf(alias, vf)} AS $skName
+           |FROM s1 JOIN s2 ON s1.$key = s2.$key JOIN s3 ON s1.$key = s3.$key
+           |WHERE $cond""".stripMargin
+      Seq(
+        row("s1", dd1, s"$dd2 - 1", "FALSE", ch12),
+        row("s2", dd2, s"$dd3 - 1", "FALSE", s"$ch12 AND $ch23"),
+        row("s1", dd1, s"$dd3 - 1", "FALSE", s"NOT $ch12 AND $ch13"),
+        row("s3", dd3, "DATE '9999-12-31'", "TRUE",
+          s"($ch12 AND $ch23) OR (NOT $ch12 AND $ch13)"),
+        row("s2", dd2, "DATE '9999-12-31'", "TRUE", s"$ch12 AND NOT $ch23"),
+        row("s1", dd1, "DATE '9999-12-31'", "TRUE", s"NOT $ch12 AND NOT $ch13"),
+      ).mkString("\nUNION ALL\n")
+    }
+
     // The full 2-batch dim_driver history as a `dim2` CTE — shared by
     // the SCD2 gate and the point-in-time key-resolution gate.
     val driver2dayCtes = {
@@ -444,20 +535,9 @@ object FleetOracles {
       // but the predicate covers every tracked column, null-safe, like
       // the engine's applyBatch.
       "fl_etl_dim_vehicle_scd2_2day" -> {
-        val changed = Seq("license_plate", "vehicle_type", "capacity_kg",
-          "fuel_type", "acquisition_date", "age_months", "status",
-          "last_maintenance_date")
+        val changed = vehicleTrackedSql
           .map(c => s"s1.$c IS DISTINCT FROM s2.$c").mkString("(", " OR ", ")")
-        def stg(alias: String, dayExpr: String) =
-          s"""$alias AS (
-             |  SELECT v.vehicle_id, v.license_plate, v.vehicle_type,
-             |         CAST(v.capacity_kg AS DOUBLE) AS capacity_kg,
-             |         v.fuel_type, v.acquisition_date,
-             |         CAST(FLOOR(CAST(date_diff('day', v.acquisition_date, $dayExpr) AS DOUBLE) / 30.44) AS INTEGER) AS age_months,
-             |         v.status, lm.last_maintenance_date
-             |  FROM ${t("vehicles")} v
-             |  LEFT JOIN lastm lm ON v.vehicle_id = lm.vehicle_id
-             |)""".stripMargin
+        def stg(alias: String, dayExpr: String) = vehicleStg(alias, dayExpr)
         s"""WITH td AS (
            |  SELECT MAX(CAST(delivered_datetime AS DATE)) AS d2
            |  FROM ${t("deliveries")}
@@ -629,12 +709,49 @@ object FleetOracles {
         s"""$driver2dayCtes
            |SELECT * FROM dim2 ORDER BY driver_id, valid_from""".stripMargin,
 
+      // Three consecutive SCD2 batches with the A→B→A flip-back probe
+      // (day-2 staging perturbs keys ≡ 0 mod 5): proves the MERGE fold
+      // COMPOSES — closed, reopened, and re-closed versions with unique
+      // md5(key || valid_from) surrogates across reopened versions.
+      "fl_etl_dim_vehicle_scd2_3day" ->
+        s"""WITH $threeDayTds, lastm AS (
+           |  SELECT vehicle_id, MAX(maintenance_date) AS last_maintenance_date
+           |  FROM ${t("maintenance")} GROUP BY vehicle_id
+           |), ${vehicleStg("s1", dd1)}, ${vehicleStg("s2raw", dd2)},
+           |${probedS2("vehicle_id", "status")},
+           |${vehicleStg("s3", dd3)}
+           |${threeDayMerge("vehicle_id", vehicleTrackedSql, "vehicle_sk")}
+           |ORDER BY vehicle_id, valid_from""".stripMargin,
+
+      "fl_etl_dim_driver_scd2_3day" ->
+        s"""WITH $threeDayTds, $driverPerf, ${driverStg("s1", dd1)},
+           |${driverStg("s2raw", dd2)},
+           |${probedS2("driver_id", "phone")},
+           |${driverStg("s3", dd3)}
+           |${threeDayMerge("driver_id", driverTrackedSql, "driver_sk")}
+           |ORDER BY driver_id, valid_from""".stripMargin,
+
       // Point-in-time surrogate-key resolution against the 2-batch
       // driver history (ref etl_pipeline.py:1137-1168: fact.date BETWEEN
       // dim.valid_from AND dim.valid_to): day-1 facts of changed drivers
       // land on the closed version, day-2 facts on the re-inserted one.
+      // Both engines read the STORED dim parquet (FleetOps materializes
+      // it once; its content is what the _2day gate verifies live), so
+      // each side times only the key resolution — symmetric (advice r5).
       "fl_etl_fact_pit_keys_2day" ->
-        s"""$driver2dayCtes, ev AS (
+        s"""WITH td AS (
+           |  SELECT MAX(CAST(delivered_datetime AS DATE)) AS d2
+           |  FROM ${t("deliveries")}
+           |  WHERE delivery_status = 'delivered' AND delivered_datetime IS NOT NULL
+           |), td1 AS (
+           |  SELECT MAX(CAST(delivered_datetime AS DATE)) AS d1
+           |  FROM ${t("deliveries")}
+           |  WHERE delivery_status = 'delivered' AND delivered_datetime IS NOT NULL
+           |    AND CAST(delivered_datetime AS DATE) < (SELECT d2 FROM td)
+           |), dm AS (
+           |  SELECT driver_id, valid_from, valid_to, driver_sk
+           |  FROM ${t("stored_dim_driver_2day")}
+           |), ev AS (
            |  SELECT d.delivery_id, t.driver_id,
            |         CAST(d.delivered_datetime AS DATE) AS event_date
            |  FROM ${t("deliveries")} d
@@ -645,7 +762,7 @@ object FleetOracles {
            |)
            |SELECT e.delivery_id, e.driver_id, e.event_date, dm.driver_sk
            |FROM ev e
-           |LEFT JOIN dim2 dm
+           |LEFT JOIN dm
            |  ON e.driver_id = dm.driver_id
            | AND e.event_date BETWEEN dm.valid_from AND dm.valid_to
            |ORDER BY e.delivery_id""".stripMargin)

@@ -103,6 +103,76 @@ object StreamingOps {
         .orderBy(col("vehicle_id"), col("ts_ms"))
     },
 
+    /** Watermarked tumbling-window aggregation driven END-TO-END through
+      * Structured Streaming with two deterministic micro-batches and
+      * genuinely LATE data: events split on event_id parity, so batch 2
+      * carries rows far behind batch 1's max event time. The oracle
+      * replicates Spark's exact watermark semantics in integer
+      * microseconds — WM = (floor(max_event_us/1000) − 600000)·1000
+      * (watermarks are millisecond-floored), batch-2 rows whose window
+      * end ≤ WM₁ are dropped (late filter uses the PREVIOUS batch's
+      * watermark), and append mode emits exactly the windows whose end
+      * ≤ WM₂ (the no-data flush batch). Values stream as integer cents
+      * so windowed sums are associative ⇒ hash-exact. */
+    QueryDef.sql(
+      "st_windowed_late_counts",
+      """WITH ev AS (
+        |  SELECT user_id AS key, epoch_us(ts) AS us, value, event_id
+        |  FROM events WHERE user_id % 5 = 0
+        |), a AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+        |b AS (SELECT * FROM ev WHERE event_id % 2 = 1),
+        |wma AS (SELECT (MAX(us) // 1000 - 600000) * 1000 AS wm FROM a),
+        |wmb AS (SELECT (MAX(us) // 1000 - 600000) * 1000 AS wm FROM ev),
+        |kept AS (
+        |  SELECT key, us, value FROM a
+        |  UNION ALL
+        |  SELECT key, us, value FROM b
+        |  WHERE us // 300000000 * 300000000 + 300000000 > (SELECT wm FROM wma)
+        |), agg AS (
+        |  SELECT us // 300000000 * 300000000 AS ws_us, key,
+        |         COUNT(*) AS n,
+        |         CAST(SUM(CAST(ROUND(value * 1e2, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM kept GROUP BY 1, 2
+        |)
+        |SELECT ws_us // 1000 AS window_start_ms,
+        |       (ws_us + 300000000) // 1000 AS window_end_ms,
+        |       key, n, cents / 1e2 AS total_value
+        |FROM agg
+        |WHERE ws_us + 300000000 <= (SELECT wm FROM wmb)
+        |ORDER BY window_start_ms, key""".stripMargin) { (s, d) =>
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ev = Tables.events(s, d)
+        .filter(pmod(col("user_id"), lit(5L)) === 0)
+        .select(col("user_id").as("key"), col("ts"),
+          round(col("value") * 100, 0).cast("long").as("value"),
+          pmod(col("event_id"), lit(2L)).as("par"))
+      def batch(par: Int) = ev.filter(col("par") === par).drop("par")
+        .as[Streams.CentEvent].collect().toSeq
+      val mem = MemoryStream[Streams.CentEvent]
+      // the stateful agg instantiates one state store per shuffle
+      // partition per micro-batch — 32 stores × 4 batches is pure
+      // commit overhead for a feed this size; narrow while the stream
+      // runs (a production job sizes state partitions to key volume)
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = Streams.windowedEventCounts(mem.toDF(), "ts", "key")
+          .writeStream.format("memory").queryName("st_late_sink")
+          .outputMode("append").start()
+        try {
+          mem.addData(batch(0)); q.processAllAvailable()
+          mem.addData(batch(1)); q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      s.table("st_late_sink")
+        .select(unix_millis(col("window_start")).as("window_start_ms"),
+          unix_millis(col("window_end")).as("window_end_ms"),
+          col("key"), col("n"), (col("total_value") / 1e2).as("total_value"))
+        .orderBy(col("window_start_ms"), col("key"))
+    },
+
     /** R1 — delivery verification (stream-static join semantics). */
     QueryDef.sql(
       "st_delivery_verification",

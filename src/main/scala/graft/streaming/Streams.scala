@@ -119,6 +119,12 @@ object Streams {
   /** A document flowing through the streaming-ingest dedup. */
   final case class StreamDoc(doc_id: Long, text: String)
 
+  /** A keyed event with a cent-quantized value — the feed shape of the
+    * watermarked windowed gate (long cents sum associatively, so the
+    * windowed totals are bit-identical across engines and partition
+    * orders; the money rule, README "Engineering rules"). */
+  final case class CentEvent(key: Long, ts: java.sql.Timestamp, value: Long)
+
   /** Streaming exact-dedup over a document ingest stream: first-seen
     * wins per canonical fingerprint (lower-cased, whitespace-collapsed
     * md5 — the same key as the batch `Dedup.exact` / q31). Keyed state

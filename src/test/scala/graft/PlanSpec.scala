@@ -75,6 +75,32 @@ class PlanSpec extends GraftSpec {
     assert(pruned.count() === 0)
   }
 
+  test("daily ETL extract prunes the date-partitioned deliveries store (S2/X2)") {
+    import graft.etl._
+    val dir = java.nio.file.Files.createTempDirectory("graft_oltp_prune").toString
+    val cfg = DataGen.Config(nTrips = 500, nMaintenance = 50)
+    DataGen.writeAll(spark, cfg, dir)
+    def rd(n: String) = spark.read.parquet(s"$dir/$n")
+    val t = Oltp(rd("vehicles"), rd("drivers"), rd("routes"),
+      rd("trips"), rd("deliveries"), rd("maintenance"))
+    assert(t.deliveries.columns.contains("p_month"),
+      "deliveries store should be month-partitioned")
+    val day = Pipeline.nthLastDateWithData(t, 0).get
+    val extract = FactDeliveries.extractDay(t, to_date(lit(day)))
+    val p = plan(extract)
+    // the filter must sit INSIDE PartitionFilters (directory pruning),
+    // not merely appear as a post-scan predicate
+    assert("PartitionFilters: \\[[^\\]]*p_month".r.findFirstIn(p).isDefined,
+      s"expected deliveries partition filter in:\n$p")
+    // and the raw timestamp range must reach the parquet scan so the
+    // month-sorted files row-group-skip to the day
+    assert("PushedFilters: \\[[^\\]]*delivered_datetime".r.findFirstIn(p).isDefined,
+      s"expected pushed delivered_datetime range in:\n$p")
+    assert(extract.count() > 0)
+    // the extract's schema is layout-independent: no partition column
+    assert(!extract.columns.contains("p_month"))
+  }
+
   test("surrogate key ranks distributed: range partitioning, not one global window") {
     val p = plan(q("q14_surrogate_key")).toLowerCase
     assert(p.contains("rangepartitioning"),

@@ -67,6 +67,41 @@ class Scd2Spec extends GraftSpec {
     assert(dim3.select($"sk").distinct().count() === dim3.count())
   }
 
+  test("A→B→A flip-back across three batches: fold composes, surrogates stay unique") {
+    val d1 = to_date(lit("2025-01-01"))
+    val d2 = to_date(lit("2025-02-01"))
+    val d3 = to_date(lit("2025-03-01"))
+    val s1 = stg(Seq((1L, "A", "BA"), (2L, "stable", "CBA")))
+    val s2 = stg(Seq((1L, "B", "BA"), (2L, "stable", "CBA")))
+    val s3 = stg(Seq((1L, "A", "BA"), (2L, "stable", "CBA"))) // flips BACK
+    val dim = Scd2.applyBatch(
+      Scd2.applyBatch(
+        Scd2.applyBatch(Scd2.emptyDim(s1, "id", tracked, "sk"),
+          s1, "id", tracked, d1, "sk"),
+        s2, "id", tracked, d2, "sk"),
+      s3, "id", tracked, d3, "sk").cache()
+
+    // the flip-back key carries THREE versions (A, B, reopened A) with
+    // three DISTINCT surrogates — md5(key||valid_from) never collides
+    // across reopened versions because valid_from differs
+    val v1 = dim.filter($"id" === 1).orderBy($"valid_from").collect()
+    assert(v1.length === 3)
+    assert(v1.map(_.getAs[String]("status")).toSeq === Seq("A", "B", "A"))
+    assert(v1.map(_.getAs[String]("sk")).distinct.length === 3)
+    // contiguous, non-overlapping validity: [d1,d2-1],[d2,d3-1],[d3,max]
+    assert(v1.map(r => (r.getAs[java.sql.Date]("valid_from").toString,
+        r.getAs[java.sql.Date]("valid_to").toString)).toSeq === Seq(
+      ("2025-01-01", "2025-01-31"),
+      ("2025-02-01", "2025-02-28"),
+      ("2025-03-01", "9999-12-31")))
+    assert(v1.count(_.getAs[Boolean]("is_current")) === 1)
+    assert(v1.last.getAs[Boolean]("is_current"))
+    // the stable key stays a single current version dated batch 1
+    val v2 = dim.filter($"id" === 2).collect()
+    assert(v2.length === 1 && v2.head.getAs[Boolean]("is_current"))
+    assert(v2.head.getAs[java.sql.Date]("valid_from").toString === "2025-01-01")
+  }
+
   test("point-in-time key resolution picks the version covering the fact date") {
     val day1 = stg(Seq((1L, "v1", "x")))
     val dim1 = Scd2.applyBatch(Scd2.emptyDim(day1, "id", tracked, "sk"),
