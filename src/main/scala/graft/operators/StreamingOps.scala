@@ -157,15 +157,30 @@ object StreamingOps {
       // runs (a production job sizes state partitions to key volume)
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
+      // state-store checkpoints are per-partition per-batch file I/O —
+      // put them on tmpfs when available (a production job would point
+      // this at fast local/object storage sized for its state)
+      val ckBase = new java.io.File("/dev/shm")
+      val ck = new java.io.File(
+        if (ckBase.isDirectory && ckBase.canWrite) ckBase
+        else new java.io.File(System.getProperty("java.io.tmpdir")),
+        "graft_ck_" + java.util.UUID.randomUUID())
       try {
         val q = Streams.windowedEventCounts(mem.toDF(), "ts", "key")
           .writeStream.format("memory").queryName("st_late_sink")
+          .option("checkpointLocation", ck.getAbsolutePath)
           .outputMode("append").start()
         try {
           mem.addData(batch(0)); q.processAllAvailable()
           mem.addData(batch(1)); q.processAllAvailable()
         } finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(ck)
+      }
       s.table("st_late_sink")
         .select(unix_millis(col("window_start")).as("window_start_ms"),
           unix_millis(col("window_end")).as("window_end_ms"),
