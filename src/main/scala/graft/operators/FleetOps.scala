@@ -300,7 +300,7 @@ object FleetOps {
   private val twoDayInputs = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, DataFrame, String, Seq[DataFrame])]()
 
-  private def scd2TwoDay(
+  private[operators] def scd2TwoDay(
       s: SparkSession,
       stg: (Oltp, Column) => DataFrame,
       key: String, tracked: Seq[String], skName: String): DataFrame = {

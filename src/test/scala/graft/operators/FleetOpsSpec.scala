@@ -72,9 +72,12 @@ class FleetOpsSpec extends GraftSpec {
 
   test("evict releases the 2-day gate's persisted blocks for that session") {
     val s2 = spark.newSession()
-    // build the persisted 2-day inputs (staging snapshots + day-1 dim)
-    FleetOps.warmup(s2)
-    assert(FleetOps.boundEntryCount(s2) >= 3)
+    // build ONE persisted 2-day input family (staging snapshots + day-1
+    // dim) — the cheapest path that persists blocks for s2; the full
+    // warmup would rebuild every gate input for a second session
+    FleetOps.scd2TwoDay(s2, Dimensions.dimVehicle,
+      "vehicle_id", Dimensions.vehicleTracked, "vehicle_sk").count()
+    assert(FleetOps.boundEntryCount(s2) >= 2)
     val cachedBefore = spark.sparkContext.getPersistentRDDs.size
     assert(cachedBefore > 0) // warmup persisted something on the shared context
 
