@@ -28,15 +28,18 @@ object ScaleBench {
     "q32_binary_meta", "q34_minhash_lsh", "q35_simhash_signatures",
     "q37_ann_bruteforce", "q38_ann_lsh", "q44_ann_ivf", "q45_bpe_tokens",
     "q46_winnow_fingerprint", "q47_corpus_pipeline",
-    "q48_minhash_incremental")
+    "q48_minhash_incremental", "q58_span_dedup", "q59_hash_split",
+    "q60_repetition_stats")
 
   /** Quadratic-by-contract entries, capped at 10×: the exact all-pairs
     * baselines (q33 n-gram Jaccard, q36 cosine pairs), and q49 whose
     * GATE shape runs every vector as a probe (n probes × n candidates
     * ADC — the per-probe scan PQ exists for is linear, the all-pairs
-    * gate is not). */
+    * gate is not). q57's component step is linear (equi-join rounds ∝
+    * |V|+|E|) but its gate takes the exact kernel's pair set as input,
+    * so the entry inherits the kernel's cap. */
   private val exactOps = Seq("q33_ngram_jaccard", "q36_embedding_neardup",
-    "q49_ann_pq")
+    "q49_ann_pq", "q57_dedup_clusters")
 
   def main(args: Array[String]): Unit = {
     val scales = args.headOption.getOrElse("1,10,50")

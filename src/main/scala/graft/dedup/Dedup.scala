@@ -362,6 +362,148 @@ object Dedup {
       }.toDF("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over an undirected near-dup pair set — the
+    * cluster-resolution step a production dedup pipeline runs AFTER
+    * pair detection: pairs → components → keep one canonical document
+    * per component (deduplication literature removes whole duplicate
+    * CLUSTERS, not individual pairs — a pairwise keep-rule over A~B,
+    * B~C can orphan or double-keep C).
+    *
+    * Formulation: Pregel-style min-label propagation (what GraphX's
+    * `connectedComponents` runs) plus one pointer-jump per round
+    * (`label := label(label)`), which shortcuts chains so convergence
+    * is O(log diameter) rounds rather than O(diameter). Each round
+    * costs two equi-join shuffles (neighborhood min + jump) and one
+    * groupBy-min; the label frontier is localCheckpoint'ed every round
+    * so lineage stays flat across iterations (a cluster deployment
+    * points `sparkContext.setCheckpointDir` at reliable storage and
+    * uses `checkpoint()` — same shape). Driver state per round is ONE
+    * aggregated checksum, never the labels: labels only ever decrease,
+    * so Σlabel is strictly monotone until fixpoint and an unchanged
+    * sum IS convergence — no label-diff join, no collect.
+    *
+    * Returns (node, label): every node of `pairs` with its component's
+    * minimum member id as the component label. Nodes in no pair are
+    * absent (each is trivially its own singleton component — callers
+    * left-join and coalesce to the node id, as q57's gate does).
+    *
+    * @param maxRounds backstop for adversarial chain graphs; with the
+    *   pointer-jump, 2^maxRounds-diameter graphs converge — real
+    *   near-dup graphs are unions of band-collision near-cliques with
+    *   single-digit diameter and finish in 2-3 rounds. If the cap is
+    *   hit before fixpoint an IllegalStateException is thrown rather
+    *   than returning silently-unmerged components. */
+  def connectedComponents(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxRounds: Int = 25): DataFrame = {
+    val fwd = pairs.select(
+      col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+    val edges = fwd
+      .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .dropDuplicates("src", "dst")
+      .persist()
+    try {
+      var labels = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+        .localCheckpoint()
+      if (labels.isEmpty) labels
+      else {
+        // decimal(38,0) accumulator: a 100 TB corpus's Σ of 2^63-range
+        // ids overflows long; ANSI mode would fail the job mid-round
+        def checksum(df: DataFrame): java.math.BigDecimal =
+          df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
+        var prev = checksum(labels)
+        var converged = false
+        var round = 0
+        while (!converged && round < maxRounds) {
+          // min over the closed neighborhood…
+          val msgs = edges
+            .join(labels.withColumnRenamed("node", "src"), "src")
+            .select(col("dst").as("node"), col("label"))
+          val mins = labels.unionByName(msgs)
+            .groupBy("node").agg(min("label").as("label"))
+          // …then jump: adopt the label's own label. Labels are always
+          // existing node ids (mins of node ids), so the join hits —
+          // left+coalesce only guards the root (label(root) = root).
+          // Both sides alias every column before the self-join so no
+          // attribute is shared across sides (Catalyst's self-join
+          // dedup chokes on the raw form).
+          val lookup = mins.select(
+            col("node").as("jump_key"), col("label").as("jump_label"))
+          val jumped = mins
+            .withColumnRenamed("label", "jump_key")
+            .join(lookup, Seq("jump_key"), "left")
+            .select(col("node"),
+              coalesce(col("jump_label"), col("jump_key")).as("label"))
+            .localCheckpoint()
+          val cur = checksum(jumped)
+          converged = cur.compareTo(prev) == 0
+          prev = cur
+          labels = jumped
+          round += 1
+        }
+        if (!converged) throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxRounds rounds")
+        labels
+      }
+    } finally { edges.unpersist(blocking = false): Unit }
+  }
+
+  /** Cross-document duplicate-SPAN removal — the C4/exact-substring
+    * dedup shape (C4 drops repeated three-sentence spans; the
+    * train-data dedup literature drops repeated ≥50-token substrings):
+    * documents are cut into consecutive `spanTokens`-token spans, a
+    * span occurrence survives only if it is the globally FIRST
+    * occurrence of its exact text (minimum (doc_id, span_idx)), and
+    * every document is reassembled from its surviving spans in order.
+    * Catches the cross-document boilerplate that document-level
+    * fingerprints (exact) and whole-doc Jaccard (near-dup) both miss.
+    *
+    * Scale shape: one explode to ~corpusTokens/spanTokens rows, ONE
+    * hash shuffle on the span text for the keep-first window, one
+    * groupBy(doc) to reassemble — no pair space, no driver state. A
+    * boilerplate-heavy corpus skews the span partition (the same span
+    * in millions of docs lands one key); the mitigation is the q41
+    * salted-aggregate pattern or a pre-count frequency filter, both
+    * already in this library.
+    *
+    * Returns one row per document: `doc_id, n_spans, n_kept,
+    * kept_text` (null when every span was seen earlier — e.g. exact
+    * duplicates of an earlier document). */
+  def spanDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 10): DataFrame = {
+    val spans = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        tokens(col(textCol)).as("toks"))
+      // sequence() start positions are 1-based; tokens() of empty text
+      // is [""] (size 1), so the sequence is never empty/descending
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")), lit(spanTokens))).as("start"))
+      .select(col("doc_id"),
+        (((col("start") - 1) / spanTokens).cast("int")).as("span_idx"),
+        array_join(slice(col("toks"), col("start"), lit(spanTokens)), " ").as("span"))
+    val w = Window.partitionBy(col("span")).orderBy(col("doc_id"), col("span_idx"))
+    spans
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_spans"),
+        sum(when(col("rn") === 1, 1).otherwise(0)).cast("int").as("n_kept"),
+        // collect_list drops the nulls of non-kept spans; struct sorts
+        // by its first field, so order is the original span order
+        array_join(
+          transform(
+            sort_array(collect_list(
+              when(col("rn") === 1, struct(col("span_idx"), col("span"))))),
+            s => s.getField("span")),
+          " ").as("kept_joined"))
+      .select(col("doc_id"), col("n_spans"), col("n_kept"),
+        when(col("n_kept") > 0, col("kept_joined")).as("kept_text"))
+  }
+
   /** 64-bit SimHash signature from token hashes: per-bit ±1 voting over
     * xxhash64(token), bit set where the vote is positive. Pure column
     * expressions (64 array aggregates — wide but shuffle-free). */

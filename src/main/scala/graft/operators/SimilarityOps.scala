@@ -59,6 +59,23 @@ object SimilarityOps {
       s"CAST(embedding[$i] AS DOUBLE) * CAST(embedding[$i] AS DOUBLE)")
       .mkString(" + ") + ")"
 
+  /** Exact word-3-gram Jaccard pair CTEs (declarative shingle-join
+    * formulation) — shared by the q33 oracle and q57's cluster oracle
+    * so both verify against the identical pair set. */
+  private val jaccardCtes: String =
+    """w AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      |  FROM w, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
+      |), sz AS (
+      |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     /** Exact word-3-gram Jaccard near-dup pairs (threshold 0.5) — the
@@ -67,18 +84,7 @@ object SimilarityOps {
       * keeps the declarative shingle-join formulation. */
     QueryDef.sql(
       "q33_ngram_jaccard",
-      """WITH w AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
-        |  FROM w, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
-        |), sz AS (
-        |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
-        |), pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id
-        |)
+      s"""WITH $jaccardCtes
         |SELECT p.id_a, p.id_b,
         |       CAST(ROUND(p.inter * 1.0 / (sa.n_sh + sb.n_sh - p.inter), 4) AS DOUBLE) AS jaccard
         |FROM pairs p
@@ -88,6 +94,51 @@ object SimilarityOps {
         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       Dedup.ngramJaccardPairsKernel(Tables.documents(s, d), "doc_id", "text")
         .orderBy($"id_a", $"id_b")
+    },
+
+    /** Near-dup CLUSTER resolution: connected components over the exact
+      * Jaccard pair graph (q33's pair set), labeling every paired doc
+      * with its component's minimum member id and flagging the one
+      * canonical (kept) doc per cluster — the pairs→clusters→keep-one
+      * step a production dedup actually executes. Spark side runs
+      * [[graft.dedup.Dedup.connectedComponents]] (min-label propagation
+      * + pointer jumping, O(log diameter) rounds of equi-join shuffles);
+      * the oracle recomputes components independently via a recursive
+      * transitive-closure CTE — feasible for DuckDB only because the
+      * gate corpus's pair graph is tiny, which is exactly why the
+      * iterative formulation is the Spark-side answer. */
+    QueryDef.sql(
+      "q57_dedup_clusters",
+      s"""WITH RECURSIVE $jaccardCtes, dup AS (
+        |  SELECT p.id_a, p.id_b FROM pairs p
+        |  JOIN sz sa ON sa.doc_id = p.id_a
+        |  JOIN sz sb ON sb.doc_id = p.id_b
+        |  WHERE p.inter * 1.0 / (sa.n_sh + sb.n_sh - p.inter) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM dup
+        |  UNION
+        |  SELECT id_b, id_a FROM dup
+        |), reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        |), comp AS (
+        |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+        |), csz AS (
+        |  SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
+        |)
+        |SELECT c.doc_id, c.cluster_id,
+        |       CAST(s.cluster_size AS BIGINT) AS cluster_size,
+        |       (c.doc_id = c.cluster_id) AS is_canonical
+        |FROM comp c JOIN csz s USING (cluster_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val pairs = Dedup.ngramJaccardPairsKernel(Tables.documents(s, d), "doc_id", "text")
+      val cc = Dedup.connectedComponents(pairs)
+      val sizes = cc.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, Seq("label"))
+        .select($"node".as("doc_id"), $"label".as("cluster_id"),
+          $"cluster_size", ($"node" === $"label").as("is_canonical"))
+        .orderBy($"doc_id")
     },
 
     /** MinHash+LSH near-dups (banded signatures → candidate equi-join →

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.{Tables, QueryDef}
 import graft.functions.Shims._
@@ -230,6 +231,153 @@ object TextOps {
           $"doc_id",
           octet_length($"text".cast("binary")).cast("long").as("byte_len"),
           sha2($"text".cast("binary"), 256).as("content_sha"))
+        .orderBy($"doc_id")
+    },
+
+    /** Cross-document duplicate-SPAN removal (C4 / exact-substring
+      * dedup shape): 10-token spans, keep the globally first occurrence
+      * of each exact span, reassemble docs from their surviving spans —
+      * the boilerplate-removal pass document-level dedup misses. One
+      * window shuffle on the span text; per-doc md5 of the surviving
+      * text proves the reassembly byte-exact against the oracle. */
+    QueryDef.sql(
+      "q58_span_dedup",
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        |), sp AS (
+        |  SELECT doc_id, CAST((i - 1) // 10 AS INTEGER) AS span_idx,
+        |         array_to_string(list_slice(toks, i, i + 9), ' ') AS span
+        |  FROM t, UNNEST(generate_series(1, len(toks), 10)) AS g(i)
+        |), r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+        |  FROM sp
+        |)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS INTEGER) AS n_spans,
+        |       CAST(COUNT(*) FILTER (WHERE rn = 1) AS INTEGER) AS n_kept,
+        |       md5(string_agg(span, ' ' ORDER BY span_idx) FILTER (WHERE rn = 1)) AS kept_md5
+        |FROM r
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.dedup.Dedup.spanDedup(Tables.documents(s, d), "doc_id", "text")
+        .select($"doc_id", $"n_spans", $"n_kept",
+          md5($"kept_text").as("kept_md5"))
+        .orderBy($"doc_id")
+    },
+
+    /** Deterministic leakage-safe corpus split + mixture downsampling:
+      * train/validation/test assignment bucketed on the CONTENT
+      * fingerprint (byte-equal docs can never straddle splits — the
+      * train/test-leakage guard a doc_id-keyed split lacks) and an
+      * independent permille bucket deciding per-source downsampling
+      * (even-numbered sources keep 100%, odd 50% — domain-mixture
+      * weighting). Pure codegen'd projection; both engines parse the
+      * md5 hex with the same ascii arithmetic. */
+    QueryDef.sql(
+      "q59_hash_split", {
+        def nib(i: Int) =
+          s"(CASE WHEN ascii(substr(fp, $i, 1)) >= 97 THEN ascii(substr(fp, $i, 1)) - 87 ELSE ascii(substr(fp, $i, 1)) - 48 END)"
+        def bucket(from: Int) =
+          "(" + (from until from + 4).map(nib).reduce((a, b) => s"($a * 16 + $b)") + " % 1000)"
+        s"""WITH f AS (
+          |  SELECT doc_id, source,
+          |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+          |  FROM documents
+          |), b AS (
+          |  SELECT doc_id, source, ${bucket(1)} AS b1, ${bucket(5)} AS b2 FROM f
+          |)
+          |SELECT doc_id,
+          |       CAST(b1 AS INTEGER) AS fp_bucket,
+          |       CASE WHEN b1 < 800 THEN 'train'
+          |            WHEN b1 < 900 THEN 'validation'
+          |            ELSE 'test' END AS split,
+          |       b2 < (CASE WHEN CAST(substr(source, 4, 10) AS INTEGER) % 2 = 0
+          |                  THEN 1000 ELSE 500 END) AS sampled
+          |FROM b
+          |ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      Tables.documents(s, d)
+        .select($"doc_id", $"source", fingerprint($"text").as("fp"))
+        .select($"doc_id",
+          hexBucket($"fp", 1).as("b1"), hexBucket($"fp", 5).as("b2"),
+          substring($"source", 4, 10).cast("int").as("src_num"))
+        .select($"doc_id",
+          $"b1".cast("int").as("fp_bucket"),
+          when($"b1" < 800, "train")
+            .when($"b1" < 900, "validation")
+            .otherwise("test").as("split"),
+          ($"b2" < when($"src_num" % 2 === 0, 1000).otherwise(500)).as("sampled"))
+        .orderBy($"doc_id")
+    },
+
+    /** Within-document repetition metrics — the Gopher-rule family of
+      * quality filters (excessive repetition predicts low-quality /
+      * machine-generated text): top-token frequency ratio, distinct-
+      * token ratio, longest same-token run (gaps-and-islands over the
+      * token stream), duplicate-bigram ratio. One token explode feeding
+      * a (doc,token,run)→(doc,token)→doc aggregation ladder — every
+      * shuffle is hash-partitioned on keys that grow with the corpus,
+      * so the plan is scan-parallel at 100 TB. */
+    QueryDef.sql(
+      "q60_repetition_stats",
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        |), tok AS (
+        |  SELECT doc_id, toks[i] AS tok, i AS pos
+        |  FROM t, UNNEST(generate_series(1, len(toks))) AS g(i)
+        |), runs AS (
+        |  SELECT doc_id, tok,
+        |         pos - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS grp
+        |  FROM tok
+        |), rl AS (
+        |  SELECT doc_id, tok, grp, COUNT(*) AS rl FROM runs GROUP BY doc_id, tok, grp
+        |), pertok AS (
+        |  SELECT doc_id, tok, SUM(rl) AS cnt, MAX(rl) AS mr FROM rl GROUP BY doc_id, tok
+        |), perdoc AS (
+        |  SELECT doc_id, MAX(cnt) AS top_cnt, MAX(mr) AS max_run FROM pertok GROUP BY doc_id
+        |), bg AS (
+        |  SELECT doc_id, COUNT(DISTINCT toks[i] || ' ' || toks[i+1]) AS nd2
+        |  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+        |  GROUP BY doc_id
+        |), base AS (
+        |  SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd FROM t
+        |)
+        |SELECT b.doc_id,
+        |       CAST(b.n AS INTEGER) AS n_tokens,
+        |       CAST(ROUND(b.nd * 1.0 / b.n, 4) AS DOUBLE) AS distinct_ratio,
+        |       CAST(ROUND(p.top_cnt * 1.0 / b.n, 4) AS DOUBLE) AS top_token_ratio,
+        |       CAST(p.max_run AS INTEGER) AS max_run,
+        |       CAST(CASE WHEN b.n >= 2
+        |                 THEN ROUND(1.0 - coalesce(g.nd2, 0) * 1.0 / (b.n - 1), 4)
+        |                 ELSE 0.0 END AS DOUBLE) AS dup_bigram_ratio
+        |FROM base b
+        |JOIN perdoc p USING (doc_id)
+        |LEFT JOIN bg g USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tok = docs
+        .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos0", "tok")))
+        .select($"doc_id", ($"pos0" + 1).as("pos"), $"tok")
+      val wRun = Window.partitionBy($"doc_id", $"tok").orderBy($"pos")
+      val perDoc = tok
+        .withColumn("grp", $"pos" - row_number().over(wRun))
+        .groupBy($"doc_id", $"tok", $"grp").agg(count(lit(1)).as("rl"))
+        .groupBy($"doc_id", $"tok").agg(sum($"rl").as("cnt"), max($"rl").as("mr"))
+        .groupBy($"doc_id").agg(max($"cnt").as("top_cnt"), max($"mr").as("max_run"))
+      val base = docs
+        .select($"doc_id",
+          size(tokens($"text")).as("n"),
+          size(array_distinct(tokens($"text"))).as("nd"),
+          // distinct bigrams; the short-doc guard returns [] → 0
+          size(wordShingles($"text", 2)).as("nd2"))
+      base.join(perDoc, Seq("doc_id"))
+        .select($"doc_id",
+          $"n".cast("int").as("n_tokens"),
+          round2($"nd" * lit(1.0) / $"n", 4).as("distinct_ratio"),
+          round2($"top_cnt" * lit(1.0) / $"n", 4).as("top_token_ratio"),
+          $"max_run".cast("int").as("max_run"),
+          when($"n" >= 2, round2(lit(1.0) - $"nd2" * lit(1.0) / ($"n" - 1), 4))
+            .otherwise(lit(0.0)).as("dup_bigram_ratio"))
         .orderBy($"doc_id")
     },
 

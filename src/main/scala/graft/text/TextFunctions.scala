@@ -85,6 +85,25 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Integer value (0–15) of the 1-based `i`-th digit of a lowercase
+    * hex string — pure ascii arithmetic ('0'-'9' → 48–57, 'a'-'f' →
+    * 97–102), so Spark and DuckDB evaluate it identically (neither
+    * engine shares a hex-parse builtin the other has). */
+  def hexNibble(h: Column, i: Int): Column = {
+    val a = ascii(substring(h, i, 1))
+    when(a >= 97, a - 87).otherwise(a - 48)
+  }
+
+  /** 16-bit value of hex digits [from, from+3] of `h`, reduced mod
+    * 1000 — the deterministic permille-bucketing primitive for corpus
+    * split assignment and downsampling. Bucketing the CONTENT
+    * fingerprint (not the doc id) makes splits leakage-safe: byte-equal
+    * documents land in the same bucket by construction, so an exact
+    * duplicate can never straddle train/test. */
+  def hexBucket(h: Column, from: Int): Column =
+    (from until from + 4).map(hexNibble(h, _))
+      .reduce((acc, n) => acc * 16 + n) % 1000
+
   /** Simple stop-list language scorer: hits per language stop-list.
     * Deterministic heuristic (n-gram/statistical LID is a model concern;
     * the engine-side capability is the scoring plumbing). */

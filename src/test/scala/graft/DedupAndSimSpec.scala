@@ -33,6 +33,24 @@ class TextFunctionsSpec extends GraftSpec {
     assert(out.toSeq === Seq(4, 5, 0, 1))
   }
 
+  test("repetition metrics match hand-computed literals") {
+    // q60's plan over literal docs with known repetition structure
+    val docs = Seq(
+      (0L, "a a a a b"),          // run of 4 a's; bigrams: aa,aa,aa,ab → 2 distinct of 4
+      (1L, "x y x y x"),          // no run >1; top token x: 3/5; bigrams xy,yx,xy,yx → 2 of 4
+      (2L, "solo"))               // single token: ratios 1.0, no bigrams
+      .toDF("doc_id", "text")
+    val q60 = SparkEntry.queries("q60_repetition_stats")
+    val dir = java.nio.file.Files.createTempDirectory("q60spec")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = q60(spark, dir.toString)
+      .as[(Long, Int, Double, Double, Int, Double)].collect().toSeq
+    assert(out === Seq(
+      (0L, 5, 0.4, 0.8, 4, 0.5),   // 2 distinct of 5; a: 4/5; run 4; 1 - 2/4
+      (1L, 5, 0.4, 0.6, 1, 0.5),   // x,y; x: 3/5; runs all 1; 1 - 2/4
+      (2L, 1, 1.0, 1.0, 1, 0.0)))  // n<2 → dup_bigram_ratio 0 by definition
+  }
+
   test("winnowing fingerprints match a plain-Scala reference implementation") {
     val k = 8; val w = 4
     // independent re-derivation of Schleimer et al. winnowing: all k-gram
@@ -146,6 +164,99 @@ class DedupSpec extends GraftSpec {
     // together they must be EXACTLY the single-shot corpus result
     assert((batch1 ++ batch2) === full)
     assert(batch2.exists { case (a, b) => a % 2 == 1 || b % 2 == 1 })
+  }
+
+  test("connected components match a union-find reference on a seeded random graph") {
+    // independent reference: plain array union-find with path halving
+    def unionFind(n: Int, edges: Seq[(Int, Int)]): Map[Long, Long] = {
+      val p = Array.tabulate(n)(identity)
+      def find(x0: Int): Int = {
+        var x = x0
+        while (p(x) != x) { p(x) = p(p(x)); x = p(x) }
+        x
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) p(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // canonical label = min member id, which union-by-min preserves
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    val rnd = new scala.util.Random(42)
+    val n = 60
+    val edges = Seq.fill(55)((rnd.nextInt(n), rnd.nextInt(n))).filter(e => e._1 != e._2)
+    val expect = unionFind(n, edges)
+    val got = Dedup.connectedComponents(
+      edges.map { case (a, b) => (a.toLong, b.toLong) }.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    // the operator labels only nodes that appear in some pair
+    val paired = edges.flatMap(e => Seq(e._1.toLong, e._2.toLong)).toSet
+    assert(got.keySet === paired)
+    got.foreach { case (node, label) =>
+      assert(label === expect(node), s"component label of node $node")
+    }
+  }
+
+  test("connected components: chain graph converges via pointer jumping") {
+    // a 200-node path is the adversarial diameter case — plain min
+    // propagation needs 200 rounds; with the pointer jump the label
+    // reaches the far end in O(log n) rounds, inside the maxRounds cap
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+    assert(labels.length === 200)
+    assert(labels.forall(_._2 == 0L))
+  }
+
+  test("connected components: empty pair set yields empty labeling") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).isEmpty)
+  }
+
+  test("span dedup keeps first occurrences and nulls fully-duplicate docs") {
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")        // spans: w1..w10, w11..w20
+    val tail = (1 to 10).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),                                              // both spans novel
+      (2L, (1 to 10).map(i => s"w$i").mkString(" ") + " " + tail), // span1 dup, span2 novel
+      (3L, base),                                              // exact copy → nothing kept
+      (4L, "x1 x2 x3"))                                        // short doc, 1 partial span
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, Int, Int, Option[String])].collect()
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq ===
+      Seq((1L, 2, 2), (2L, 2, 1), (3L, 2, 0), (4L, 1, 1)))
+    assert(out(0)._4 === Some(base))
+    assert(out(1)._4 === Some(tail))   // only the novel tail span survives
+    assert(out(2)._4 === None)         // md5(NULL) stays NULL in the gate
+    assert(out(3)._4 === Some("x1 x2 x3"))
+    // global invariant: surviving spans are unique across the corpus
+    val keptSpans = out.flatMap(_._4).flatMap(_.split(" ").grouped(10).map(_.mkString(" ")))
+    assert(keptSpans.distinct.length === keptSpans.length)
+  }
+
+  test("hex buckets parse md5 digits exactly and are content-keyed (leakage guard)") {
+    import graft.text.TextFunctions.{fingerprint, hexBucket}
+    // reference: JVM md5 of the canonical form, parsed with Integer.parseInt
+    def ref(text: String, from: Int): Int = {
+      val canon = text.trim.toLowerCase.replaceAll("\\s+", " ")
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(h.substring(from - 1, from + 3), 16) % 1000
+    }
+    val texts = Seq("the quick brown fox", "THE  quick  BROWN fox", "zebra 123 !?")
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select($"id", hexBucket(fingerprint($"text"), 1).as("b1"),
+        hexBucket(fingerprint($"text"), 5).as("b2"))
+      .orderBy($"id")
+      .as[(Long, Int, Int)].collect()
+    texts.zip(got).foreach { case (t, (_, b1, b2)) =>
+      assert(b1 === ref(t, 1), s"bucket(1) of '$t'")
+      assert(b2 === ref(t, 5), s"bucket(5) of '$t'")
+    }
+    // leakage guard: same canonical content ⇒ same buckets, whatever the id
+    assert(got(0)._2 === got(1)._2 && got(0)._3 === got(1)._3)
   }
 
   test("simhash: identical texts collide, near-dups are close") {
