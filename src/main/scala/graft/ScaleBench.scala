@@ -29,7 +29,7 @@ object ScaleBench {
     "q37_ann_bruteforce", "q38_ann_lsh", "q44_ann_ivf", "q45_bpe_tokens",
     "q46_winnow_fingerprint", "q47_corpus_pipeline",
     "q48_minhash_incremental", "q58_span_dedup", "q59_hash_split",
-    "q60_repetition_stats")
+    "q60_repetition_stats", "q62_vocab_topk")
 
   /** Quadratic-by-contract entries, capped at 10×: the exact all-pairs
     * baselines (q33 n-gram Jaccard, q36 cosine pairs), and q49 whose
@@ -39,7 +39,11 @@ object ScaleBench {
     * |V|+|E|) but its gate takes the exact kernel's pair set as input,
     * so the entry inherits the kernel's cap. */
   private val exactOps = Seq("q33_ngram_jaccard", "q36_embedding_neardup",
-    "q49_ann_pq", "q57_dedup_clusters")
+    "q49_ann_pq", "q57_dedup_clusters",
+    // q61's gate holds nlist fixed, so bucket size (and the within-
+    // bucket pair space) grows with the corpus; a deployment scales
+    // nlist to hold bucket size constant
+    "q61_semdedup")
 
   def main(args: Array[String]): Unit = {
     val scales = args.headOption.getOrElse("1,10,50")

@@ -268,6 +268,24 @@ object SimilarityOps {
         .orderBy($"probe_id", $"rnk")
     },
 
+    /** Semantic dedup (SemDeDup): k-means-bucketed within-cluster
+      * cosine pairs → components → keep lowest id per component. The
+      * quantizer (shared with q44's IVF, same memoized model) makes
+      * buckets k-means-specific ⇒ rows-only; VectorsSpec proves the
+      * keep contract on planted duplicate clusters. Threshold is
+      * corpus-calibrated as in practice: this synthetic corpus's
+      * near-dup band tops out near cosine 0.5 (q36 pairs at > 0.4),
+      * so 0.45 marks its semantic duplicates. */
+    QueryDef.rowsOnly("q61_semdedup") { (s, d) =>
+      val model = ivfModels.computeIfAbsent(s"$d|n$IvfNlist|i$IvfIters",
+        _ => Vectors.ivfTrain(Tables.embeddings(s, d), "vec_id", "embedding",
+          nlist = IvfNlist, iters = IvfIters))
+      Vectors.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.45, nlist = IvfNlist, iters = IvfIters,
+        pretrained = Some(model))
+        .orderBy($"vec_id")
+    },
+
     /** IVF-bucketed ANN (coarse k-means quantizer, nprobe-bucket
       * search) — the second scale path: one bucket equi-join, exact
       * rerank inside, no pair space. Quantizer-specific buckets ⇒

@@ -381,6 +381,35 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    /** Corpus vocabulary statistics — the frequency table a tokenizer
+      * training run (BPE/WordPiece) starts from: top-50 tokens by
+      * corpus frequency with document frequency alongside. One explode
+      * + one hash aggregation + TakeOrderedAndProject — the canonical
+      * word-count shape, scan-parallel at any corpus size. */
+    QueryDef.sql(
+      "q62_vocab_topk",
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        |), tok AS (
+        |  SELECT doc_id, toks[i] AS tok
+        |  FROM t, UNNEST(generate_series(1, len(toks))) AS g(i)
+        |)
+        |SELECT tok,
+        |       CAST(COUNT(*) AS BIGINT) AS term_freq,
+        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        |FROM tok
+        |GROUP BY tok
+        |ORDER BY term_freq DESC, tok
+        |LIMIT 50""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select($"doc_id", explode(tokens($"text")).as("tok"))
+        .groupBy($"tok")
+        .agg(count(lit(1)).as("term_freq"),
+          countDistinct($"doc_id").as("doc_freq"))
+        .orderBy($"term_freq".desc, $"tok")
+        .limit(50)
+    },
+
     /** Composed corpus-preprocessing pipeline — the end-to-end flow a
       * training-data run executes, as ONE declarative plan: per-doc
       * stats → quality filter (q29's buckets) → language-ID (q30) →

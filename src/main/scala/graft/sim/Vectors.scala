@@ -232,6 +232,54 @@ object Vectors {
       .sortBy { case (j, c) => (-c, j) }
       .take(take).map(_._1).toArray
 
+  /** Semantic deduplication (the SemDeDup shape): k-means-bucket the
+    * embeddings with the SAME coarse quantizer IVF uses, compute
+    * pairwise cosine only WITHIN buckets (n²/k per bucket — the
+    * published trick that makes semantic dedup tractable; cross-bucket
+    * pairs are below-threshold by construction of the clustering),
+    * resolve above-threshold pairs to components
+    * ([[graft.dedup.Dedup.connectedComponents]]) and keep each
+    * component's lowest id.
+    *
+    * Scale shape: one assignment pass (broadcast centroids, no
+    * shuffle), one bucket equi-join whose pair blowup is bounded by
+    * the largest bucket (size nlist ∝ corpus so buckets stay fixed-
+    * sized), codegen'd `fdot` scoring, then the component rounds —
+    * all equi-join shuffles. Driver state: the fitted centroids plus
+    * one checksum per component round.
+    *
+    * Returns (vec_id, bucket, kept): kept=false marks a vector whose
+    * component has a lower-id member (the near-duplicate to drop). */
+  def semDedup(data: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.97, nlist: Int = 16, iters: Int = 3,
+      pretrained: Option[Array[Array[Double]]] = None): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val cents = pretrained.getOrElse(ivfTrain(data, idCol, vecCol, nlist, iters))
+    val bc = spark.sparkContext.broadcast(
+      (cents, cents.map(c => math.sqrt(c.map(x => x * x).sum))))
+    val assigned = data.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val (cs, ns) = bc.value
+        (nearestCentroids(v, cs, ns, 1)(0), id, v)
+      }
+      .toDF("bucket", "id", "v")
+    val pairs = assigned.select($"bucket", $"id".as("id_a"), $"v".as("va"))
+      .join(assigned.select($"bucket", $"id".as("id_b"), $"v".as("vb")),
+        Seq("bucket"))
+      .filter($"id_a" < $"id_b")
+      // fence: keep the selective score filter OUT of the join
+      // condition so fdot runs once, codegen'd (see [[fence]])
+      .filter(fence(cosineNative(spark, $"va", $"vb")) > threshold)
+      .select($"id_a", $"id_b")
+    val comps = graft.dedup.Dedup.connectedComponents(pairs)
+    assigned.select($"bucket", $"id")
+      .join(comps.withColumnRenamed("node", "id"), Seq("id"), "left")
+      .select($"id".as("vec_id"), $"bucket".cast("int").as("bucket"),
+        (coalesce($"label", $"id") === $"id").as("kept"))
+  }
+
   /** Train the coarse quantizer: deterministic seeding (the `nlist`
     * rows with smallest xxhash64(id)) + `iters` Lloyd rounds. Each
     * round is one shuffle (assignment kernel + per-cluster mean); the

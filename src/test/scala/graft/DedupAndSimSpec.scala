@@ -295,6 +295,60 @@ class VectorsSpec extends GraftSpec {
     assert(out(1).getAs[Double]("cosine") === 0.0)
   }
 
+  test("semantic dedup keeps one representative per planted duplicate group") {
+    // 4 groups of near-identical vectors (tiny deterministic jitter)
+    // plus lone distinct vectors; within-group cosine ≈ 1, across ≈ 0
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    def base(g: Int): Array[Float] = {
+      val v = new Array[Float](dim); v(g) = 1.0f; v
+    }
+    val groups = (0 until 4).flatMap { g =>
+      (0 until 5).map { j =>
+        val v = base(g).clone()
+        (0 until dim).foreach(i => v(i) = v(i) + (rnd.nextFloat() - 0.5f) * 0.01f)
+        ((g * 5 + j).toLong, v.toSeq)
+      }
+    }
+    val lone = (0 until 4).map { i =>
+      val v = new Array[Float](dim); v(8 + i) = 1.0f
+      ((100 + i).toLong, v.toSeq)
+    }
+    val df = (groups ++ lone).toDF("vec_id", "embedding")
+    // pin the quantizer to the 8 true directions: the coarse model is
+    // pluggable fitted state (ivfTrain has its own recall specs); this
+    // spec pins it so the pair→component→keep contract is deterministic
+    val centroids = (Seq(0, 1, 2, 3) ++ Seq(8, 9, 10, 11)).map { i =>
+      val c = new Array[Double](dim); c(i) = 1.0; c
+    }.toArray
+    val out = Vectors.semDedup(df, "vec_id", "embedding",
+      threshold = 0.9, nlist = 8, iters = 3, pretrained = Some(centroids))
+      .as[(Long, Int, Boolean)].collect()
+    // one verdict per vector
+    assert(out.map(_._1).sorted.toSeq === (groups ++ lone).map(_._1).sorted)
+    val kept = out.filter(_._3).map(_._1).toSet
+    // every lone vector survives; each planted group keeps EXACTLY its
+    // minimum id (group members are mutually ≈1 so they form one
+    // component whatever the bucketing did)
+    (0 until 4).foreach(i => assert(kept.contains(100L + i)))
+    (0 until 4).foreach { g =>
+      val ids = (g * 5 until g * 5 + 5).map(_.toLong)
+      assert(ids.filter(kept.contains) === Seq(ids.min), s"group $g")
+    }
+    // survivor contract: no two kept vectors in one bucket above threshold
+    val vecs = (groups ++ lone).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val byBucket = out.filter(_._3).groupBy(_._2)
+    byBucket.values.foreach { ks =>
+      for (i <- ks.indices; j <- i + 1 until ks.length)
+        assert(cos(vecs(ks(i)._1), vecs(ks(j)._1)) <= 0.9,
+          s"kept pair ${ks(i)._1},${ks(j)._1} still near-dup")
+    }
+  }
+
   test("LSH ANN achieves high recall on clustered vectors") {
     // 5 tight clusters of 20 vectors in 16-d: within-cluster cosine ≈ 1,
     // across ≈ 0 — the regime LSH bucketing is built for
