@@ -432,12 +432,14 @@ object Dedup {
           // dedup chokes on the raw form).
           val lookup = mins.select(
             col("node").as("jump_key"), col("label").as("jump_label"))
+          // lazy checkpoint: the checksum action right below is what
+          // materializes it — one job per round, not two
           val jumped = mins
             .withColumnRenamed("label", "jump_key")
             .join(lookup, Seq("jump_key"), "left")
             .select(col("node"),
               coalesce(col("jump_label"), col("jump_key")).as("label"))
-            .localCheckpoint()
+            .localCheckpoint(false)
           val cur = checksum(jumped)
           converged = cur.compareTo(prev) == 0
           prev = cur
