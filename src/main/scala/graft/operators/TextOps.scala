@@ -410,6 +410,51 @@ object TextOps {
         .limit(50)
     },
 
+    /** Training-sequence packing (concat-then-chunk): documents are
+      * concatenated in id order within their source shard and cut into
+      * fixed 512-token training sequences — each doc reports the packs
+      * it starts/ends in, its offset, and whether it crosses a pack
+      * boundary (the GPT-style packing bookkeeping a data loader
+      * needs). The window partitions by the shard key (source), so the
+      * cumulative sum is hash-partitioned — at 100 TB the shard key is
+      * (source, day) and packs stay shard-local; there is no global
+      * single-partition window anywhere. */
+    QueryDef.sql(
+      "q63_sequence_packing",
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, source,
+        |       CAST(n_tokens AS INTEGER) AS n_tokens,
+        |       CAST(cum // 512 AS BIGINT) AS pack_first,
+        |       CAST((cum + n_tokens - 1) // 512 AS BIGINT) AS pack_last,
+        |       CAST(cum % 512 AS INTEGER) AS offset_in_pack,
+        |       (cum // 512) <> ((cum + n_tokens - 1) // 512) AS crosses_boundary
+        |FROM c
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val packSize = 512
+      Tables.documents(s, d)
+        .select($"doc_id", $"source", tokenCount($"text").as("n_tokens"))
+        .withColumn("cum", coalesce(sum($"n_tokens").over(w), lit(0L)))
+        .select($"doc_id", $"source",
+          $"n_tokens".cast("int").as("n_tokens"),
+          floor($"cum" / packSize).cast("long").as("pack_first"),
+          floor(($"cum" + $"n_tokens" - 1) / packSize).cast("long").as("pack_last"),
+          ($"cum" % packSize).cast("int").as("offset_in_pack"),
+          (floor($"cum" / packSize) =!=
+            floor(($"cum" + $"n_tokens" - 1) / packSize)).as("crosses_boundary"))
+        .orderBy($"doc_id")
+    },
+
     /** Composed corpus-preprocessing pipeline — the end-to-end flow a
       * training-data run executes, as ONE declarative plan: per-doc
       * stats → quality filter (q29's buckets) → language-ID (q30) →

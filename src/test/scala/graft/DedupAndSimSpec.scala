@@ -51,6 +51,26 @@ class TextFunctionsSpec extends GraftSpec {
       (2L, 1, 1.0, 1.0, 1, 0.0)))  // n<2 → dup_bigram_ratio 0 by definition
   }
 
+  test("sequence packing assigns pack spans by shard-local cumulative tokens") {
+    def doc(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    // shard 'a': cum 0 → 300 → 600; doc 11 crosses the 512 boundary,
+    // doc 12 sits inside pack 1 (600+423 = 1023 < 1024). shard 'b'
+    // restarts at cum 0 — shard-local packing, no cross-shard state
+    val docs = Seq(
+      (10L, "a", doc(300)), (11L, "a", doc(300)), (12L, "a", doc(424)),
+      (20L, "b", doc(600)))
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("q63spec")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q63_sequence_packing")(spark, dir.toString)
+      .as[(Long, String, Int, Long, Long, Int, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (10L, "a", 300, 0L, 0L, 0, false),
+      (11L, "a", 300, 0L, 1L, 300, true),
+      (12L, "a", 424, 1L, 1L, 88, false),
+      (20L, "b", 600, 0L, 1L, 0, true)))
+  }
+
   test("winnowing fingerprints match a plain-Scala reference implementation") {
     val k = 8; val w = 4
     // independent re-derivation of Schleimer et al. winnowing: all k-gram
