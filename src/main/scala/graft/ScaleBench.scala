@@ -29,7 +29,8 @@ object ScaleBench {
     "q37_ann_bruteforce", "q38_ann_lsh", "q44_ann_ivf", "q45_bpe_tokens",
     "q46_winnow_fingerprint", "q47_corpus_pipeline",
     "q48_minhash_incremental", "q58_span_dedup", "q59_hash_split",
-    "q60_repetition_stats", "q62_vocab_topk", "q63_sequence_packing")
+    "q60_repetition_stats", "q62_vocab_topk", "q63_sequence_packing",
+    "q64_tfidf_terms", "q65_decontaminate")
 
   /** Quadratic-by-contract entries, capped at 10×: the exact all-pairs
     * baselines (q33 n-gram Jaccard, q36 cosine pairs), and q49 whose

@@ -455,6 +455,90 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    /** Per-document salient terms via tf-idf: term frequency × N/df
+      * (linear idf — a monotone transform of log idf with EXACT
+      * rational arithmetic, so both engines agree bit-for-bit after
+      * rounding; log's transcendental last-ulp would not), top 3 terms
+      * per doc with deterministic tie-break. One explode, two hash
+      * aggs, a doc-frequency join, one per-doc window. */
+    QueryDef.sql(
+      "q64_tfidf_terms",
+      """WITH t AS (
+        |  SELECT doc_id, toks[i] AS tok
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |       UNNEST(generate_series(1, len(toks))) AS g(i)
+        |), tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY doc_id, tok
+        |), df AS (
+        |  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY tok
+        |), n AS (
+        |  SELECT COUNT(*) AS n_docs FROM documents
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.tok,
+        |         ROUND(tf.tf * n.n_docs * 1.0 / df.df, 4) AS score,
+        |         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |           ORDER BY tf.tf * n.n_docs * 1.0 / df.df DESC, tf.tok) AS rnk
+        |  FROM tf JOIN df USING (tok) CROSS JOIN n
+        |)
+        |SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, tok,
+        |       CAST(score AS DOUBLE) AS score
+        |FROM scored WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tok = docs.select($"doc_id", explode(tokens($"text")).as("tok"))
+      val tf = tok.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy($"tok").agg(countDistinct($"doc_id").as("df"))
+      // corpus size as a broadcast 1-row aggregate, not a driver count
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy($"doc_id")
+        .orderBy(($"tf" * $"n_docs" * lit(1.0) / $"df").desc, $"tok")
+      tf.join(df, Seq("tok"))
+        .crossJoin(broadcast(n))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 3)
+        .select($"doc_id", $"rnk".cast("int").as("rnk"), $"tok",
+          round($"tf" * $"n_docs" * lit(1.0) / $"df", 4).cast("double").as("score"))
+        .orderBy($"doc_id", $"rnk")
+    },
+
+    /** Benchmark decontamination (the GPT-3/PaLM 13-gram rule): flag
+      * every training document sharing at least one word 13-gram with
+      * a held-out eval set, with the overlapping-gram count. The eval
+      * probe here is the `doc_id % 50 = 0` slice of the corpus (which
+      * guarantees planted hits via the corpus's exact duplicates); in
+      * production the probes are the benchmark suites. One shingle
+      * pass per side + one equi-join on the gram hash — shuffle ∝
+      * corpus grams, never a pair space; the probe side is tiny and
+      * broadcastable. */
+    QueryDef.sql(
+      "q65_decontaminate",
+      """WITH tr AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id % 50 <> 0
+        |), ev AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id % 50 = 0
+        |), trg AS (
+        |  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 12), ' ') AS gram
+        |  FROM tr, UNNEST(generate_series(1, len(toks) - 12)) AS g(i)
+        |), evg AS (
+        |  SELECT DISTINCT array_to_string(list_slice(toks, i, i + 12), ' ') AS gram
+        |  FROM ev, UNNEST(generate_series(1, len(toks) - 12)) AS g(i)
+        |)
+        |SELECT trg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated_grams
+        |FROM trg JOIN evg USING (gram)
+        |GROUP BY trg.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      def grams(df: DataFrame) = df
+        .select($"doc_id", explode(wordShingles($"text", 13)).as("gram"))
+      grams(docs.filter($"doc_id" % 50 =!= 0))
+        .join(grams(docs.filter($"doc_id" % 50 === 0)).select($"gram").distinct(),
+          Seq("gram"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_contaminated_grams"))
+        .orderBy($"doc_id")
+    },
+
     /** Composed corpus-preprocessing pipeline — the end-to-end flow a
       * training-data run executes, as ONE declarative plan: per-doc
       * stats → quality filter (q29's buckets) → language-ID (q30) →

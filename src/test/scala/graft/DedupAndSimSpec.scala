@@ -71,6 +71,36 @@ class TextFunctionsSpec extends GraftSpec {
       (20L, "b", 600, 0L, 1L, 0, true)))
   }
 
+  test("tf-idf top terms and decontamination on hand-built corpora") {
+    // tf-idf: 'rare' appears in 1 of 3 docs → idf 3; 'shared' in all →
+    // idf 1. Doc 0's top term must be 'rare' (score 2·3=6)
+    val docs = Seq(
+      (0L, "s0", "rare rare shared common common"),
+      (1L, "s0", "shared common word other thing"),
+      (2L, "s0", "shared common beta gamma delta"))
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("q64spec")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val top = SparkEntry.queries("q64_tfidf_terms")(spark, dir.toString)
+      .filter($"doc_id" === 0 && $"rnk" === 1)
+      .as[(Long, Int, String, Double)].collect()
+    assert(top.toSeq === Seq((0L, 1, "rare", 6.0)))
+
+    // decontamination: doc 100 (eval side, 100 % 50 = 0) shares its
+    // 13-gram prefix with training doc 1; doc 2 is clean
+    val g13 = (1 to 13).map(i => s"w$i").mkString(" ")
+    val cont = Seq(
+      (1L, "s0", g13 + " tail1 tail2"),          // training, contaminated
+      (2L, "s0", (1 to 15).map(i => s"z$i").mkString(" ")), // training, clean
+      (100L, "s0", g13 + " evaltail"))           // eval probe
+      .toDF("doc_id", "source", "text")
+    val dir2 = java.nio.file.Files.createTempDirectory("q65spec")
+    cont.write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val flagged = SparkEntry.queries("q65_decontaminate")(spark, dir2.toString)
+      .as[(Long, Long)].collect()
+    assert(flagged.toSeq === Seq((1L, 1L)))
+  }
+
   test("winnowing fingerprints match a plain-Scala reference implementation") {
     val k = 8; val w = 4
     // independent re-derivation of Schleimer et al. winnowing: all k-gram
