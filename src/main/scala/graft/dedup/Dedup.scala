@@ -264,6 +264,23 @@ object Dedup {
       .toArray.distinct.sorted
   }
 
+  /** (id, gram-hash) rows of the DISTINCT word n-gram shingles of each
+    * document — the kernel-shingled building block shared by MinHash
+    * indexing and the decontamination join (q65). Same FNV-1a 64-bit
+    * hash, same collision argument as [[ngramJaccardPairsKernel]]: a
+    * cross-doc gram collision needs ~2³² distinct grams to become
+    * likely. The column-expression shingler evaluates interpreted and
+    * measured ~4× slower at 13-gram width. */
+  def gramHashRows(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, t) => shingleHashes(t, n).map(h => (id, h)) }
+      .toDF("doc_id", "h")
+  }
+
   /** Exact word-n-gram Jaccard pairs as a BLOCK-PARTITIONED pair join:
     * per-doc sorted shingle-hash arrays, tight-loop sorted-merge
     * intersection per block pair — executed entirely on executors.
