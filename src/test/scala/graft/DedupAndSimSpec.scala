@@ -285,6 +285,41 @@ class DedupSpec extends GraftSpec {
     assert(keptSpans.distinct.length === keptSpans.length)
   }
 
+  test("vocab top-k counts term and doc frequency on literals") {
+    val docs = Seq(
+      (0L, "s", "a a b"), (1L, "s", "a c"), (2L, "s", "b"))
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("q62spec")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q62_vocab_topk")(spark, dir.toString)
+      .as[(String, Long, Long)].collect().toSeq
+    // a: tf 3 (2+1) in 2 docs; b: tf 2 in 2 docs; c: tf 1 in 1 doc
+    assert(out === Seq(("a", 3L, 2L), ("b", 2L, 2L), ("c", 1L, 1L)))
+  }
+
+  test("span dedup matches a brute-force reference on a seeded random corpus") {
+    // independent single-threaded reference: same keep-first-by-
+    // (doc_id, span_idx) rule over 10-token spans
+    val rnd = new scala.util.Random(11)
+    val vocab = (1 to 12).map(i => s"v$i")
+    val docs = (0L until 40L).map { id =>
+      val n = 1 + rnd.nextInt(35)
+      (id, (1 to n).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    def refSpans(t: String) = t.trim.split("\\s+").grouped(10).map(_.mkString(" ")).toSeq
+    val seen = scala.collection.mutable.Set[String]()
+    val expect = docs.map { case (id, t) =>
+      val sp = refSpans(t)
+      val kept = sp.filter(s => seen.add(s))
+      (id, sp.length, kept.length,
+        if (kept.isEmpty) None else Some(kept.mkString(" ")))
+    }
+    val got = Dedup.spanDedup(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, Int, Int, Option[String])].collect().toSeq
+    assert(got === expect)
+  }
+
   test("hex buckets parse md5 digits exactly and are content-keyed (leakage guard)") {
     import graft.text.TextFunctions.{fingerprint, hexBucket}
     // reference: JVM md5 of the canonical form, parsed with Integer.parseInt
