@@ -141,6 +141,54 @@ object SimilarityOps {
         .orderBy($"doc_id")
     },
 
+    /** The composed near-dup removal pipeline end to end — what E20
+      * exists for in production: pair detection → connected components
+      * → drop every non-canonical cluster member → per-source corpus
+      * accounting of the surviving docs. One oracle proves the whole
+      * flow (pairs, closure, keep rule, aggregation) agree between
+      * engines, not just each stage in isolation. */
+    QueryDef.sql(
+      "q66_cluster_dedup_pipeline",
+      s"""WITH RECURSIVE $jaccardCtes, dup AS (
+        |  SELECT p.id_a, p.id_b FROM pairs p
+        |  JOIN sz sa ON sa.doc_id = p.id_a
+        |  JOIN sz sb ON sb.doc_id = p.id_b
+        |  WHERE p.inter * 1.0 / (sa.n_sh + sb.n_sh - p.inter) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM dup
+        |  UNION
+        |  SELECT id_b, id_a FROM dup
+        |), reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        |), comp AS (
+        |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+        |), kept AS (
+        |  SELECT d.doc_id, d.source,
+        |         length(regexp_split_to_array(trim(d.text), '\\s+')) AS n_tokens
+        |  FROM documents d LEFT JOIN comp c USING (doc_id)
+        |  WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+        |)
+        |SELECT source,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM kept
+        |GROUP BY source
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cc = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairsKernel(docs, "doc_id", "text"))
+      docs
+        .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        // unpaired docs (label null) are their own singleton cluster
+        .filter($"label".isNull || $"label" === $"doc_id")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(tokenCount($"text").cast("long")).as("total_tokens"))
+        .orderBy($"source")
+    },
+
     /** MinHash+LSH near-dups (banded signatures → candidate equi-join →
       * exact verify). Hash family is engine-specific ⇒ rows-only here;
       * the ScalaTest spec checks recall against q33's exact pairs. */
