@@ -49,6 +49,24 @@ class PlanSpec extends GraftSpec {
     assert(plan(q("q15_topk")).contains("TakeOrderedAndProject"))
   }
 
+  test("round-6 corpus ops keep their intended physical shapes") {
+    // q59 hash split: one codegen'd projection over the scan. The only
+    // allowed Exchange is the range partition of the gate's output
+    // ORDER BY — a hash Exchange would mean an accidental agg/join
+    val split = plan(q("q59_hash_split"))
+    assert(!split.contains("Exchange hashpartitioning") &&
+      !split.contains("HashAggregate") && !split.contains("Join"),
+      s"hash split must stay a projection:\n${split.linesIterator.take(15).mkString("\n")}")
+    // q62 vocab: ORDER BY + LIMIT must collapse to TakeOrderedAndProject
+    assert(plan(q("q62_vocab_topk")).contains("TakeOrderedAndProject"))
+    // q63 packing: the cumulative-sum window must be hash-partitioned
+    // on the shard key, never a single-partition global window
+    val pack = plan(q("q63_sequence_packing"))
+    assert(pack.contains("Window"))
+    assert(pack.contains("hashpartitioning(source"),
+      s"packing window must partition by the shard key:\n${pack.linesIterator.take(20).mkString("\n")}")
+  }
+
   test("whole-stage codegen spans the aggregation hot path") {
     // AQE finalizes the physical plan lazily — run the query, then
     // inspect the final plan for codegen stage markers
