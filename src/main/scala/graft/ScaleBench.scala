@@ -41,6 +41,10 @@ object ScaleBench {
     * so the entry inherits the kernel's cap. */
   private val exactOps = Seq("q33_ngram_jaccard", "q36_embedding_neardup",
     "q49_ann_pq", "q57_dedup_clusters",
+    // the composed pipeline embeds the exact O(n²) Jaccard kernel, so
+    // it inherits the 10× cap like q57 (advice r6); its LSH-candidate
+    // sibling q68 is the uncapped scale path
+    "q66_cluster_dedup_pipeline",
     // q61's gate holds nlist fixed, so bucket size (and the within-
     // bucket pair space) grows with the corpus; a deployment scales
     // nlist to hold bucket size constant

@@ -8,6 +8,11 @@ object Verify {
     // optional trailing args: entry names to restrict the dump to
     // (driver passes none → full dump)
     val (sfDir, outDir, only) = (args(0), args(1), args.drop(2).toSet)
+    // a typo'd entry name would otherwise dump nothing and read as a
+    // clean (empty) verify — fail fast instead (advice r6)
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown entry name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

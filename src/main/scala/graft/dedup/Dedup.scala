@@ -410,6 +410,19 @@ object Dedup {
     *   single-digit diameter and finish in 2-3 rounds. If the cap is
     *   hit before fixpoint an IllegalStateException is thrown rather
     *   than returning silently-unmerged components. */
+  /** Release the cached blocks behind a localCheckpoint'ed label
+    * frontier. A superseded round's frontier is never read again, but
+    * its checkpoint blocks would otherwise stay pinned in executor
+    * storage until the job's RDDs are garbage-collected — up to
+    * maxRounds block sets for a deep graph (advice r6). The
+    * checkpointed plan's only leaf is the materialized RDD. */
+  private def releaseFrontier(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        scala.util.Try(lr.rdd.unpersist(blocking = false)): Unit
+      case _ => ()
+    }
+
   def connectedComponents(
       pairs: DataFrame,
       idA: String = "id_a",
@@ -458,6 +471,10 @@ object Dedup {
               coalesce(col("jump_label"), col("jump_key")).as("label"))
             .localCheckpoint(false)
           val cur = checksum(jumped)
+          // the checksum action materialized `jumped`; the previous
+          // frontier is now superseded — release its blocks (the final
+          // frontier is returned still-materialized, never released)
+          releaseFrontier(labels)
           converged = cur.compareTo(prev) == 0
           prev = cur
           labels = jumped

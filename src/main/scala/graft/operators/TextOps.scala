@@ -475,7 +475,7 @@ object TextOps {
         |  SELECT COUNT(*) AS n_docs FROM documents
         |), scored AS (
         |  SELECT tf.doc_id, tf.tok,
-        |         ROUND(tf.tf * n.n_docs * 1.0 / df.df, 4) AS score,
+        |         CAST(ROUND((tf.tf * n.n_docs * 1.0 / df.df) * 1e4, 0) AS BIGINT) / 1e4 AS score,
         |         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
         |           ORDER BY tf.tf * n.n_docs * 1.0 / df.df DESC, tf.tok) AS rnk
         |  FROM tf JOIN df USING (tok) CROSS JOIN n
@@ -497,7 +497,11 @@ object TextOps {
         .withColumn("rnk", row_number().over(w))
         .filter($"rnk" <= 3)
         .select($"doc_id", $"rnk".cast("int").as("rnk"), $"tok",
-          round($"tf" * $"n_docs" * lit(1.0) / $"df", 4).cast("double").as("score"))
+          // roundPortable, not round: the quotient is a double, and the
+          // corpus guarantees nothing about its 4-decimal halfway points
+          // (advice r6 — plain round diverges between engines there)
+          roundPortable($"tf" * $"n_docs" * lit(1.0) / $"df", 4)
+            .cast("double").as("score"))
         .orderBy($"doc_id", $"rnk")
     },
 

@@ -258,6 +258,11 @@ object Vectors {
     val cents = pretrained.getOrElse(ivfTrain(data, idCol, vecCol, nlist, iters))
     val bc = spark.sparkContext.broadcast(
       (cents, cents.map(c => math.sqrt(c.map(x => x * x).sum))))
+    // persisted: the assignment map pass feeds both sides of the bucket
+    // self-join AND the final keep-flag select — unpersisted it runs
+    // ~3× (advice r6). The component rounds inside connectedComponents
+    // materialize the join; the final select is captured by an eager
+    // localCheckpoint so the cache can be dropped before returning.
     val assigned = data.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
       .map { case (id, v) =>
@@ -265,19 +270,23 @@ object Vectors {
         (nearestCentroids(v, cs, ns, 1)(0), id, v)
       }
       .toDF("bucket", "id", "v")
-    val pairs = assigned.select($"bucket", $"id".as("id_a"), $"v".as("va"))
-      .join(assigned.select($"bucket", $"id".as("id_b"), $"v".as("vb")),
-        Seq("bucket"))
-      .filter($"id_a" < $"id_b")
-      // fence: keep the selective score filter OUT of the join
-      // condition so fdot runs once, codegen'd (see [[fence]])
-      .filter(fence(cosineNative(spark, $"va", $"vb")) > threshold)
-      .select($"id_a", $"id_b")
-    val comps = graft.dedup.Dedup.connectedComponents(pairs)
-    assigned.select($"bucket", $"id")
-      .join(comps.withColumnRenamed("node", "id"), Seq("id"), "left")
-      .select($"id".as("vec_id"), $"bucket".cast("int").as("bucket"),
-        (coalesce($"label", $"id") === $"id").as("kept"))
+      .persist()
+    try {
+      val pairs = assigned.select($"bucket", $"id".as("id_a"), $"v".as("va"))
+        .join(assigned.select($"bucket", $"id".as("id_b"), $"v".as("vb")),
+          Seq("bucket"))
+        .filter($"id_a" < $"id_b")
+        // fence: keep the selective score filter OUT of the join
+        // condition so fdot runs once, codegen'd (see [[fence]])
+        .filter(fence(cosineNative(spark, $"va", $"vb")) > threshold)
+        .select($"id_a", $"id_b")
+      val comps = graft.dedup.Dedup.connectedComponents(pairs)
+      assigned.select($"bucket", $"id")
+        .join(comps.withColumnRenamed("node", "id"), Seq("id"), "left")
+        .select($"id".as("vec_id"), $"bucket".cast("int").as("bucket"),
+          (coalesce($"label", $"id") === $"id").as("kept"))
+        .localCheckpoint()
+    } finally assigned.unpersist(blocking = false): Unit
   }
 
   /** Train the coarse quantizer: deterministic seeding (the `nlist`
