@@ -237,9 +237,11 @@ object TextOps {
     /** Cross-document duplicate-SPAN removal (C4 / exact-substring
       * dedup shape): 10-token spans, keep the globally first occurrence
       * of each exact span, reassemble docs from their surviving spans —
-      * the boilerplate-removal pass document-level dedup misses. One
-      * window shuffle on the span text; per-doc md5 of the surviving
-      * text proves the reassembly byte-exact against the oracle. */
+      * the boilerplate-removal pass document-level dedup misses. The
+      * keep-first step is a map-side-combinable min-struct aggregate
+      * (no Window — a hot boilerplate span never lands one reducer);
+      * per-doc md5 of the surviving text proves the reassembly
+      * byte-exact against the oracle. */
     QueryDef.sql(
       "q58_span_dedup",
       """WITH t AS (
