@@ -30,7 +30,11 @@ object ScaleBench {
     "q46_winnow_fingerprint", "q47_corpus_pipeline",
     "q48_minhash_incremental", "q58_span_dedup", "q59_hash_split",
     "q60_repetition_stats", "q62_vocab_topk", "q63_sequence_packing",
-    "q64_tfidf_terms", "q65_decontaminate")
+    "q64_tfidf_terms", "q65_decontaminate",
+    // the two composed scale paths (r7): IVFPQ (coarse quantizer in
+    // front of the ADC scan, nlist ∝ corpus) and the LSH cluster-dedup
+    // chain — both uncapped, unlike their exact siblings q49/q66
+    "q67_ann_ivfpq", "q68_cluster_dedup_lsh")
 
   /** Quadratic-by-contract entries, capped at 10×: the exact all-pairs
     * baselines (q33 n-gram Jaccard, q36 cosine pairs), and q49 whose

@@ -216,6 +216,40 @@ class DedupSpec extends GraftSpec {
     assert(batch2.exists { case (a, b) => a % 2 == 1 || b % 2 == 1 })
   }
 
+  test("LSH cluster-dedup pipeline resolves the exact pipeline's clusters on planted duplicates") {
+    // 6 groups of 4 near-identical docs (a distinct token APPENDED per
+    // member → only the final 3-gram differs, pairwise jaccard = 28/30
+    // ≈ 0.93, far above the 0.5 threshold, where banded 8×4 MinHash
+    // candidate recall is effectively 1) plus 8 fully distinct docs.
+    // The composed production chain (q68: LSH candidates → components
+    // → keep) must produce EXACTLY the exact-kernel chain's (q66)
+    // surviving corpus.
+    val rnd = new scala.util.Random(13)
+    val groups = (0 until 6).flatMap { g =>
+      val base = (0 until 30).map(_ => s"g${g}w${rnd.nextInt(500)}")
+      (0 until 4).map { j =>
+        val toks = base :+ s"tail$g$j"
+        ((g * 4 + j).toLong, s"src${g % 2}", toks.mkString(" "))
+      }
+    }
+    val lone = (0 until 8).map { i =>
+      ((100 + i).toLong, s"src${i % 2}",
+        (0 until 25).map(_ => s"lone${i}t${rnd.nextInt(900)}").mkString(" "))
+    }
+    val docs = (groups ++ lone).toDF("doc_id", "source", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val exact = rows(graft.operators.SimilarityOps.keptCorpusBySource(docs,
+      Dedup.ngramJaccardPairsKernel(docs, "doc_id", "text")))
+    val lsh = rows(graft.operators.SimilarityOps.keptCorpusBySource(docs,
+      Dedup.minhashNearDups(docs, "doc_id", "text").select($"id_a", $"id_b")))
+    assert(exact.nonEmpty)
+    assert(lsh === exact)
+    // sanity: dedup actually removed the planted duplicates (6 groups
+    // keep 1 of 4 each → 6 + 8 lone survivors)
+    assert(exact.map(_._2).sum === 14L)
+  }
+
   test("connected components match a union-find reference on a seeded random graph") {
     // independent reference: plain array union-find with path halving
     def unionFind(n: Int, edges: Seq[(Int, Int)]): Map[Long, Long] = {
@@ -475,6 +509,34 @@ class VectorsSpec extends GraftSpec {
     assert(model.codebooks.length === 4)
     assert(model.codebooks.forall(_.length === 16))
     assert(model.codebooks.forall(_.forall(_.length === 4)))
+  }
+
+  test("IVFPQ ANN: coarse-quantized ADC + rerank achieves high recall on clustered vectors") {
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(5)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val data = (0 until 100).map { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.map(x => x + 0.05f * rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val truth = Vectors.bruteForceTopK(data, data, "vec_id", "embedding", 3)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    // 8 coarse lists, probe 2 — within-cluster neighbors share the
+    // probe's buckets here, so the composed path should match the flat
+    // PQ scan's recall while scanning only ~1/4 of the codes
+    val got = Vectors.ivfpqTopK(data, "vec_id", "embedding", k = 3,
+      nlist = 8, nprobe = 2, m = 4, ksub = 16, rerankFactor = 6)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (truth & got).size.toDouble / truth.size
+    assert(recall >= 0.8, s"recall $recall")
+    // per-probe cardinality contract holds under the bucket restriction
+    val counts = Vectors.ivfpqTopK(data, "vec_id", "embedding", k = 3,
+      nlist = 8, nprobe = 2, m = 4, ksub = 16, rerankFactor = 6)
+      .groupBy($"probe_id").count().select($"count").distinct().collect()
+    assert(counts.map(_.getLong(0)).forall(_ <= 3))
+    // rows-only gate query stays non-empty on testdata
+    val e = Tables.embeddings(spark, sf("sf0.01"))
+    assert(Vectors.ivfpqTopK(e, "vec_id", "embedding", k = 3)
+      .filter($"probe_id" < 20).count() > 0)
   }
 
   test("IVF ANN achieves high recall on clustered vectors") {
