@@ -26,6 +26,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // optional args: entry names to restrict the run to (driver passes
+    // none → full run); unknown names fail fast like Verify's
+    val only = args.toSet
+    val unknownNames = only -- SparkEntry.queries.keySet
+    require(unknownNames.isEmpty,
+      s"unknown entry name(s): ${unknownNames.toSeq.sorted.mkString(", ")}")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -60,7 +66,9 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.allDefs.map { q =>
+    val results = SparkEntry.allDefs
+      .filter(q => only.isEmpty || only(q.name))
+      .map { q =>
       val warm = timeOnce(q)
       // median of 3 measured passes — the DuckDB baseline's statistic,
       // so both sides of the reported ratio use the same estimator.

@@ -188,6 +188,91 @@ object StreamingOps {
         .orderBy(col("window_start_ms"), col("key"))
     },
 
+    /** Watermarked stream-stream INTERVAL JOIN driven end-to-end
+      * through Structured Streaming: each purchase joined to the same
+      * user's views in the preceding 4 hours, fed as two genuine
+      * micro-batches split on event time at 2024-01-16. The split
+      * makes the oracle a plain batch interval join BY CONSTRUCTION:
+      * every batch-2 row (either side) sits above batch-1's watermark
+      * (WM₁ = min(max l_ts, max r_ts) − 10 min < the split point), so
+      * no input row is late-dropped, and the end-of-batch state
+      * evictions (left rows below WM, right rows below WM − lookback)
+      * only ever remove rows no later-batch row could satisfy the
+      * time-range condition with — the buffered cross-batch matches
+      * (batch-2 purchases × batch-1 views) all survive. Timestamps are
+      * pre-truncated to millis on the Spark side so both engines
+      * compare identical values at the interval bounds. */
+    QueryDef.sql(
+      "st_interval_join",
+      """WITH l AS (
+        |  SELECT user_id AS key, epoch_ms(ts) AS l_ms, event_id AS l_id
+        |  FROM events WHERE event_type = 'purchase'
+        |), r AS (
+        |  SELECT user_id AS key, epoch_ms(ts) AS r_ms, event_id AS r_id
+        |  FROM events WHERE event_type = 'view'
+        |)
+        |SELECT l.key AS key, l.l_id, l.l_ms, r.r_id, r.r_ms
+        |FROM l JOIN r ON r.key = l.key
+        |  AND r.r_ms BETWEEN l.l_ms - 14400000 AND l.l_ms
+        |ORDER BY l.key, l_id, r_id""".stripMargin) { (s, d) =>
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ev = Tables.events(s, d)
+        .withColumn("ts_ms", timestamp_millis(unix_millis(col("ts"))))
+      def side(tpe: String, ts: String, id: String) = ev
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as("key"), col("ts_ms").as(ts),
+          col("event_id").as(id))
+      val split = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+      def batches[T: org.apache.spark.sql.Encoder](
+          df: org.apache.spark.sql.DataFrame, tsCol: String): (Seq[T], Seq[T]) = {
+        val all = df.as[T].collect().toSeq
+        val t = (x: T) => x match {
+          case e: Streams.LeftEvent => e.l_ts
+          case e: Streams.RightEvent => e.r_ts
+        }
+        (all.filter(t(_).before(split)), all.filterNot(t(_).before(split)))
+      }
+      val (l1, l2) = batches[Streams.LeftEvent](side("purchase", "l_ts", "l_id"), "l_ts")
+      val (r1, r2) = batches[Streams.RightEvent](side("view", "r_ts", "r_id"), "r_ts")
+      val memL = MemoryStream[Streams.LeftEvent]
+      val memR = MemoryStream[Streams.RightEvent]
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      // a stream-stream join keeps FOUR state-store instances per
+      // partition (two per side) and commits each every micro-batch —
+      // at this feed size the commits dominate, so run the join
+      // single-partition (a production job sizes this to key volume)
+      s.conf.set("spark.sql.shuffle.partitions", "1")
+      val ckBase = new java.io.File("/dev/shm")
+      val ck = new java.io.File(
+        if (ckBase.isDirectory && ckBase.canWrite) ckBase
+        else new java.io.File(System.getProperty("java.io.tmpdir")),
+        "graft_ck_" + java.util.UUID.randomUUID())
+      try {
+        val joined = Streams.streamIntervalJoin(
+          memL.toDF(), memR.toDF(), "key", "l_ts", "r_ts",
+          lookback = "4 hours", lateness = "10 minutes")
+        val q = joined.writeStream.format("memory").queryName("st_ij_sink")
+          .option("checkpointLocation", ck.getAbsolutePath)
+          .outputMode("append").start()
+        try {
+          memL.addData(l1); memR.addData(r1); q.processAllAvailable()
+          memL.addData(l2); memR.addData(r2); q.processAllAvailable()
+        } finally q.stop()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(ck)
+      }
+      s.table("st_ij_sink")
+        .select(col("key"), col("l_id"), unix_millis(col("l_ts")).as("l_ms"),
+          col("r_id"), unix_millis(col("r_ts")).as("r_ms"))
+        .orderBy(col("key"), col("l_id"), col("r_id"))
+    },
+
     /** R1 — delivery verification (stream-static join semantics). */
     QueryDef.sql(
       "st_delivery_verification",

@@ -125,6 +125,12 @@ object Streams {
     * orders; the money rule, README "Engineering rules"). */
   final case class CentEvent(key: Long, ts: java.sql.Timestamp, value: Long)
 
+  /** Feed shapes of the stream-stream interval-join gate (column names
+    * pre-disambiguated — [[streamIntervalJoin]] requires the two sides
+    * to collide only on the key). */
+  final case class LeftEvent(key: Long, l_ts: java.sql.Timestamp, l_id: Long)
+  final case class RightEvent(key: Long, r_ts: java.sql.Timestamp, r_id: Long)
+
   /** Streaming exact-dedup over a document ingest stream: first-seen
     * wins per canonical fingerprint (lower-cased, whitespace-collapsed
     * md5 — the same key as the batch `Dedup.exact` / q31). Keyed state
