@@ -31,10 +31,11 @@ object ScaleBench {
     "q48_minhash_incremental", "q58_span_dedup", "q59_hash_split",
     "q60_repetition_stats", "q62_vocab_topk", "q63_sequence_packing",
     "q64_tfidf_terms", "q65_decontaminate",
-    // the two composed scale paths (r7): IVFPQ (coarse quantizer in
-    // front of the ADC scan, nlist ∝ corpus) and the LSH cluster-dedup
-    // chain — both uncapped, unlike their exact siblings q49/q66
-    "q67_ann_ivfpq", "q68_cluster_dedup_lsh")
+    // the composed scale paths (r7): IVFPQ (coarse quantizer in front
+    // of the ADC scan) and the LSH cluster-dedup chain — uncapped,
+    // unlike their exact siblings q49/q66 — plus q61, uncapped now
+    // that its quantizer scales nlist ∝ √corpus
+    "q67_ann_ivfpq", "q68_cluster_dedup_lsh", "q61_semdedup")
 
   /** Quadratic-by-contract entries, capped at 10×: the exact all-pairs
     * baselines (q33 n-gram Jaccard, q36 cosine pairs), and q49 whose
@@ -48,11 +49,7 @@ object ScaleBench {
     // the composed pipeline embeds the exact O(n²) Jaccard kernel, so
     // it inherits the 10× cap like q57 (advice r6); its LSH-candidate
     // sibling q68 is the uncapped scale path
-    "q66_cluster_dedup_pipeline",
-    // q61's gate holds nlist fixed, so bucket size (and the within-
-    // bucket pair space) grows with the corpus; a deployment scales
-    // nlist to hold bucket size constant
-    "q61_semdedup")
+    "q66_cluster_dedup_pipeline")
 
   def main(args: Array[String]): Unit = {
     val scales = args.headOption.getOrElse("1,10,50")

@@ -62,6 +62,20 @@ object SimilarityOps {
   private val pqModels = new java.util.concurrent.ConcurrentHashMap[
     String, Vectors.PqModel]()
 
+  /** The corpus-adaptive coarse quantizer shared by q67 (IVFPQ) and
+    * q61 (SemDeDup): nlist = max(16, ⌈√n⌉), the classic IVF sizing —
+    * buckets of ~√n balance per-probe assignment (nlist·d) against
+    * bucket-scan work, and bound SemDeDup's within-bucket pair space
+    * to n²/nlist = n^1.5. The corpus count is index-build metadata,
+    * probed once per stored model (memoized per dir). */
+  private def adaptiveIvfModel(s: SparkSession, d: String): Array[Array[Double]] =
+    ivfModels.computeIfAbsent(s"$d|ivf-sqrt|i$IvfIters",
+      _ => {
+        val e = Tables.embeddings(s, d)
+        val nlist = math.max(IvfNlist, math.ceil(math.sqrt(e.count().toDouble)).toInt)
+        Vectors.ivfTrain(e, "vec_id", "embedding", nlist, IvfIters)
+      })
+
   // model hyper-parameters, named once and used in BOTH the cache key
   // and the train/search calls — a drifted default can never silently
   // reuse a model trained under the old configuration (advice r5)
@@ -359,41 +373,36 @@ object SimilarityOps {
 
     /** Semantic dedup (SemDeDup): k-means-bucketed within-cluster
       * cosine pairs → components → keep lowest id per component. The
-      * quantizer (shared with q44's IVF, same memoized model) makes
-      * buckets k-means-specific ⇒ rows-only; VectorsSpec proves the
-      * keep contract on planted duplicate clusters. Threshold is
-      * corpus-calibrated as in practice: this synthetic corpus's
-      * near-dup band tops out near cosine 0.5 (q36 pairs at > 0.4),
-      * so 0.45 marks its semantic duplicates. */
+      * quantizer is the corpus-adaptive √n model shared with q67's
+      * IVFPQ ([[adaptiveIvfModel]]) — nlist ∝ √corpus bounds the
+      * within-bucket pair space to n^1.5 at ANY scale, making the r6
+      * fixed-nlist caveat (pair space grew with the corpus) moot;
+      * ScaleBench now runs this uncapped. k-means-specific buckets ⇒
+      * rows-only; VectorsSpec proves the keep contract on planted
+      * duplicate clusters. Threshold is corpus-calibrated as in
+      * practice: this synthetic corpus's near-dup band tops out near
+      * cosine 0.5 (q36 pairs at > 0.4), so 0.45 marks its semantic
+      * duplicates. */
     QueryDef.rowsOnly("q61_semdedup") { (s, d) =>
-      val model = ivfModels.computeIfAbsent(s"$d|n$IvfNlist|i$IvfIters",
-        _ => Vectors.ivfTrain(Tables.embeddings(s, d), "vec_id", "embedding",
-          nlist = IvfNlist, iters = IvfIters))
       Vectors.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.45, nlist = IvfNlist, iters = IvfIters,
-        pretrained = Some(model))
+        threshold = 0.45, iters = IvfIters,
+        pretrained = Some(adaptiveIvfModel(s, d)))
         .orderBy($"vec_id")
     },
 
     /** IVFPQ — the composed ANN scale path (verdict r6 task 1): the
       * IVF coarse quantizer restricts every probe to its nprobe
       * nearest buckets, PQ's ADC scan scores the bucket members in
-      * bytes, exact rerank on the survivors. nlist grows with the
-      * corpus (fixed ~32-vector buckets — the deployment rule that
-      * keeps per-probe ADC work constant), so the whole search is
-      * ~linear where the flat q49 scan is quadratic. Both models are
-      * memoized stored-index artifacts like q44/q49's. Quantizer- and
-      * codebook-specific output ⇒ rows-only; VectorsSpec measures
-      * clustered recall. */
+      * bytes, exact rerank on the survivors. nlist ≈ √n (the classic
+      * IVF sizing): per probe, coarse assignment costs O(nlist·d) and
+      * the bucket scan O(nprobe·n/nlist·m) — √n balances them, so the
+      * all-probes gate totals O(n^1.5) where the flat q49 scan is
+      * O(n²) (and a single query is O(√n), the number that matters in
+      * serving). Both models are memoized stored-index artifacts like
+      * q44/q49's. Quantizer- and codebook-specific output ⇒ rows-only;
+      * VectorsSpec measures clustered recall. */
     QueryDef.rowsOnly("q67_ann_ivfpq") { (s, d) =>
-      val ivf = ivfModels.computeIfAbsent(s"$d|ivfpq-adaptive|i$IvfIters",
-        _ => {
-          val e = Tables.embeddings(s, d)
-          // nlist ∝ corpus: bucket size stays ~32 at any scale — the
-          // count is index-build metadata, run once per stored model
-          val nlist = math.max(IvfNlist, (e.count() / 32L).toInt)
-          Vectors.ivfTrain(e, "vec_id", "embedding", nlist, IvfIters)
-        })
+      val ivf = adaptiveIvfModel(s, d)
       val pq = pqModels.computeIfAbsent(s"$d|m$PqM|k$PqKsub|i$PqIters",
         _ => Vectors.pqTrain(Tables.embeddings(s, d), "vec_id", "embedding",
           m = PqM, ksub = PqKsub, iters = PqIters))

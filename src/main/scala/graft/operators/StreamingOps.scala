@@ -48,6 +48,11 @@ object StreamingOps {
   private def distSql(lat: String, lon: String, wlat: String, wlon: String) =
     s"sqrt(pow($lat - $wlat, 2) + pow($lon - $wlon, 2)) * 111.0"
 
+  /** Portable 3-decimal rounding (Shims.roundPortableSql) — plain
+    * ROUND(x, 3) diverges between engines at binary halfway points,
+    * which the sf0.1 feed actually hits. */
+  private def round3Sql(x: String) = s"CAST(ROUND(($x) * 1e3, 0) AS BIGINT) / 1e3"
+
   val defs: Seq[QueryDef] = Seq(
 
     /** R3 — deviation alerts (broadcast waypoint join + min-distance
@@ -57,12 +62,10 @@ object StreamingOps {
       s"""WITH gps AS ($gpsSql)
          |SELECT g.vehicle_id, g.route_id, epoch_ms(g.ts) AS ts_ms,
          |       g.lat, g.lon,
-         |       ROUND(LEAST(${distSql("g.lat", "g.lon", "w.w1_lat", "w.w1_lon")},
-         |                   ${distSql("g.lat", "g.lon", "w.w2_lat", "w.w2_lon")}), 3) AS min_distance_km,
+         |       ${round3Sql(s"LEAST(${distSql("g.lat", "g.lon", "w.w1_lat", "w.w1_lon")}, ${distSql("g.lat", "g.lon", "w.w2_lat", "w.w2_lon")})")} AS min_distance_km,
          |       'ROUTE_DEVIATION' AS alert_type
          |FROM gps g JOIN $waypointsSql ON w.route_id = g.route_id
-         |WHERE ROUND(LEAST(${distSql("g.lat", "g.lon", "w.w1_lat", "w.w1_lon")},
-         |                  ${distSql("g.lat", "g.lon", "w.w2_lat", "w.w2_lon")}), 3) > 5.0
+         |WHERE ${round3Sql(s"LEAST(${distSql("g.lat", "g.lon", "w.w1_lat", "w.w1_lon")}, ${distSql("g.lat", "g.lon", "w.w2_lat", "w.w2_lon")})")} > 5.0
          |ORDER BY vehicle_id, ts_ms""".stripMargin) { (s, d) =>
       Streams.routeDeviationAlerts(gpsFromEvents(s, d), waypoints(s), thresholdKm = 5.0)
         .withColumn("ts_ms", unix_millis(col("ts")))
@@ -78,8 +81,8 @@ object StreamingOps {
       "st_eta_updates",
       s"""WITH gps AS ($gpsSql)
          |SELECT g.vehicle_id, g.route_id, epoch_ms(g.ts) AS ts_ms,
-         |       ROUND(${distSql("g.lat", "g.lon", "dd.dest_lat", "dd.dest_lon")}, 3) AS distance_km,
-         |       CAST(ROUND(ROUND(${distSql("g.lat", "g.lon", "dd.dest_lat", "dd.dest_lon")}, 3)
+         |       ${round3Sql(distSql("g.lat", "g.lon", "dd.dest_lat", "dd.dest_lon"))} AS distance_km,
+         |       CAST(ROUND(${round3Sql(distSql("g.lat", "g.lon", "dd.dest_lat", "dd.dest_lon"))}
          |             / GREATEST(1.0, g.speed_kmh) * 3600000, 0) AS BIGINT) AS eta_travel_ms
          |FROM gps g
          |JOIN (VALUES (0, 0.5, 0.5), (1, 0.6, 0.1), (2, 0.2, 0.9))

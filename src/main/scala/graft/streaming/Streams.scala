@@ -54,7 +54,11 @@ object Streams {
         Shims.approxGeoDistKm(col("lat"), col("lon"),
           w.getField("lat"), w.getField("lon"))))
     gps.join(broadcast(waypoints), Seq("route_id"))
-      .withColumn("min_distance_km", round(minDist, 3))
+      // roundPortable, not round: a distance quotient can land on a
+      // 3-decimal binary halfway point where Spark's shortest-decimal
+      // and DuckDB's binary rounding disagree (first seen at sf0.1 —
+      // 10× the rows finds the boundary the gate corpus misses)
+      .withColumn("min_distance_km", Shims.roundPortable(minDist, 3))
       .filter(col("min_distance_km") > thresholdKm)
       .select(col("vehicle_id"), col("route_id"), col("ts"),
         col("lat"), col("lon"), col("min_distance_km"),
@@ -67,7 +71,9 @@ object Streams {
     val dist = Shims.approxGeoDistKm(
       col("lat"), col("lon"), col("dest_lat"), col("dest_lon"))
     gps.join(broadcast(destinations), Seq("route_id"))
-      .withColumn("distance_km", round(dist, 3))
+      // portable 3-decimal rounding — same engine-boundary rule as the
+      // deviation alerts above
+      .withColumn("distance_km", Shims.roundPortable(dist, 3))
       .withColumn("eta_hours",
         round(col("distance_km") / greatest(lit(1.0), col("speed_kmh")), 4))
       .withColumn("eta",
