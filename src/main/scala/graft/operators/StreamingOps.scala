@@ -221,32 +221,40 @@ object StreamingOps {
       implicit val sqlCtx = s.sqlContext
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val ev = Tables.events(s, d)
-        .withColumn("ts_ms", timestamp_millis(unix_millis(col("ts"))))
-      def side(tpe: String, ts: String, id: String) = ev
-        .filter(col("event_type") === tpe)
-        .select(col("user_id").as("key"), col("ts_ms").as(ts),
-          col("event_id").as(id))
+      // ONE scan feeds both sides: collect (type, key, ts, id) rows,
+      // split driver-side by side and by the event-time batch boundary
+      val all = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(col("event_type"), col("user_id"),
+          timestamp_millis(unix_millis(col("ts"))).as("ts_ms"), col("event_id"))
+        .as[(String, Long, java.sql.Timestamp, Long)]
+        .collect()
       val split = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
-      def batches[T: org.apache.spark.sql.Encoder](
-          df: org.apache.spark.sql.DataFrame, tsCol: String): (Seq[T], Seq[T]) = {
-        val all = df.as[T].collect().toSeq
-        val t = (x: T) => x match {
-          case e: Streams.LeftEvent => e.l_ts
-          case e: Streams.RightEvent => e.r_ts
-        }
-        (all.filter(t(_).before(split)), all.filterNot(t(_).before(split)))
-      }
-      val (l1, l2) = batches[Streams.LeftEvent](side("purchase", "l_ts", "l_id"), "l_ts")
-      val (r1, r2) = batches[Streams.RightEvent](side("view", "r_ts", "r_id"), "r_ts")
+      def half(tpe: String, second: Boolean) =
+        all.iterator.filter { case (t, _, ts, _) =>
+          t == tpe && (ts.before(split) != second)
+        }.toSeq
+      val (l1, l2) = (
+        half("purchase", second = false).map(e => Streams.LeftEvent(e._2, e._3, e._4)),
+        half("purchase", second = true).map(e => Streams.LeftEvent(e._2, e._3, e._4)))
+      val (r1, r2) = (
+        half("view", second = false).map(e => Streams.RightEvent(e._2, e._3, e._4)),
+        half("view", second = true).map(e => Streams.RightEvent(e._2, e._3, e._4)))
       val memL = MemoryStream[Streams.LeftEvent]
       val memR = MemoryStream[Streams.RightEvent]
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      val savedNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
       // a stream-stream join keeps FOUR state-store instances per
       // partition (two per side) and commits each every micro-batch —
       // at this feed size the commits dominate, so run the join
       // single-partition (a production job sizes this to key volume)
       s.conf.set("spark.sql.shuffle.partitions", "1")
+      // no-data micro-batches only advance the watermark to EVICT join
+      // state — an inner join's OUTPUT never depends on them, and at
+      // this feed size each costs a full ~0.6 s plan execution
+      // (measured); st_windowed keeps them, its append-mode flush is
+      // exactly what they exist for
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       val ckBase = new java.io.File("/dev/shm")
       val ck = new java.io.File(
         if (ckBase.isDirectory && ckBase.canWrite) ckBase
@@ -265,6 +273,7 @@ object StreamingOps {
         } finally q.stop()
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", savedNoData)
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
         }
