@@ -435,8 +435,16 @@ object Dedup {
       .dropDuplicates("src", "dst")
       .persist()
     try {
-      var labels = edges.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("label"))
+      // seed with the CLOSED-neighborhood minimum — the first
+      // propagation round folded into initialization at the cost the
+      // plain distinct() would pay anyway (one groupBy over the edge
+      // set). Near-clique components (the shape banded near-dup
+      // candidates produce) converge one full round earlier; labels
+      // remain node ids, so the pointer-jump invariant holds.
+      var labels = edges.groupBy(col("src"))
+        .agg(min(col("dst")).as("nmin"))
+        .select(col("src").as("node"),
+          least(col("src"), col("nmin")).as("label"))
         .localCheckpoint()
       if (labels.isEmpty) labels
       else {
