@@ -233,7 +233,8 @@ object Dedup {
       .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
       .withColumn("jaccard",
-        round(col("inter") * lit(1.0) / (col("n_a") + col("n_b") - col("inter")), 4))
+        graft.functions.Shims.roundPortable(
+          col("inter") * lit(1.0) / (col("n_a") + col("n_b") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard").cast("double"))
   }
@@ -367,7 +368,7 @@ object Dedup {
                   val jac = inter * 1.0 / (vx.length + vy.length - inter)
                   if (jac >= threshold)
                     out += ((math.min(x, y), math.max(x, y),
-                      graft.sim.Vectors.roundHalfUp(jac, 4)))
+                      graft.sim.Vectors.roundPortableD(jac, 4)))
                 }
               }
             }

@@ -58,8 +58,15 @@ object Shims {
   def clampMin(x: Column, lo: Double): Column = greatest(lit(lo), x)
 
   /** Half-up rounding to `n` decimals, cast to double so the output type
-    * is engine-portable (DuckDB's round(double) is double). */
-  def round2(x: Column, n: Int): Column = round(x, n).cast("double")
+    * is engine-portable (DuckDB's round(double) is double).
+    *
+    * Since round 7 this IS [[roundPortable]]: the sf0.1 deviation-alert
+    * gate demonstrated that plain `round(double, n)` on a quotient
+    * eventually lands on a shortest-decimal-vs-binary boundary where the
+    * engines disagree — every quotient, not just the documented money
+    * cases, gets the integer-scaled form. Callers' oracle SQL uses
+    * [[roundPortableSql]] to match. */
+  def round2(x: Column, n: Int): Column = roundPortable(x, n).cast("double")
 
   /** Engine-portable half-up rounding of a double ratio to `n` decimals.
     *

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.{Tables, QueryDef}
+import graft.functions.Shims.round2
 import graft.plans.SaltedAggregate
 
 /** Advanced composition surface beyond the reference's literal operator
@@ -110,16 +111,16 @@ object Advanced {
     QueryDef.sql(
       "q42_percentiles",
       """SELECT l_returnflag,
-        |       CAST(ROUND(quantile_cont(l_quantity, 0.5), 4) AS DOUBLE) AS p50_qty,
-        |       CAST(ROUND(quantile_cont(l_quantity, 0.9), 4) AS DOUBLE) AS p90_qty
+        |       CAST(CAST(ROUND((quantile_cont(l_quantity, 0.5)) * 1e4, 0) AS BIGINT) / 1e4 AS DOUBLE) AS p50_qty,
+        |       CAST(CAST(ROUND((quantile_cont(l_quantity, 0.9)) * 1e4, 0) AS BIGINT) / 1e4 AS DOUBLE) AS p90_qty
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy($"l_returnflag")
         .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 4).cast("double").as("p50_qty"),
-          round(expr("percentile(l_quantity, 0.9)"), 4).cast("double").as("p90_qty"))
+          round2(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round2(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"))
         .orderBy($"l_returnflag")
     },
 

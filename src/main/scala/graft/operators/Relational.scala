@@ -69,8 +69,8 @@ object Relational {
         |       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
         |       CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) / 100.0 AS DOUBLE) AS sum_base_price,
         |       CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT) * (100 - CAST(ROUND(l_discount*100,0) AS BIGINT))) / 10000.0 AS DOUBLE) AS sum_disc_price,
-        |       CAST(ROUND(SUM(l_quantity) / COUNT(*), 4) AS DOUBLE) AS avg_qty,
-        |       CAST(ROUND(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) / 100.0 / COUNT(*), 4) AS DOUBLE) AS avg_price,
+        |       CAST(CAST(ROUND((SUM(l_quantity) / COUNT(*)) * 1e4, 0) AS BIGINT) / 1e4 AS DOUBLE) AS avg_qty,
+        |       CAST(CAST(ROUND((SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) / 100.0 / COUNT(*)) * 1e4, 0) AS BIGINT) / 1e4 AS DOUBLE) AS avg_price,
         |       COUNT(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
@@ -143,8 +143,8 @@ object Relational {
     QueryDef.sql(
       "q04_ratio_nullif",
       s"""SELECT l_returnflag,
-         |       CAST(ROUND(SUM(${rev4Sql("l_extendedprice", "l_discount")}) / 10000.0
-         |             / NULLIF(SUM(l_quantity), 0), 4) AS DOUBLE) AS rev_per_unit
+         |       CAST(CAST(ROUND((SUM(${rev4Sql("l_extendedprice", "l_discount")}) / 10000.0
+         |             / NULLIF(SUM(l_quantity), 0)) * 1e4, 0) AS BIGINT) / 1e4 AS DOUBLE) AS rev_per_unit
          |FROM lineitem
          |GROUP BY l_returnflag
          |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
@@ -181,7 +181,7 @@ object Relational {
         |)
         |SELECT n.n_name,
         |       COUNT(*) AS n_customers,
-        |       CAST(ROUND(SUM(pc.n_orders) * 1.0 / COUNT(*), 4) AS DOUBLE) AS avg_orders,
+        |       CAST(CAST(ROUND((SUM(pc.n_orders) * 1.0 / COUNT(*)) * 1e4, 0) AS BIGINT) / 1e4 AS DOUBLE) AS avg_orders,
         |       CAST(MAX(pc.n_orders) AS BIGINT) AS max_orders
         |FROM per_cust pc
         |JOIN customer c ON c.c_custkey = pc.o_custkey
@@ -313,8 +313,8 @@ object Relational {
          |       CAST(LAG(cents, 1) OVER (ORDER BY mes) / 100.0 AS DOUBLE) AS prev_revenue,
          |       CAST(LEAD(cents, 1) OVER (ORDER BY mes) / 100.0 AS DOUBLE) AS next_revenue,
          |       CAST((cents - LAG(cents, 1) OVER (ORDER BY mes)) / 100.0 AS DOUBLE) AS delta,
-         |       CAST(ROUND(100.0 * (cents - LAG(cents, 1) OVER (ORDER BY mes))
-         |                  / NULLIF(LAG(cents, 1) OVER (ORDER BY mes), 0), 4) AS DOUBLE) AS pct_change
+         |       CAST(CAST(ROUND((100.0 * (cents - LAG(cents, 1) OVER (ORDER BY mes))
+         |                  / NULLIF(LAG(cents, 1) OVER (ORDER BY mes), 0)) * 1e4, 0) AS BIGINT) / 1e4 AS DOUBLE) AS pct_change
          |FROM monthly
          |ORDER BY mes""".stripMargin) { (s, d) =>
       val monthly = Tables.orders(s, d)
@@ -342,7 +342,7 @@ object Relational {
          |)
          |SELECT mes,
          |       CAST(cents / 100.0 AS DOUBLE) AS revenue,
-         |       CAST(ROUND(AVG(cents) OVER (ORDER BY mes ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0, 4) AS DOUBLE) AS moving_avg_3m
+         |       CAST(CAST(ROUND((AVG(cents) OVER (ORDER BY mes ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0) * 1e4, 0) AS BIGINT) / 1e4 AS DOUBLE) AS moving_avg_3m
          |FROM monthly
          |ORDER BY mes""".stripMargin) { (s, d) =>
       val monthly = Tables.orders(s, d)

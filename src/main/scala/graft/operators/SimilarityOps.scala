@@ -140,7 +140,7 @@ object SimilarityOps {
       "q33_ngram_jaccard",
       s"""WITH $jaccardCtes
         |SELECT p.id_a, p.id_b,
-        |       CAST(ROUND(p.inter * 1.0 / (sa.n_sh + sb.n_sh - p.inter), 4) AS DOUBLE) AS jaccard
+        |       CAST(CAST(ROUND((p.inter * 1.0 / (sa.n_sh + sb.n_sh - p.inter)) * 1e4, 0) AS BIGINT) / 1e4 AS DOUBLE) AS jaccard
         |FROM pairs p
         |JOIN sz sa ON sa.doc_id = p.id_a
         |JOIN sz sb ON sb.doc_id = p.id_b
@@ -328,7 +328,7 @@ object SimilarityOps {
          |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings
          |)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |       CAST(ROUND((${dotSql("a", "b")}) / (a.nrm * b.nrm), 4) AS DOUBLE) AS cosine
+         |       CAST(CAST(ROUND(((${dotSql("a", "b")}) / (a.nrm * b.nrm)) * 1e4, 0) AS BIGINT) / 1e4 AS DOUBLE) AS cosine
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE (${dotSql("a", "b")}) / (a.nrm * b.nrm) > 0.4
          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
@@ -352,7 +352,7 @@ object SimilarityOps {
          |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
          |  FROM scored
          |)
-         |SELECT probe_id, rnk, neighbor_id, CAST(ROUND(cos, 4) AS DOUBLE) AS cosine
+         |SELECT probe_id, rnk, neighbor_id, CAST(CAST(ROUND((cos) * 1e4, 0) AS BIGINT) / 1e4 AS DOUBLE) AS cosine
          |FROM ranked WHERE rnk <= 3
          |ORDER BY probe_id, rnk""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)

@@ -217,8 +217,8 @@ object Temporal {
         |  FROM c GROUP BY event_type
         |)
         |SELECT c.event_id, c.event_type, c.value,
-        |       CAST(ROUND((c.vc - s.s1 * 1.0 / s.n)
-        |            / sqrt(s.s2 * 1.0 / s.n - (s.s1 * 1.0 / s.n) * (s.s1 * 1.0 / s.n)), 4) AS DOUBLE) AS z
+        |       CAST(CAST(ROUND(((c.vc - s.s1 * 1.0 / s.n)
+        |            / sqrt(s.s2 * 1.0 / s.n - (s.s1 * 1.0 / s.n) * (s.s1 * 1.0 / s.n))) * 1e4, 0) AS BIGINT) / 1e4 AS DOUBLE) AS z
         |FROM c JOIN s ON c.event_type = s.event_type
         |WHERE abs((c.vc - s.s1 * 1.0 / s.n)
         |          / sqrt(s.s2 * 1.0 / s.n - (s.s1 * 1.0 / s.n) * (s.s1 * 1.0 / s.n))) > 3
@@ -289,13 +289,13 @@ object Temporal {
     QueryDef.sql(
       "q27_geo_min_waypoint",
       """SELECT vec_id,
-        |       CAST(ROUND(LEAST(
+        |       CAST(CAST(ROUND(LEAST(
         |         sqrt((CAST(embedding[1] AS DOUBLE) - CAST(embedding[3] AS DOUBLE)) * (CAST(embedding[1] AS DOUBLE) - CAST(embedding[3] AS DOUBLE))
         |            + (CAST(embedding[2] AS DOUBLE) - CAST(embedding[4] AS DOUBLE)) * (CAST(embedding[2] AS DOUBLE) - CAST(embedding[4] AS DOUBLE))) * 111.0,
         |         sqrt((CAST(embedding[1] AS DOUBLE) - CAST(embedding[5] AS DOUBLE)) * (CAST(embedding[1] AS DOUBLE) - CAST(embedding[5] AS DOUBLE))
         |            + (CAST(embedding[2] AS DOUBLE) - CAST(embedding[6] AS DOUBLE)) * (CAST(embedding[2] AS DOUBLE) - CAST(embedding[6] AS DOUBLE))) * 111.0,
         |         sqrt((CAST(embedding[1] AS DOUBLE) - CAST(embedding[7] AS DOUBLE)) * (CAST(embedding[1] AS DOUBLE) - CAST(embedding[7] AS DOUBLE))
-        |            + (CAST(embedding[2] AS DOUBLE) - CAST(embedding[8] AS DOUBLE)) * (CAST(embedding[2] AS DOUBLE) - CAST(embedding[8] AS DOUBLE))) * 111.0), 4) AS DOUBLE) AS min_dist_km
+        |            + (CAST(embedding[2] AS DOUBLE) - CAST(embedding[8] AS DOUBLE)) * (CAST(embedding[2] AS DOUBLE) - CAST(embedding[8] AS DOUBLE))) * 111.0) * 1e4, 0) AS BIGINT) / 1e4 AS DOUBLE) AS min_dist_km
         |FROM embeddings
         |ORDER BY vec_id""".stripMargin) { (s, d) =>
       def e(i: Int): Column = element_at($"embedding", i).cast("double")

@@ -113,8 +113,8 @@ object TextOps {
         |SELECT doc_id,
         |       CAST(n_tokens AS INTEGER) AS n_tokens,
         |       CAST(n_stop AS INTEGER) AS n_stopwords,
-        |       CAST(ROUND(n_stop * 1.0 / n_tokens, 4) AS DOUBLE) AS stopword_ratio,
-        |       CAST(ROUND(tok_chars * 1.0 / n_tokens, 4) AS DOUBLE) AS avg_token_len,
+        |       CAST(CAST(ROUND((n_stop * 1.0 / n_tokens) * 1e4, 0) AS BIGINT) / 1e4 AS DOUBLE) AS stopword_ratio,
+        |       CAST(CAST(ROUND((tok_chars * 1.0 / n_tokens) * 1e4, 0) AS BIGINT) / 1e4 AS DOUBLE) AS avg_token_len,
         |       CASE WHEN n_tokens < 20 THEN 'too_short'
         |            WHEN n_stop * 1.0 / n_tokens > 0.10 THEN 'high_stopword'
         |            ELSE 'ok' END AS quality_bucket
@@ -346,11 +346,11 @@ object TextOps {
         |)
         |SELECT b.doc_id,
         |       CAST(b.n AS INTEGER) AS n_tokens,
-        |       CAST(ROUND(b.nd * 1.0 / b.n, 4) AS DOUBLE) AS distinct_ratio,
-        |       CAST(ROUND(p.top_cnt * 1.0 / b.n, 4) AS DOUBLE) AS top_token_ratio,
+        |       CAST(CAST(ROUND((b.nd * 1.0 / b.n) * 1e4, 0) AS BIGINT) / 1e4 AS DOUBLE) AS distinct_ratio,
+        |       CAST(CAST(ROUND((p.top_cnt * 1.0 / b.n) * 1e4, 0) AS BIGINT) / 1e4 AS DOUBLE) AS top_token_ratio,
         |       CAST(p.max_run AS INTEGER) AS max_run,
         |       CAST(CASE WHEN b.n >= 2
-        |                 THEN ROUND(1.0 - coalesce(g.nd2, 0) * 1.0 / (b.n - 1), 4)
+        |                 THEN CAST(ROUND((1.0 - coalesce(g.nd2, 0) * 1.0 / (b.n - 1)) * 1e4, 0) AS BIGINT) / 1e4
         |                 ELSE 0.0 END AS DOUBLE) AS dup_bigram_ratio
         |FROM base b
         |JOIN perdoc p USING (doc_id)

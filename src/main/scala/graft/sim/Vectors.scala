@@ -81,7 +81,7 @@ object Vectors {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("probe_id"), col("rnk"), col("neighbor_id"),
-        round(col("cos"), 4).cast("double").as("cosine"))
+        graft.functions.Shims.roundPortable(col("cos"), 4).cast("double").as("cosine"))
   }
 
   // ---------------------------------------------------------------
@@ -142,7 +142,7 @@ object Vectors {
             if (if (pa == pb) x < y else x != y) {
               val c = dotD(vx, vy) / (nx * rightNorms(j))
               if (c > threshold)
-                out += ((math.min(x, y), math.max(x, y), roundHalfUp(c, 4)))
+                out += ((math.min(x, y), math.max(x, y), roundPortableD(c, 4)))
             }
             j += 1
           }
@@ -158,6 +158,18 @@ object Vectors {
   def roundHalfUp(x: Double, scale: Int): Double =
     java.math.BigDecimal.valueOf(x)
       .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Kernel twin of [[graft.functions.Shims.roundPortable]]: scale to
+    * an integer first so every rounding boundary is exactly
+    * representable and both engines agree — plain per-scale rounding
+    * diverges where a value's shortest-decimal repr sits on the
+    * boundary but its binary value doesn't (the r7 sweep; see
+    * Shims.roundPortable). Matches `round(x*1eN, 0)::long / 1eN`. */
+  def roundPortableD(x: Double, scale: Int): Double = {
+    val s = math.pow(10, scale)
+    java.math.BigDecimal.valueOf(x * s)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue() / s
+  }
 
   /** Exact top-k by cosine for every probe — kernel form of
     * [[bruteForceTopK]] (same output contract, same tie-break).
@@ -206,7 +218,7 @@ object Vectors {
       // round AFTER global selection — selection order uses the raw
       // double exactly as the single-loop kernel did
       .select(col("probe_id"), col("rnk"), col("neighbor_id"),
-        round(col("cos"), 4).cast("double").as("cosine"))
+        graft.functions.Shims.roundPortable(col("cos"), 4).cast("double").as("cosine"))
   }
 
   // ---------------------------------------------------------------
@@ -381,7 +393,7 @@ object Vectors {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("probe_id"), col("rnk"), col("neighbor_id"),
-        round(col("cos"), 4).cast("double").as("cosine"))
+        graft.functions.Shims.roundPortable(col("cos"), 4).cast("double").as("cosine"))
   }
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1) for
@@ -447,7 +459,7 @@ object Vectors {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("probe_id"), col("rnk"), col("neighbor_id"),
-        round(col("cos"), 4).cast("double").as("cosine"))
+        graft.functions.Shims.roundPortable(col("cos"), 4).cast("double").as("cosine"))
   }
 
   // ---------------------------------------------------------------
@@ -609,7 +621,7 @@ object Vectors {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("probe_id"), col("rnk"), col("neighbor_id"),
-        round(col("cos"), 4).cast("double").as("cosine"))
+        graft.functions.Shims.roundPortable(col("cos"), 4).cast("double").as("cosine"))
   }
 
   /** ANN top-k over PQ codes: encode once (id, m byte codes,
