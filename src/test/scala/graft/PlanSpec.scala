@@ -76,6 +76,18 @@ class PlanSpec extends GraftSpec {
       s"span keep-first must be an aggregate:\n${span.linesIterator.take(25).mkString("\n")}")
   }
 
+  test("round-7 composed scale paths never nested-loop or cross-join") {
+    // q67 IVFPQ, q68 LSH cluster chain, q34 banded MinHash: candidates
+    // come from equi-joins/cogroups on bucket/band keys — a
+    // CartesianProduct or BroadcastNestedLoopJoin anywhere would mean
+    // the pair space leaked into the plan
+    Seq("q67_ann_ivfpq", "q68_cluster_dedup_lsh", "q34_minhash_lsh").foreach { name =>
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$name must stay equi-join-only:\n${p.linesIterator.take(25).mkString("\n")}")
+    }
+  }
+
   test("whole-stage codegen spans the aggregation hot path") {
     // AQE finalizes the physical plan lazily — run the query, then
     // inspect the final plan for codegen stage markers
