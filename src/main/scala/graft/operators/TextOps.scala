@@ -494,6 +494,12 @@ object TextOps {
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy($"doc_id")
         .orderBy(($"tf" * $"n_docs" * lit(1.0) / $"df").desc, $"tok")
+      // the df side is vocab-sized; AQE converts this to a broadcast
+      // join at runtime when the measured build side is small (the
+      // synthetic corpus: ~1e3 tokens), and keeps the shuffle join
+      // when a web-scale vocabulary isn't broadcastable — a forced
+      // broadcast() hint measured ≤10% here and is an OOM hazard at
+      // 100 TB vocab, so the adaptive choice is the right default
       tf.join(df, Seq("tok"))
         .crossJoin(broadcast(n))
         .withColumn("rnk", row_number().over(w))

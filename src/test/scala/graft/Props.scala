@@ -64,6 +64,23 @@ object OperatorProps extends Properties("operators") {
     Gen.listOfN(20, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta"))
       .map(_.mkString(" "))
 
+  property("kernel roundPortableD == the roundPortable column expression") =
+    forAll(Gen.listOfN(40, for {
+      num <- Gen.choose(-100000L, 100000L)
+      den <- Gen.choose(1L, 997L)
+    } yield (num, den))) { pairs =>
+      // quotients of small integers are exactly the population where
+      // plain rounding diverges between engines; the kernel twin and
+      // the column form must agree bit-for-bit on all of them
+      val xs = pairs.map { case (n, d) => n.toDouble / d }
+      val viaColumn = xs.zipWithIndex.map { case (x, i) => (i, x) }
+        .toDF("i", "x")
+        .select($"i", graft.functions.Shims.roundPortable($"x", 4).as("r"))
+        .as[(Int, Double)].collect().sortBy(_._1).map(_._2).toSeq
+      val viaKernel = xs.map(graft.sim.Vectors.roundPortableD(_, 4))
+      viaColumn == viaKernel
+    }
+
   property("jaccard kernel == naive set jaccard") =
     forAll(Gen.listOfN(6, genWords)) { texts =>
       val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
