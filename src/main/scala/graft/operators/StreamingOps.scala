@@ -159,7 +159,7 @@ object StreamingOps {
       // commit overhead for a feed this size; narrow while the stream
       // runs (a production job sizes state partitions to key volume)
       val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
       // state-store checkpoints are per-partition per-batch file I/O —
       // put them on tmpfs when available (a production job would point
       // this at fast local/object storage sized for its state)
