@@ -49,8 +49,11 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // Materialize the FleetLogix OLTP parquet + memoized ETL outside the
     // timed region: fl_etl_* entries then measure the query, not a
-    // datagen→dims→SCD2→fact pipeline build masquerading as one
-    try operators.FleetOps.warmup(spark) catch { case _: Throwable => () }
+    // datagen→dims→SCD2→fact pipeline build masquerading as one.
+    // Skipped when a name filter selects no fl_* entry — a targeted
+    // corpus-query rerun should not pay the fleet warehouse build.
+    if (only.isEmpty || only.exists(_.startsWith("fl_")))
+      try operators.FleetOps.warmup(spark) catch { case _: Throwable => () }
 
     // empty-job floor: per-job scheduling cost of this local session
     val probe = spark.range(1).toDF("x").cache()
@@ -93,6 +96,10 @@ object Bench {
     // (rows-only entries have no baseline counterpart to compare against)
     val oracleMatched = results.collect { case (_, v, true, _, _) => math.max(0.0, v) }.sum
     def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    // a name-filtered run is a SUBSET: label it as such and keep it out
+    // of BENCH_FULL.json so a targeted rerun can never overwrite the
+    // recorded full-suite baseline or pass a subtotal off as the total
+    val metricName = if (only.isEmpty) "total" else "subset"
     val headline = s""""value":${r4(total)},"unit":"sec","floor":${r4(floor)},"value_adjusted":${r4(adjusted)},"value_oracle_matched":${r4(oracleMatched)}"""
 
     // Full machine-readable artifact: medians, plus the per-pass raw
@@ -103,8 +110,9 @@ object Bench {
       s""""$k":{"t":$v,"warm":$warm,"passes":[${passes.mkString(",")}]}"""
     }.mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total",$headline,"floor_samples":[${floorSamples.map(r4).mkString(",")}],"queries":$qs,"detail":$detail,"sf":"$sfDir"}"""
-    val outFile = new java.io.File("BENCH_FULL.json")
+      s"""{"metric":"$metricName",$headline,"floor_samples":[${floorSamples.map(r4).mkString(",")}],"queries":$qs,"detail":$detail,"sf":"$sfDir"}"""
+    val outFile = new java.io.File(
+      if (only.isEmpty) "BENCH_FULL.json" else "BENCH_PARTIAL.json")
     val w = new java.io.PrintWriter(outFile, "UTF-8")
     try w.println(fullJson) finally w.close()
 
@@ -114,6 +122,6 @@ object Bench {
     // 85-entry query map alone overflows that — the closing line always
     // fits, parses on its own, and points at the full artifact.
     println(fullJson)
-    println(s"""{"metric":"total",$headline,"queries_file":"${outFile.getAbsolutePath}","sf":"$sfDir"}""")
+    println(s"""{"metric":"$metricName",$headline,"queries_file":"${outFile.getAbsolutePath}","sf":"$sfDir"}""")
   }
 }

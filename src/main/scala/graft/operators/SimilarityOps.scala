@@ -28,10 +28,15 @@ object SimilarityOps {
     * invocation's cache on every call, so each bench pass re-paid the
     * full index build — the unexplained q48 1.39→2.06 s regression
     * (verdict r6 task 3). One slot suffices (displacement by another
-    * session/dir unpersists the old entry, recompute-safe); entries die
-    * with their session's context like every FleetOps cache. */
+    * session/dir unpersists the old entry, recompute-safe); an
+    * application-end listener clears a slot owned by the ending
+    * session, so a stopped session is never pinned (the FleetOps
+    * eviction contract). */
   private val q48Index = new java.util.concurrent.atomic.AtomicReference[
     Option[(SparkSession, String, Seq[org.apache.spark.sql.DataFrame])]](None)
+
+  private val q48Hooked = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
 
   private def q48StoredIndex(s: SparkSession, d: String): Seq[org.apache.spark.sql.DataFrame] =
     q48Index.get() match {
@@ -40,6 +45,16 @@ object SimilarityOps {
         q48Index.get() match {
           case Some((cs, cd, dfs)) if (cs eq s) && cd == d => dfs
           case prev =>
+            if (q48Hooked.add(s))
+              s.sparkContext.addSparkListener(
+                new org.apache.spark.scheduler.SparkListener {
+                  override def onApplicationEnd(
+                      e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+                    q48Index.getAndUpdate(cur =>
+                      if (cur.exists(_._1 eq s)) None else cur): Unit
+                    q48Hooked.remove(s): Unit
+                  }
+                })
             val full = Dedup.minhashIndex(Tables.documents(s, d), "doc_id", "text")
             val persisted = Seq(full.bands, full.shingles, full.sizes).map(_.persist())
             prev.foreach(_._3.foreach(p =>

@@ -48,10 +48,35 @@ object StreamingOps {
   private def distSql(lat: String, lon: String, wlat: String, wlon: String) =
     s"sqrt(pow($lat - $wlat, 2) + pow($lon - $wlon, 2)) * 111.0"
 
-  /** Portable 3-decimal rounding (Shims.roundPortableSql) — plain
-    * ROUND(x, 3) diverges between engines at binary halfway points,
-    * which the sf0.1 feed actually hits. */
-  private def round3Sql(x: String) = s"CAST(ROUND(($x) * 1e3, 0) AS BIGINT) / 1e3"
+  /** Portable 3-decimal rounding — plain ROUND(x, 3) diverges between
+    * engines at binary halfway points, which the sf0.1 feed hits. */
+  private def round3Sql(x: String) = graft.functions.Shims.roundPortableSql(x, 3)
+
+  /** Shared scaffolding of the genuine Structured-Streaming gates:
+    * narrowed state partitions (state-store commits per micro-batch
+    * dominate at gate feed size; a production job sizes partitions to
+    * key volume), tmpfs checkpoint dir when available, conf
+    * save/restore, checkpoint cleanup. Confs are snapshotted BEFORE
+    * any set so an exception mid-setup still restores them all. */
+  private def withStreamingHarness[T](s: SparkSession,
+      confs: Map[String, String])(body: String => T): T = {
+    val saved = confs.keys.map(k => k -> s.conf.get(k)).toMap
+    val ckBase = new java.io.File("/dev/shm")
+    val ck = new java.io.File(
+      if (ckBase.isDirectory && ckBase.canWrite) ckBase
+      else new java.io.File(System.getProperty("java.io.tmpdir")),
+      "graft_ck_" + java.util.UUID.randomUUID())
+    try {
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      body(ck.getAbsolutePath)
+    } finally {
+      saved.foreach { case (k, v) => s.conf.set(k, v) }
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(ck)
+    }
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -154,35 +179,16 @@ object StreamingOps {
       def batch(par: Int) = ev.filter(col("par") === par).drop("par")
         .as[Streams.CentEvent].collect().toSeq
       val mem = MemoryStream[Streams.CentEvent]
-      // the stateful agg instantiates one state store per shuffle
-      // partition per micro-batch — 32 stores × 4 batches is pure
-      // commit overhead for a feed this size; narrow while the stream
-      // runs (a production job sizes state partitions to key volume)
-      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
-      // state-store checkpoints are per-partition per-batch file I/O —
-      // put them on tmpfs when available (a production job would point
-      // this at fast local/object storage sized for its state)
-      val ckBase = new java.io.File("/dev/shm")
-      val ck = new java.io.File(
-        if (ckBase.isDirectory && ckBase.canWrite) ckBase
-        else new java.io.File(System.getProperty("java.io.tmpdir")),
-        "graft_ck_" + java.util.UUID.randomUUID())
-      try {
+      withStreamingHarness(s,
+        Map("spark.sql.shuffle.partitions" -> "2")) { ck =>
         val q = Streams.windowedEventCounts(mem.toDF(), "ts", "key")
           .writeStream.format("memory").queryName("st_late_sink")
-          .option("checkpointLocation", ck.getAbsolutePath)
+          .option("checkpointLocation", ck)
           .outputMode("append").start()
         try {
           mem.addData(batch(0)); q.processAllAvailable()
           mem.addData(batch(1)); q.processAllAvailable()
         } finally q.stop()
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", savedParts)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(ck)
       }
       s.table("st_late_sink")
         .select(unix_millis(col("window_start")).as("window_start_ms"),
@@ -242,42 +248,25 @@ object StreamingOps {
         half("view", second = true).map(e => Streams.RightEvent(e._2, e._3, e._4)))
       val memL = MemoryStream[Streams.LeftEvent]
       val memR = MemoryStream[Streams.RightEvent]
-      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-      val savedNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
-      // a stream-stream join keeps FOUR state-store instances per
-      // partition (two per side) and commits each every micro-batch —
-      // at this feed size the commits dominate, so run the join
-      // single-partition (a production job sizes this to key volume)
-      s.conf.set("spark.sql.shuffle.partitions", "1")
-      // no-data micro-batches only advance the watermark to EVICT join
-      // state — an inner join's OUTPUT never depends on them, and at
-      // this feed size each costs a full ~0.6 s plan execution
-      // (measured); st_windowed keeps them, its append-mode flush is
-      // exactly what they exist for
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-      val ckBase = new java.io.File("/dev/shm")
-      val ck = new java.io.File(
-        if (ckBase.isDirectory && ckBase.canWrite) ckBase
-        else new java.io.File(System.getProperty("java.io.tmpdir")),
-        "graft_ck_" + java.util.UUID.randomUUID())
-      try {
+      // single-partition: a stream-stream join keeps FOUR state-store
+      // instances per partition (two per side), committed every batch.
+      // No-data micro-batches off: they only advance the watermark to
+      // EVICT join state — an inner join's OUTPUT never depends on
+      // them, and each costs a full ~0.6 s plan execution (measured);
+      // st_windowed keeps them, its append-mode flush needs them.
+      withStreamingHarness(s, Map(
+        "spark.sql.shuffle.partitions" -> "1",
+        "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")) { ck =>
         val joined = Streams.streamIntervalJoin(
           memL.toDF(), memR.toDF(), "key", "l_ts", "r_ts",
           lookback = "4 hours", lateness = "10 minutes")
         val q = joined.writeStream.format("memory").queryName("st_ij_sink")
-          .option("checkpointLocation", ck.getAbsolutePath)
+          .option("checkpointLocation", ck)
           .outputMode("append").start()
         try {
           memL.addData(l1); memR.addData(r1); q.processAllAvailable()
           memL.addData(l2); memR.addData(r2); q.processAllAvailable()
         } finally q.stop()
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", savedParts)
-        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", savedNoData)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(ck)
       }
       s.table("st_ij_sink")
         .select(col("key"), col("l_id"), unix_millis(col("l_ts")).as("l_ms"),

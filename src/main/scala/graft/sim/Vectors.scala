@@ -152,13 +152,6 @@ object Vectors {
       }.toDF("id_a", "id_b", "cosine")
   }
 
-  /** Spark's `round(double, n)`: BigDecimal-valueOf + HALF_UP — used in
-    * kernels so their output matches the expression-based plans and the
-    * DuckDB oracle bit-for-bit. */
-  def roundHalfUp(x: Double, scale: Int): Double =
-    java.math.BigDecimal.valueOf(x)
-      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
-
   /** Kernel twin of [[graft.functions.Shims.roundPortable]]: scale to
     * an integer first so every rounding boundary is exactly
     * representable and both engines agree — plain per-scale rounding

@@ -96,7 +96,10 @@ object OperatorProps extends Properties("operators") {
         if (sa.isEmpty || sb.isEmpty || (sa & sb).isEmpty)
           !got.contains((ia min ib, ia max ib))
         else {
-          val expect = graft.sim.Vectors.roundHalfUp(
+          // the kernel rounds with roundPortableD (r7 sweep) — the
+          // reference must round identically or boundary jaccards
+          // (non-dyadic denominators) fail spuriously
+          val expect = graft.sim.Vectors.roundPortableD(
             (sa & sb).size * 1.0 / (sa | sb).size, 4)
           got.get((ia min ib, ia max ib)).contains(expect)
         }
