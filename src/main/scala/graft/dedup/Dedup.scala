@@ -53,13 +53,22 @@ object Dedup {
       rmTree(new java.io.File(liveSpills.removeFirst()))
   }
 
-  /** Exact dedup: keep the lowest-id row per canonical-text fingerprint.
-    * One shuffle on the fingerprint (window + row_number). */
+  /** Exact dedup: keep the lowest-id row per canonical-text fingerprint
+    * (ids must be unique, as document ids are).
+    *
+    * Shape: a partial-aggregatable `min(id)` per fingerprint + a
+    * left-semi join back on the id — the same skew-proof form as
+    * [[spanDedup]]'s keep-first. The previous per-fingerprint
+    * row_number window put every copy of one massively-duplicated
+    * document on a single reducer; the min aggregate collapses the hot
+    * fingerprint to one row per map partition before the shuffle, and
+    * the join key (id) is evenly distributed. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(fingerprint(col(textCol))).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val keep = df
+      .select(col(idCol).as("__id"), fingerprint(col(textCol)).as("__fp"))
+      .groupBy(col("__fp")).agg(min(col("__id")).as("__keep"))
+      .select(col("__keep"))
+    df.join(keep, df(idCol) === keep("__keep"), "left_semi")
   }
 
   /** MinHash family: hash each shingle ONCE (xxhash64 over the string),

@@ -561,9 +561,9 @@ object TextOps {
       * stats → quality filter (q29's buckets) → language-ID (q30) →
       * exact dedup keeping the lowest doc_id per canonical fingerprint
       * (q31/E1) → per-(source, language) token accounting. One corpus
-      * scan feeds everything; the only shuffles are the dedup window
-      * and the final rollup, so the whole pipeline runs at the scan's
-      * parallelism on a 100 TB corpus. */
+      * scan feeds everything; the only shuffles are the dedup keep-set
+      * aggregate + semi-join and the final rollup, so the whole
+      * pipeline runs at the scan's parallelism on a 100 TB corpus. */
     QueryDef.sql(
       "q47_corpus_pipeline",
       """WITH stats AS (
