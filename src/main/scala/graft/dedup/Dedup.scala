@@ -53,22 +53,28 @@ object Dedup {
       rmTree(new java.io.File(liveSpills.removeFirst()))
   }
 
-  /** Exact dedup: keep the lowest-id row per canonical-text fingerprint
-    * (ids must be unique, as document ids are).
+  /** Exact dedup: keep the lowest-id row per canonical-text
+    * fingerprint. Ids must be NON-NULL; with duplicate ids every copy
+    * of the elected row survives (document ids are unique non-null in
+    * every corpus this library targets — the previous window form
+    * enforced one-row-per-fingerprint structurally but was itself
+    * nondeterministic among duplicate ids).
     *
     * Shape: a partial-aggregatable `min(id)` per fingerprint + a
-    * left-semi join back on the id — the same skew-proof form as
-    * [[spanDedup]]'s keep-first. The previous per-fingerprint
-    * row_number window put every copy of one massively-duplicated
-    * document on a single reducer; the min aggregate collapses the hot
-    * fingerprint to one row per map partition before the shuffle, and
-    * the join key (id) is evenly distributed. */
+    * left-semi join back on the (fingerprint, id) pair — the same
+    * skew-proof form as [[spanDedup]]'s keep-first. The previous
+    * per-fingerprint row_number window put every copy of one
+    * massively-duplicated document on a single reducer; the min
+    * aggregate collapses the hot fingerprint to one row per map
+    * partition before the shuffle, and the (fingerprint, id) join key
+    * spreads a hot fingerprint across its distinct ids. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val keep = df
-      .select(col(idCol).as("__id"), fingerprint(col(textCol)).as("__fp"))
-      .groupBy(col("__fp")).agg(min(col("__id")).as("__keep"))
-      .select(col("__keep"))
-    df.join(keep, df(idCol) === keep("__keep"), "left_semi")
+      .select(col(idCol).as("__kid"), fingerprint(col(textCol)).as("__kfp"))
+      .groupBy(col("__kfp")).agg(min(col("__kid")).as("__kid"))
+    df.join(keep,
+      fingerprint(df(textCol)) === keep("__kfp") && df(idCol) === keep("__kid"),
+      "left_semi")
   }
 
   /** MinHash family: hash each shingle ONCE (xxhash64 over the string),
@@ -562,11 +568,15 @@ object Dedup {
             s => s.getField("span")),
           " ").as("kept_text"))
     // totals need no second pass over the exploded spans: the span
-    // count of a doc is determined by its token count (sequence(1, n,
-    // step) has ⌊(n−1)/step⌋+1 elements, n ≥ 1 always)
+    // count of a row is determined by its token count (sequence(1, n,
+    // step) has ⌊(n−1)/step⌋+1 elements, n ≥ 1 always); the groupBy
+    // restores the one-row-per-document contract even for a malformed
+    // duplicate-doc_id input (matching the old all-spans groupBy)
     df.select(col(idCol).cast("long").as("doc_id"),
         (floor((size(tokens(col(textCol))) - 1) / spanTokens) + 1)
           .cast("int").as("n_spans"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_spans")).cast("int").as("n_spans"))
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_spans"),
         coalesce(col("n_kept"), lit(0)).cast("int").as("n_kept"),

@@ -268,6 +268,10 @@ object Vectors {
     // ~3× (advice r6). The component rounds inside connectedComponents
     // materialize the join; the final select is captured by an eager
     // localCheckpoint so the cache can be dropped before returning.
+    // The checkpoint's own blocks are ContextCleaner-managed: they are
+    // released once the caller drops the returned Dataset (unlike
+    // CacheManager persists, which pin until explicit unpersist), so
+    // repeated invocations don't accumulate beyond GC lag.
     val assigned = data.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
       .map { case (id, v) =>
