@@ -81,6 +81,33 @@ object OperatorProps extends Properties("operators") {
       viaColumn == viaKernel
     }
 
+  private val genNoisyDoc: Gen[String] = for {
+    words <- Gen.listOfN(3, Gen.oneOf("alpha", "beta", "gamma"))
+    sep   <- Gen.oneOf(" ", "  ", " \t ", "\n")
+    pad   <- Gen.oneOf("", " ", "  ", "\t")
+    upper <- Gen.oneOf(true, false)
+  } yield {
+    val body = words.mkString(sep)
+    pad + (if (upper) body.toUpperCase else body) + pad
+  }
+
+  property("exact dedup == naive min-id per canonical text") =
+    forAll(Gen.listOfN(24, genNoisyDoc)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup.exact(docs.toDF("id", "text"), "id", "text")
+        .select($"id").as[Long].collect().toSet
+      // Mirror fingerprint() exactly: Spark's trim strips ONLY ' '
+      // (not \t/\n — Java's String.trim would diverge on tab padding),
+      // then lower, then \s+ -> " ". The generator's tab/newline pads
+      // exercise precisely that divergence.
+      val expect = docs
+        .groupBy { case (_, t) =>
+          t.replaceAll("\\A +| +\\z", "").toLowerCase.replaceAll("\\s+", " ")
+        }
+        .values.map(_.map(_._1).min).toSet
+      got == expect
+    }
+
   property("jaccard kernel == naive set jaccard") =
     forAll(Gen.listOfN(6, genWords)) { texts =>
       val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
