@@ -35,7 +35,12 @@ object ScaleBench {
     // of the ADC scan) and the LSH cluster-dedup chain — uncapped,
     // unlike their exact siblings q49/q66 — plus q61, uncapped now
     // that its quantizer scales nlist ∝ √corpus
-    "q67_ann_ivfpq", "q68_cluster_dedup_lsh", "q61_semdedup")
+    "q67_ann_ivfpq", "q68_cluster_dedup_lsh", "q61_semdedup",
+    // r7 additions: the two-stage-prefix-sum mixture sampler, the
+    // codegen'd PII scrub, and the Bloom broadcast-membership
+    // decontamination path — all designed ~linear, so they belong on
+    // the measured curve next to the ops they claim to outscale
+    "q69_mixture_sample", "q70_pii_redact", "q71_bloom_decontaminate")
 
   /** Quadratic-by-contract entries, capped at 10×: the exact all-pairs
     * baselines (q33 n-gram Jaccard, q36 cosine pairs), and q49 whose

@@ -298,5 +298,70 @@ object StreamingOps {
         .select(col("user_id").as("delivery_id")).distinct()
       Streams.verifyDeliveries(requests, status).orderBy(col("delivery_id"))
     },
+
+    /** Streaming-ingest exact dedup driven END-TO-END through
+      * Structured Streaming (the continuous-arrival counterpart of
+      * batch q31): the documents corpus fed as two deterministic
+      * micro-batches split on doc_id parity, first-seen-wins per
+      * canonical fingerprint with lowest-doc_id election inside a
+      * batch ([[Streams.streamingExactDedup]] keyed state — state is
+      * one (fp → doc_id) entry per distinct document). The corpus has
+      * no exact duplicates at gate scale, so the feed PLANTS one: every
+      * 10th document re-enters with doc_id + 1000001 — the odd shift
+      * flips parity, so each planted duplicate arrives in the OTHER
+      * micro-batch and the cross-batch state drop genuinely fires
+      * (same fixture-construction pattern as q70's planted PII). The
+      * oracle restates the election as a batch window: per
+      * fingerprint, the row minimizing (parity, doc_id) — parity
+      * first because the earlier batch always wins, min doc_id
+      * within it. */
+    QueryDef.sql(
+      "st_stream_dedup",
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000001 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |), f AS (
+        |  SELECT doc_id, text,
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |         doc_id % 2 AS par
+        |  FROM src
+        |), r AS (
+        |  SELECT fp, doc_id, par,
+        |         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY par, doc_id) AS rn
+        |  FROM f
+        |)
+        |SELECT fp, doc_id AS keeper_doc_id, CAST(par AS BIGINT) AS first_batch
+        |FROM r WHERE rn = 1
+        |ORDER BY fp""".stripMargin) { (s, d) =>
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val docs = base.unionByName(
+        base.filter(pmod(col("doc_id"), lit(10L)) === 0)
+          .select((col("doc_id") + 1000001L).as("doc_id"), col("text")))
+      def batch(par: Int) = docs
+        .filter(pmod(col("doc_id"), lit(2L)) === par)
+        .as[Streams.StreamDoc]
+        .collect().toSeq
+      val mem = MemoryStream[Streams.StreamDoc]
+      withStreamingHarness(s,
+        Map("spark.sql.shuffle.partitions" -> "2")) { ck =>
+        val q = Streams.streamingExactDedup(mem.toDS())
+          .writeStream.format("memory").queryName("st_dedup_sink")
+          .option("checkpointLocation", ck)
+          .outputMode("append").start()
+        try {
+          mem.addData(batch(0)); q.processAllAvailable()
+          mem.addData(batch(1)); q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table("st_dedup_sink")
+        .select(graft.text.TextFunctions.fingerprint(col("text")).as("fp"),
+          col("doc_id").as("keeper_doc_id"),
+          pmod(col("doc_id"), lit(2L)).cast("long").as("first_batch"))
+        .orderBy(col("fp"))
+    },
   )
 }

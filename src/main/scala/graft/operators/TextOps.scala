@@ -618,5 +618,169 @@ object TextOps {
           sum($"n_bpe").cast("long").as("total_bpe_tokens"))
         .orderBy($"source", $"predicted_lang")
     },
+
+    /** Deterministic token-budget mixture sampling (E31): downsample
+      * every source to ≤ 40% of its token mass by keeping the greedy
+      * prefix of documents in content-hash order (md5 fingerprint,
+      * doc_id tie-break) — hash order makes the kept set an unbiased,
+      * replayable sample, and the budget rule is exact integer
+      * arithmetic ((2·total) DIV 5) so both engines agree bit-for-bit.
+      *
+      * Scale shape: the per-source running totals use the same
+      * two-stage distributed prefix sum as the q14 surrogate key
+      * ([[Relational.surrogateKeyScalable]]) — range-repartition on
+      * (source, fp, doc_id), per-partition local window, broadcast
+      * per-(partition, source) rank/token offsets — never a
+      * one-reducer-per-source global window. The result is invariant
+      * to where the range bounds fall because (fp, doc_id) totally
+      * orders each source; the budgets ride along in the tiny offsets
+      * frame (one row per partition × source). */
+    QueryDef.sql(
+      "q69_mixture_sample",
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents
+        |), b AS (
+        |  SELECT source, (SUM(n_tokens) * 2) // 5 AS budget FROM t GROUP BY source
+        |), c AS (
+        |  SELECT t.doc_id, t.source, t.n_tokens,
+        |         ROW_NUMBER() OVER (PARTITION BY t.source ORDER BY t.fp, t.doc_id) AS sample_rank,
+        |         SUM(t.n_tokens) OVER (PARTITION BY t.source ORDER BY t.fp, t.doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         b.budget
+        |  FROM t JOIN b USING (source)
+        |)
+        |SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |       CAST(sample_rank AS BIGINT) AS sample_rank,
+        |       cum <= budget AS kept
+        |FROM c
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", $"source",
+          tokenCount($"text").cast("long").as("n_tokens"),
+          fingerprint($"text").as("fp"))
+      val local = toks.repartitionByRange($"source", $"fp", $"doc_id")
+        .withColumn("__pid", spark_partition_id())
+      val w = Window.partitionBy($"__pid", $"source").orderBy($"fp", $"doc_id")
+      val ranked = local
+        .withColumn("__lrn", row_number().over(w))
+        .withColumn("__lcum", sum($"n_tokens")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val wOff = Window.partitionBy($"source").orderBy($"__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = ranked.groupBy($"__pid", $"source")
+        .agg(count(lit(1)).as("__cnt"), sum($"n_tokens").as("__tsum"))
+        .withColumn("__roff", coalesce(sum($"__cnt").over(wOff), lit(0L)))
+        .withColumn("__coff", coalesce(sum($"__tsum").over(wOff), lit(0L)))
+        .withColumn("__budget",
+          expr("(sum(__tsum) OVER (PARTITION BY source) * 2) DIV 5"))
+        .select($"__pid", $"source", $"__roff", $"__coff", $"__budget")
+      ranked.join(broadcast(offsets), Seq("__pid", "source"))
+        .select($"doc_id", $"source", $"n_tokens".cast("int").as("n_tokens"),
+          ($"__roff" + $"__lrn").cast("long").as("sample_rank"),
+          (($"__coff" + $"__lcum") <= $"__budget").as("kept"))
+        .orderBy($"doc_id")
+    },
+
+    /** PII redaction (E32) — the scrub pass every web-corpus pipeline
+      * runs before training: count and mask emails, phone numbers and
+      * IPv4 addresses with patterns from the Java-regex ∩ RE2 common
+      * subset ([[graft.text.TextFunctions.emailRe]] family). The
+      * corpus is clean word salad, so the gate PLANTS deterministic
+      * PII derived from doc_id on both sides first (every doc an
+      * email, every 3rd an IP, every 4th a phone) — the operator
+      * under test is `redactPii`/`piiCount`; the planting is fixture
+      * construction, exercised identically by the oracle. Counting
+      * runs on the planted text; masking is sequential
+      * email → phone → IPv4 (mutually non-overlapping by
+      * construction). Pure codegen'd projection — flat at any scale,
+      * like q59's hash split. */
+    QueryDef.sql(
+      "q70_pii_redact", {
+        val aug = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+          "'@mail' || CAST(doc_id % 97 AS VARCHAR) || '.example.com' || " +
+          "CASE WHEN doc_id % 3 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || " +
+          "'.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END || " +
+          "CASE WHEN doc_id % 4 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+        val ip = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+        s"""WITH a AS (SELECT doc_id, $aug AS aug FROM documents)
+           |SELECT doc_id,
+           |       CAST(len(regexp_extract_all(aug, '$email')) AS INTEGER) AS n_emails,
+           |       CAST(len(regexp_extract_all(aug, '$ip')) AS INTEGER) AS n_ips,
+           |       CAST(len(regexp_extract_all(aug, '$phone')) AS INTEGER) AS n_phones,
+           |       md5(regexp_replace(regexp_replace(regexp_replace(aug,
+           |           '$email', '<EMAIL>', 'g'),
+           |           '$phone', '<PHONE>', 'g'),
+           |           '$ip', '<IP>', 'g')) AS redacted_md5
+           |FROM a
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      import graft.text.TextFunctions.{emailRe, phoneRe, ipv4Re, piiCount, redactPii}
+      val aug = concat(
+        $"text", lit(" contact user"), $"doc_id".cast("string"),
+        lit("@mail"), pmod($"doc_id", lit(97L)).cast("string"), lit(".example.com"),
+        when(pmod($"doc_id", lit(3L)) === 0, concat(
+          lit(" from 10."), pmod($"doc_id", lit(200L)).cast("string"),
+          lit(".0."), pmod($"doc_id", lit(250L)).cast("string"))).otherwise(lit("")),
+        when(pmod($"doc_id", lit(4L)) === 0, concat(
+          lit(" call +1-555-"),
+          lpad(pmod($"doc_id", lit(10000L)).cast("string"), 4, "0"))).otherwise(lit("")))
+      Tables.documents(s, d)
+        .select($"doc_id", aug.as("aug"))
+        .select($"doc_id",
+          piiCount($"aug", emailRe).as("n_emails"),
+          piiCount($"aug", ipv4Re).as("n_ips"),
+          piiCount($"aug", phoneRe).as("n_phones"),
+          md5(redactPii($"aug")).as("redacted_md5"))
+        .orderBy($"doc_id")
+    },
+
+    /** Bloom-filter decontamination (E33) — the broadcast-membership
+      * scale path for q65's 13-gram rule: build a Bloom filter over
+      * the eval set's distinct gram hashes (driver state = the
+      * filter's bit array, bounded like the ANN centroid/codebook
+      * models), broadcast it, and flag training docs by a membership
+      * scan. The corpus side never shuffles its grams — q65's
+      * equi-join exchanges every training gram, the exchange that
+      * dominates at 100 TB; here the corpus cost is one codegen'd
+      * scan + filter. False positives at the fpp rate can inflate a
+      * doc's candidate-gram count but can never MISS a contaminated
+      * doc (Bloom filters have no false negatives) — the TextOpsSpec
+      * contract pins flagged ⊇ q65-exact per doc and bounds the
+      * false-positive overshoot. Production reruns the exact join on
+      * the candidates only. Rows-only: the filter's bit layout and
+      * hash family are implementation-specific. */
+    QueryDef.rowsOnly("q71_bloom_decontaminate") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val evalGrams = graft.dedup.Dedup.gramHashRows(
+          docs.filter($"doc_id" % 50 === 0), "doc_id", "text", 13)
+        .select($"h").distinct()
+      // exact probe-side cardinality sizes the filter; the probe side
+      // is the tiny one (benchmark suites), so the count job is cheap.
+      // fpp is per GRAM — a doc with g grams is spuriously flagged
+      // with ~g·fpp probability (1e-6 ⇒ ~29 bits/gram, ~3.6 GB
+      // broadcast even for a 10⁹-gram eval suite). Spark's sketch
+      // saturates near ~4e-5 observed regardless of lower requests
+      // (32-bit Murmur double-hashing floor, measured) ⇒ doc-level
+      // overshoot ~ grams/doc · 4e-5 ≈ 1%, absorbed by the exact
+      // rerun on candidates that production does anyway
+      val nGrams = math.max(evalGrams.count(), 1L)
+      val bf = evalGrams.stat.bloomFilter("h", nGrams, 1e-6)
+      val bfB = s.sparkContext.broadcast(bf)
+      val pairEnc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong)
+      graft.dedup.Dedup.gramHashRows(
+          docs.filter($"doc_id" % 50 =!= 0), "doc_id", "text", 13)
+        .as[(Long, Long)](pairEnc)
+        .filter(r => bfB.value.mightContainLong(r._2))
+        .toDF("doc_id", "h")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_candidate_grams"))
+        .orderBy($"doc_id")
+    },
   )
 }

@@ -151,7 +151,10 @@ object Streams {
   def streamingExactDedup(docs: Dataset[StreamDoc]): Dataset[StreamDoc] = {
     import docs.sparkSession.implicits._
     def canonicalFp(text: String): String = {
-      val canon = text.trim.toLowerCase.replaceAll("\\s+", " ")
+      // shared kernel canonicalization — Java's `trim` here would
+      // strip \t/\n that Spark's column `trim` keeps, silently
+      // diverging from the batch Dedup.exact key on tab-padded text
+      val canon = graft.text.TextFunctions.canonicalForm(text)
       val d = java.security.MessageDigest.getInstance("MD5")
       d.digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
     }

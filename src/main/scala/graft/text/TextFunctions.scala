@@ -46,6 +46,40 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** [[fingerprint]]'s canonicalization as a JVM kernel — for typed
+    * streaming state keys that must be bit-identical to the column
+    * form. Spark's `trim` strips ONLY ' ' (Java's `String.trim` also
+    * strips \t/\n and would diverge on tab-padded text), and the
+    * lower-casing is locale-free like Spark's UTF8String path. */
+  def canonicalForm(text: String): String =
+    text.replaceAll("\\A +| +\\z", "")
+      .toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ")
+
+  /** PII patterns restricted to the Java-regex ∩ RE2 common subset
+    * (character classes, bounded repeats, `\b` — no lookaround, no
+    * backrefs), so Spark and an ANSI oracle tokenize identically.
+    * Deliberately recall-oriented simple shapes: a production scrub
+    * pass tunes these per corpus; the operator contract (count +
+    * sequential mask) is what the engine provides. */
+  val emailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe: String = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+  val ipv4Re: String = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+
+  /** Sequential PII masking: email → phone → IPv4 (emails are masked
+    * first so their digit-bearing domains can't later be half-matched
+    * as addresses). Pure codegen'd projection. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipv4Re, "<IP>")
+
+  /** Match count for one PII pattern (group 0 = whole match). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
   /** Winnowing modulus: a prime below 2^20 keeps every gram hash small
     * and identically computable as BIGINT `%` in Spark and DuckDB. */
   val winnowMod: Long = 1048573L

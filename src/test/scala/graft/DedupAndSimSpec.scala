@@ -21,6 +21,22 @@ class TextFunctionsSpec extends GraftSpec {
     assert(df.map(_.getInt(2)).toSeq === Seq(2, 0, 1))
   }
 
+  test("canonicalForm kernel is bit-identical to the fingerprint column") {
+    // the kernel backs streaming dedup state keys; tab/newline padding
+    // and mixed case are exactly where a Java-trim version diverges
+    val texts = Seq("a b c", "  A  B  c ", "\ta b\nc\t", "xy", "", "   ")
+    val viaColumn = texts.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("i", "t")
+      .select($"i", TextFunctions.fingerprint($"t").as("fp"))
+      .as[(Int, String)].collect().sortBy(_._1).map(_._2).toSeq
+    val viaKernel = texts.map { t =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(TextFunctions.canonicalForm(t).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    assert(viaColumn === viaKernel)
+  }
+
   test("bpe-ish token count matches hand-tokenized literals") {
     val out = Seq(
       (1L, "Hello, world 42"),      // [Hello][,][ world][ 42]
@@ -99,6 +115,40 @@ class TextFunctionsSpec extends GraftSpec {
     val flagged = SparkEntry.queries("q65_decontaminate")(spark, dir2.toString)
       .as[(Long, Long)].collect()
     assert(flagged.toSeq === Seq((1L, 1L)))
+  }
+
+  test("bloom decontamination: no-false-negative superset of the exact 13-gram rule") {
+    // hand-built corpus: the bloom path must flag exactly the doc the
+    // exact join flags (doc 2's 3 grams each carry a ~1e-6 fp chance —
+    // the filter is deterministic per build, so this is stable)
+    val g13 = (1 to 13).map(i => s"w$i").mkString(" ")
+    val cont = Seq(
+      (1L, "s0", g13 + " tail1 tail2"),
+      (2L, "s0", (1 to 15).map(i => s"z$i").mkString(" ")),
+      (100L, "s0", g13 + " evaltail"))
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("q71spec")
+    cont.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val bloom = SparkEntry.queries("q71_bloom_decontaminate")(spark, dir.toString)
+      .as[(Long, Long)].collect().toMap
+    assert(bloom === Map(1L -> 1L))
+
+    // real corpus: per-doc candidate counts dominate the exact counts
+    // (no false negatives), and spurious extra docs stay inside the
+    // sketch's measured ~4e-5/gram double-hashing floor (≈1% of docs
+    // at ~140 grams/doc; 5% bound leaves headroom for variance)
+    val exact = SparkEntry.queries("q65_decontaminate")(spark, sf("sf0.01"))
+      .as[(Long, Long)].collect().toMap
+    val cand = SparkEntry.queries("q71_bloom_decontaminate")(spark, sf("sf0.01"))
+      .as[(Long, Long)].collect().toMap
+    exact.foreach { case (doc, n) =>
+      assert(cand.getOrElse(doc, 0L) >= n, s"doc $doc lost grams: bloom ${cand.get(doc)} < exact $n")
+    }
+    val nTrain = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+      .filter($"doc_id" % 50 =!= 0).count()
+    val extra = cand.keySet -- exact.keySet
+    assert(extra.size <= nTrain / 20,
+      s"bloom flagged ${extra.size} uncontaminated docs of $nTrain")
   }
 
   test("winnowing fingerprints match a plain-Scala reference implementation") {
