@@ -88,6 +88,30 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("r7 corpus additions keep their intended physical shapes") {
+    // q69 mixture sample: the per-source cumulative sum must ride the
+    // two-stage prefix-sum (range repartition + (__pid, source)-keyed
+    // local window) — a Window partitioned on source alone over the
+    // full data would serialize each source through one reducer
+    val mix = plan(q("q69_mixture_sample")).toLowerCase
+    assert(mix.contains("rangepartitioning"),
+      "mixture sample must range-repartition before the local window")
+    assert(mix.contains("hashpartitioning(__pid"),
+      s"bulk window must key on (__pid, source):\n${mix.linesIterator.take(25).mkString("\n")}")
+    // q70 PII redaction: a pure projection — no aggregate, no join;
+    // the only Exchange is the output ORDER BY range partition
+    val pii = plan(q("q70_pii_redact"))
+    assert(!pii.contains("Exchange hashpartitioning") &&
+      !pii.contains("HashAggregate") && !pii.contains("Join"),
+      s"PII redaction must stay a projection:\n${pii.linesIterator.take(15).mkString("\n")}")
+    // q71 bloom decontamination: the corpus side must NOT shuffle its
+    // grams into a join — membership is a broadcast-filter scan, and
+    // the only join-free aggregation is the per-doc candidate count
+    val bloom = plan(q("q71_bloom_decontaminate"))
+    assert(!bloom.contains("Join"),
+      s"bloom decontamination must not join the corpus grams:\n${bloom.linesIterator.take(15).mkString("\n")}")
+  }
+
   test("whole-stage codegen spans the aggregation hot path") {
     // AQE finalizes the physical plan lazily — run the query, then
     // inspect the final plan for codegen stage markers
