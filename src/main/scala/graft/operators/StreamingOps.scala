@@ -347,8 +347,16 @@ object StreamingOps {
         .collect().toSeq
       val mem = MemoryStream[Streams.StreamDoc]
       withStreamingHarness(s,
-        Map("spark.sql.shuffle.partitions" -> "2")) { ck =>
+        Map("spark.sql.shuffle.partitions" -> "2",
+          // NoTimeout keyed state can't fire on a no-data batch and
+          // append-mode FMGWS emits nothing from one — skip the two
+          // ~0.5 s watermark-advance batches (same call as st_interval)
+          "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")) { ck =>
+        // project to (fp, doc_id) BEFORE the sink so the memory sink
+        // holds two narrow columns, not the full document texts
         val q = Streams.streamingExactDedup(mem.toDS())
+          .select(graft.text.TextFunctions.fingerprint(col("text")).as("fp"),
+            col("doc_id"))
           .writeStream.format("memory").queryName("st_dedup_sink")
           .option("checkpointLocation", ck)
           .outputMode("append").start()
@@ -358,8 +366,7 @@ object StreamingOps {
         } finally q.stop()
       }
       s.table("st_dedup_sink")
-        .select(graft.text.TextFunctions.fingerprint(col("text")).as("fp"),
-          col("doc_id").as("keeper_doc_id"),
+        .select(col("fp"), col("doc_id").as("keeper_doc_id"),
           pmod(col("doc_id"), lit(2L)).cast("long").as("first_batch"))
         .orderBy(col("fp"))
     },
