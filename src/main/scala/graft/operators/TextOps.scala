@@ -32,6 +32,48 @@ object TextOps {
     *
     * Returns one row per input document: `doc_id, n_fingerprints,
     * min_fp, max_fp` (0/null for docs shorter than k+w−1 chars). */
+  /** Token-budget mixture sampling (E31/q69): downsample each source
+    * to ≤ num/den of its token mass by keeping the greedy prefix of
+    * documents in content-hash order (md5 fingerprint, doc_id
+    * tie-break). Emits `(doc_id, source, n_tokens, sample_rank,
+    * kept)`; the budget rule is exact integer arithmetic
+    * ((num·total) DIV den).
+    *
+    * The per-source running totals ride the same two-stage distributed
+    * prefix sum as [[Relational.surrogateKeyScalable]]: range
+    * repartition on (source, fp, doc_id), a (partition, source)-keyed
+    * local window, then broadcast per-(partition, source) rank/token
+    * offsets — never a one-reducer-per-source global window. The
+    * output is invariant to where the range bounds fall because
+    * (fp, doc_id) totally orders each source; OperatorProps pins the
+    * whole pipeline to a naive single-threaded reference. */
+  def mixtureSample(docs: DataFrame, num: Int = 2, den: Int = 5): DataFrame = {
+    val toks = docs
+      .select($"doc_id", $"source",
+        tokenCount($"text").cast("long").as("n_tokens"),
+        fingerprint($"text").as("fp"))
+    val local = toks.repartitionByRange($"source", $"fp", $"doc_id")
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy($"__pid", $"source").orderBy($"fp", $"doc_id")
+    val ranked = local
+      .withColumn("__lrn", row_number().over(w))
+      .withColumn("__lcum", sum($"n_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wOff = Window.partitionBy($"source").orderBy($"__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranked.groupBy($"__pid", $"source")
+      .agg(count(lit(1)).as("__cnt"), sum($"n_tokens").as("__tsum"))
+      .withColumn("__roff", coalesce(sum($"__cnt").over(wOff), lit(0L)))
+      .withColumn("__coff", coalesce(sum($"__tsum").over(wOff), lit(0L)))
+      .withColumn("__budget",
+        expr(s"(sum(__tsum) OVER (PARTITION BY source) * $num) DIV $den"))
+      .select($"__pid", $"source", $"__roff", $"__coff", $"__budget")
+    ranked.join(broadcast(offsets), Seq("__pid", "source"))
+      .select($"doc_id", $"source", $"n_tokens".cast("int").as("n_tokens"),
+        ($"__roff" + $"__lrn").cast("long").as("sample_rank"),
+        (($"__coff" + $"__lcum") <= $"__budget").as("kept"))
+  }
+
   def winnowFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
     val canon = regexp_replace(lower(trim($"text")), "\\s+", " ")
     val starts = docs
@@ -657,31 +699,7 @@ object TextOps {
         |       cum <= budget AS kept
         |FROM c
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val toks = Tables.documents(s, d)
-        .select($"doc_id", $"source",
-          tokenCount($"text").cast("long").as("n_tokens"),
-          fingerprint($"text").as("fp"))
-      val local = toks.repartitionByRange($"source", $"fp", $"doc_id")
-        .withColumn("__pid", spark_partition_id())
-      val w = Window.partitionBy($"__pid", $"source").orderBy($"fp", $"doc_id")
-      val ranked = local
-        .withColumn("__lrn", row_number().over(w))
-        .withColumn("__lcum", sum($"n_tokens")
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val wOff = Window.partitionBy($"source").orderBy($"__pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = ranked.groupBy($"__pid", $"source")
-        .agg(count(lit(1)).as("__cnt"), sum($"n_tokens").as("__tsum"))
-        .withColumn("__roff", coalesce(sum($"__cnt").over(wOff), lit(0L)))
-        .withColumn("__coff", coalesce(sum($"__tsum").over(wOff), lit(0L)))
-        .withColumn("__budget",
-          expr("(sum(__tsum) OVER (PARTITION BY source) * 2) DIV 5"))
-        .select($"__pid", $"source", $"__roff", $"__coff", $"__budget")
-      ranked.join(broadcast(offsets), Seq("__pid", "source"))
-        .select($"doc_id", $"source", $"n_tokens".cast("int").as("n_tokens"),
-          ($"__roff" + $"__lrn").cast("long").as("sample_rank"),
-          (($"__coff" + $"__lcum") <= $"__budget").as("kept"))
-        .orderBy($"doc_id")
+      mixtureSample(Tables.documents(s, d)).orderBy($"doc_id")
     },
 
     /** PII redaction (E32) — the scrub pass every web-corpus pipeline

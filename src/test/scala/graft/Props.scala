@@ -108,6 +108,41 @@ object OperatorProps extends Properties("operators") {
       got == expect
     }
 
+  private val genSourcedDoc: Gen[(String, String)] = for {
+    src <- Gen.oneOf("s0", "s1", "s2")
+    n   <- Gen.choose(1, 5)
+    ws  <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta"))
+    sep <- Gen.oneOf(" ", "  ")
+  } yield (src, ws.mkString(sep))
+
+  property("mixture sampler == naive per-source greedy hash-order prefix") =
+    forAll(Gen.listOfN(20, genSourcedDoc)) { rows =>
+      val docs = rows.zipWithIndex.map { case ((src, t), i) => (i.toLong, src, t) }
+      val got = operators.TextOps.mixtureSample(
+          docs.toDF("doc_id", "source", "text"))
+        .select($"doc_id", $"sample_rank", $"kept")
+        .as[(Long, Long, Boolean)].collect()
+        .map { case (d, r, k) => d -> ((r, k)) }.toMap
+      def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val expect = docs.groupBy(_._2).flatMap { case (_, ds) =>
+        val ordered = ds
+          .map { case (id, _, t) =>
+            val ntok = graft.text.TextFunctions.canonicalForm(t)
+              .split("\\s+").length.toLong
+            (md5hex(graft.text.TextFunctions.canonicalForm(t)), id, ntok)
+          }
+          .sortBy { case (fp, id, _) => (fp, id) }
+        val budget = ordered.map(_._3).sum * 2 / 5
+        var cum = 0L
+        ordered.zipWithIndex.map { case ((_, id, ntok), idx) =>
+          cum += ntok
+          id -> (((idx + 1).toLong, cum <= budget))
+        }
+      }
+      got == expect
+    }
+
   property("jaccard kernel == naive set jaccard") =
     forAll(Gen.listOfN(6, genWords)) { texts =>
       val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
