@@ -16,22 +16,6 @@ import graft.text.TextFunctions._
   */
 object TextOps {
 
-  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS):
-    * char k-gram rolling hashes, one fingerprint per sliding window of
-    * `w` consecutive grams (the window minimum), distinct per document.
-    * Near-identical documents share most fingerprints; any shared
-    * substring of ≥ k+w−1 chars is guaranteed a shared fingerprint.
-    *
-    * Scale shape: window *starts* are exploded and the w gram hashes of
-    * each window are unrolled inline into one `least(...)` projection —
-    * no window function, so no per-document sort and no single-partition
-    * hazard; the only shuffle is the per-doc distinct aggregation. Each
-    * gram hash is recomputed w times, but all w·k `ascii(substr)` terms
-    * live inside whole-stage codegen, which measures far cheaper than a
-    * WindowExec sort at corpus scale.
-    *
-    * Returns one row per input document: `doc_id, n_fingerprints,
-    * min_fp, max_fp` (0/null for docs shorter than k+w−1 chars). */
   /** Token-budget mixture sampling (E31/q69): downsample each source
     * to ≤ num/den of its token mass by keeping the greedy prefix of
     * documents in content-hash order (md5 fingerprint, doc_id
@@ -74,6 +58,23 @@ object TextOps {
         (($"__coff" + $"__lcum") <= $"__budget").as("kept"))
   }
 
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS):
+    * char k-gram rolling hashes, one fingerprint per sliding window of
+    * `w` consecutive grams (the window minimum), distinct per document.
+    * Near-identical documents share most fingerprints; any shared
+    * substring of ≥ k+w−1 chars is guaranteed a shared fingerprint.
+    *
+    * Scale shape: window *starts* are exploded and the w gram hashes of
+    * each window are unrolled inline into one `least(...)` projection —
+    * no window function, so no per-document sort and no single-partition
+    * hazard; the only shuffle is the per-doc distinct aggregation. Each
+    * gram hash is recomputed w times, but all w·k `ascii(substr)` terms
+    * live inside whole-stage codegen, which measures far cheaper than a
+    * WindowExec sort at corpus scale.
+    *
+    * Returns one row per input document: `doc_id, n_fingerprints,
+    * min_fp, max_fp` (0/null for docs shorter than k+w−1 chars). */
   def winnowFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
     val canon = regexp_replace(lower(trim($"text")), "\\s+", " ")
     val starts = docs
@@ -767,7 +768,7 @@ object TextOps {
       * dominates at 100 TB; here the corpus cost is one codegen'd
       * scan + filter. False positives at the fpp rate can inflate a
       * doc's candidate-gram count but can never MISS a contaminated
-      * doc (Bloom filters have no false negatives) — the TextOpsSpec
+      * doc (Bloom filters have no false negatives) — the TextFunctionsSpec
       * contract pins flagged ⊇ q65-exact per doc and bounds the
       * false-positive overshoot. Production reruns the exact join on
       * the candidates only. Rows-only: the filter's bit layout and
