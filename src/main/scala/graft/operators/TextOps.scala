@@ -801,5 +801,54 @@ object TextOps {
         .groupBy($"doc_id").agg(count(lit(1)).as("n_candidate_grams"))
         .orderBy($"doc_id")
     },
+
+    /** Cross-source duplicate-overlap audit (E35) — the report every
+      * dedup run publishes: for each source pair, how many canonical
+      * fingerprints appear in BOTH (which mirrors/scrapes overlap,
+      * which mixture components double-count mass). The corpus has no
+      * cross-source duplicates below sf0.1, so the gate PLANTS a
+      * mirror source: every 7th document re-enters under source
+      * 'mirror' with a fresh id (the st_stream_dedup pattern; 7 is
+      * coprime with the generator's source cycle, so the mirror
+      * overlaps EVERY source) —
+      * overlap counts are then non-trivial at every SF and the
+      * oracle performs the same construction.
+      *
+      * Scale shape: one distinct aggregation to (fp, source) pairs,
+      * then a self-equi-join ON fp — shuffle keys grow with the
+      * corpus, the per-fp fan-out is bounded by the source count, and
+      * nothing pairs documents (only sources). */
+    QueryDef.sql(
+      "q72_source_overlap",
+      """WITH src AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000001 AS doc_id, 'mirror' AS source, text
+        |  FROM documents WHERE doc_id % 7 = 0
+        |), fs AS (
+        |  SELECT DISTINCT
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |         source
+        |  FROM src
+        |)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+        |FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2
+        |ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d).select($"doc_id", $"source", $"text")
+      val src = base.unionByName(
+        base.filter(pmod($"doc_id", lit(7L)) === 0)
+          .select(($"doc_id" + 1000001L).as("doc_id"),
+            lit("mirror").as("source"), $"text"))
+      val fs = src
+        .select(fingerprint($"text").as("fp"), $"source")
+        .distinct()
+      val a = fs.as("a"); val b = fs.as("b")
+      a.join(b, col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared_fps"))
+        .orderBy($"source_a", $"source_b")
+    },
   )
 }

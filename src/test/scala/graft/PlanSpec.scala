@@ -110,6 +110,12 @@ class PlanSpec extends GraftSpec {
     val bloom = plan(q("q71_bloom_decontaminate"))
     assert(!bloom.contains("Join"),
       s"bloom decontamination must not join the corpus grams:\n${bloom.linesIterator.take(15).mkString("\n")}")
+    // q72 source overlap: the self-join must key on fp (equi-join with
+    // the source inequality as a residual filter), never a nested loop
+    val overlap = plan(q("q72_source_overlap"))
+    assert(!overlap.contains("BroadcastNestedLoopJoin") &&
+      !overlap.contains("CartesianProduct"),
+      s"source overlap must equi-join on fp:\n${overlap.linesIterator.take(15).mkString("\n")}")
   }
 
   test("whole-stage codegen spans the aggregation hot path") {
