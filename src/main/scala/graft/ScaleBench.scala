@@ -40,7 +40,8 @@ object ScaleBench {
     // codegen'd PII scrub, and the Bloom broadcast-membership
     // decontamination path — all designed ~linear, so they belong on
     // the measured curve next to the ops they claim to outscale
-    "q69_mixture_sample", "q70_pii_redact", "q71_bloom_decontaminate")
+    "q69_mixture_sample", "q70_pii_redact", "q71_bloom_decontaminate",
+    "q72_source_overlap")
 
   /** Quadratic-by-contract entries, capped at 10×: the exact all-pairs
     * baselines (q33 n-gram Jaccard, q36 cosine pairs), and q49 whose
