@@ -41,7 +41,10 @@ object ScaleBench {
     // decontamination path — all designed ~linear, so they belong on
     // the measured curve next to the ops they claim to outscale
     "q69_mixture_sample", "q70_pii_redact", "q71_bloom_decontaminate",
-    "q72_source_overlap")
+    "q72_source_overlap",
+    // the hashed-linear quality classifier: explode + broadcast model
+    // join + per-doc agg — designed flat-per-doc like q59/q70
+    "q73_quality_classifier")
 
   /** Quadratic-by-contract entries, capped at 10×: the exact all-pairs
     * baselines (q33 n-gram Jaccard, q36 cosine pairs), and q49 whose

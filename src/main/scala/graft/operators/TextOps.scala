@@ -59,6 +59,63 @@ object TextOps {
   }
 
 
+  /** Model-based quality filter (E36/q73): a fastText-shaped linear
+    * classifier over hashed unigram + bigram features (the trained
+    * quality scorer of CCNet/DCLM-style corpus pipelines — the engine
+    * capability is everything but the training: featurize, score,
+    * filter at corpus scale).
+    *
+    * Features are the whitespace tokens plus their adjacent-pair
+    * bigrams (fastText `wordNgrams=2`), bucketed by the hashing trick:
+    * bucket = 16-bit md5 prefix (same ascii-arithmetic nibble parse as
+    * [[graft.text.TextFunctions.hexBucket]], so an oracle can replay
+    * it) mod `dim`. `weights` maps bucket → integer ppm weight
+    * (trained coefficients quantized to 1e-6, the lossless-for-floats
+    * trick the oracle arithmetic needs): the per-doc logit sum is then
+    * LONG arithmetic — exact, associative, partition-layout-invariant —
+    * and the keep decision `sum > thresholdPpm·n_features` never
+    * touches a float.
+    *
+    * Scale shape: one token/bigram explode (~2 features/token) feeding
+    * a codegen'd md5-bucket projection, a broadcast join against the
+    * weight table (model-sized: dim rows — the ANN-centroid pattern),
+    * and a map-side-combining per-doc aggregate — the only
+    * corpus-sized shuffle is one row per surviving doc. At 100 TB the
+    * weight table for a real 2M-bucket fastText model is ~30 MB —
+    * still broadcast-sized. */
+  def qualityClassifier(docs: DataFrame, weights: DataFrame, dim: Int,
+                        thresholdPpm: Long): DataFrame = {
+    val ts = split(trim($"text"), "\\s+")
+    val bigrams = when(size($"ts") >= 2,
+        transform(sequence(lit(0), size($"ts") - 2),
+          i => concat_ws("_", element_at($"ts", i + 1), element_at($"ts", i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val feats = docs
+      .select($"doc_id", ts.as("ts"))
+      .select($"doc_id", explode(concat($"ts", bigrams)).as("f"))
+    val bucket = (1 to 4).map(hexNibble(md5($"f"), _))
+      .reduce((acc, n) => acc * 16 + n) % dim
+    feats
+      .select($"doc_id", bucket.cast("long").as("bucket"))
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_features"), sum($"w_ppm").as("score_ppm_sum"))
+      .select($"doc_id",
+        $"n_features".cast("int").as("n_features"),
+        $"score_ppm_sum",
+        round2($"score_ppm_sum" / lit(1e6) / $"n_features", 4).as("mean_logit"),
+        ($"score_ppm_sum" > lit(thresholdPpm) * $"n_features").as("keep"))
+  }
+
+  /** Deterministic stand-in for trained classifier weights: bucket j →
+    * ppm weight in [-1e6, 1e6] via a Knuth-multiplicative scramble.
+    * Pure integer arithmetic so the oracle rebuilds the identical
+    * table in SQL; production swaps in real trained coefficients
+    * (same schema) without touching the operator. */
+  def classifierWeights(s: SparkSession, dim: Int): DataFrame =
+    s.range(dim).select($"id".as("bucket"),
+      ((($"id" + 1) * lit(2654435761L)) % 2000001L - 1000000L).as("w_ppm"))
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS):
     * char k-gram rolling hashes, one fingerprint per sliding window of
     * `w` consecutive grams (the window minimum), distinct per document.
@@ -849,6 +906,50 @@ object TextOps {
         .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
         .agg(count(lit(1)).as("n_shared_fps"))
         .orderBy($"source_a", $"source_b")
+    },
+
+    /** Model-based quality filtering (E36) — see [[qualityClassifier]].
+      * The gate scores every document with the deterministic weight
+      * table ([[classifierWeights]]: the oracle rebuilds it as a
+      * `range(dim)` CTE) at dim=1024, threshold 0.05 mean logit; both
+      * engines parse the md5 feature hash with the same ascii
+      * arithmetic and sum integer ppm weights, so the score — not just
+      * the keep flag — is hash-exact. */
+    QueryDef.sql(
+      "q73_quality_classifier", {
+        def nib(i: Int) =
+          s"(CASE WHEN ascii(substr(h, $i, 1)) >= 97 THEN ascii(substr(h, $i, 1)) - 87 ELSE ascii(substr(h, $i, 1)) - 48 END)"
+        val bucket =
+          "(" + (1 to 4).map(nib).reduce((a, b) => s"($a * 16 + $b)") + " % 1024)"
+        s"""WITH weights AS (
+          |  SELECT j AS bucket, ((j + 1) * 2654435761) % 2000001 - 1000000 AS w_ppm
+          |  FROM range(1024) t(j)
+          |), tok AS (
+          |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+          |  FROM documents
+          |), feat AS (
+          |  SELECT doc_id,
+          |         unnest(list_concat(ts,
+          |           CASE WHEN len(ts) >= 2
+          |                THEN list_transform(range(1, len(ts)), i -> ts[i] || '_' || ts[i + 1])
+          |                ELSE [] END)) AS f
+          |  FROM tok
+          |), b AS (
+          |  SELECT doc_id, $bucket AS bucket
+          |  FROM (SELECT doc_id, md5(f) AS h FROM feat)
+          |)
+          |SELECT b.doc_id,
+          |       CAST(count(*) AS INTEGER) AS n_features,
+          |       CAST(sum(w.w_ppm) AS BIGINT) AS score_ppm_sum,
+          |       CAST(${roundPortableSql("sum(w.w_ppm) / 1e6 / count(*)", 4)} AS DOUBLE) AS mean_logit,
+          |       sum(w.w_ppm) > 50000 * count(*) AS keep
+          |FROM b JOIN weights w USING (bucket)
+          |GROUP BY b.doc_id
+          |ORDER BY b.doc_id""".stripMargin
+      }) { (s, d) =>
+      qualityClassifier(Tables.documents(s, d),
+          classifierWeights(s, 1024), dim = 1024, thresholdPpm = 50000L)
+        .orderBy($"doc_id")
     },
   )
 }

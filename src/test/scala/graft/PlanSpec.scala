@@ -76,6 +76,19 @@ class PlanSpec extends GraftSpec {
       s"span keep-first must be an aggregate:\n${span.linesIterator.take(25).mkString("\n")}")
   }
 
+  test("q73 quality classifier: broadcast weights, one corpus shuffle (E36)") {
+    // feature explode + md5-bucket projection stay scan-local; the
+    // model joins as a broadcast (never a shuffle of the feature
+    // stream against a 1024-row table); the only hash Exchange is the
+    // per-doc aggregate — partial sums collapse map-side first
+    val p = plan(q("q73_quality_classifier"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"weights must broadcast:\n${p.linesIterator.take(25).mkString("\n")}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"only the doc aggregate may shuffle the corpus:\n${p.linesIterator.take(25).mkString("\n")}")
+  }
+
   test("round-7 composed scale paths never nested-loop or cross-join") {
     // q67 IVFPQ, q68 LSH cluster chain, q34 banded MinHash: candidates
     // come from equi-joins/cogroups on bucket/band keys — a

@@ -143,6 +143,41 @@ object OperatorProps extends Properties("operators") {
       got == expect
     }
 
+  private val genClassifierDoc: Gen[String] = for {
+    n  <- Gen.choose(1, 20)
+    ws <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta"))
+  } yield ws.mkString(" ")   // space-only padding: the operator uses
+  // Spark trim (strips ' ' only), so the reference's String.trim is
+  // equivalent exactly on space-separated text
+
+  property("quality classifier == naive hashed-linear reference") =
+    forAll(Gen.listOfN(8, genClassifierDoc)) { texts =>
+      val dim = 64; val thr = 10000L   // small dim: bucket collisions
+      // (shared weights — the hashing trick's defining behavior) occur
+      // constantly, so the property exercises them, not just clean hits
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = operators.TextOps.qualityClassifier(
+          docs.toDF("doc_id", "text"),
+          operators.TextOps.classifierWeights(spark, dim), dim, thr)
+        .select($"doc_id", $"n_features", $"score_ppm_sum", $"mean_logit", $"keep")
+        .as[(Long, Int, Long, Double, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      def bucketOf(f: String): Int = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(f.getBytes("UTF-8"))
+        (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % dim   // first 4 hex nibbles
+      }
+      def wOf(j: Int): Long = (j + 1).toLong * 2654435761L % 2000001L - 1000000L
+      docs.forall { case (id, t) =>
+        val toks = t.trim.split("\\s+").toSeq
+        val feats = toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString("_"))
+        val s = feats.map(f => wOf(bucketOf(f))).sum
+        val n = feats.size
+        got(id) == ((n, s,
+          graft.sim.Vectors.roundPortableD(s / 1e6 / n, 4), s > thr * n))
+      }
+    }
+
   property("jaccard kernel == naive set jaccard") =
     forAll(Gen.listOfN(6, genWords)) { texts =>
       val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
