@@ -42,9 +42,10 @@ object ScaleBench {
     // the measured curve next to the ops they claim to outscale
     "q69_mixture_sample", "q70_pii_redact", "q71_bloom_decontaminate",
     "q72_source_overlap",
-    // the hashed-linear quality classifier: explode + broadcast model
-    // join + per-doc agg — designed flat-per-doc like q59/q70
-    "q73_quality_classifier")
+    // the hashed-linear quality classifier (explode + broadcast model
+    // join + per-doc agg) and the source-drift monitor (explode +
+    // vocab-sized aggs) — both designed scan-parallel
+    "q73_quality_classifier", "q74_source_token_drift")
 
   /** Quadratic-by-contract entries, capped at 10×: the exact all-pairs
     * baselines (q33 n-gram Jaccard, q36 cosine pairs), and q49 whose

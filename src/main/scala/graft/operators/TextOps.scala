@@ -116,6 +116,61 @@ object TextOps {
     s.range(dim).select($"id".as("bucket"),
       ((($"id" + 1) * lit(2654435761L)) % 2000001L - 1000000L).as("w_ppm"))
 
+  /** Per-source token-distribution drift (E37/q74): total-variation
+    * distance between each source's unigram distribution and the
+    * corpus-wide distribution — the mixture-drift / source-skew
+    * monitor a corpus pipeline runs per ingest batch (a source whose
+    * distribution walks away from the corpus signals a scrape gone
+    * bad, a language shift, or template spam).
+    *
+    * TV is chosen over KL because it is a RATIONAL function of the
+    * counts (no log — engine-portable, memory: transcendentals differ
+    * in the last ulp): with per-source token mass n_s, corpus mass N,
+    * source counts c and corpus counts d,
+    *
+    *   TV_s = ( Σ_{tok ∈ V_s} |c·N − d·n_s|  +  (N − Σ_{tok ∈ V_s} d) · n_s )
+    *          / (2 · n_s · N)
+    *
+    * The second numerator term is the CLOSED-FORM mass of tokens
+    * absent from the source — the naive formulation sums |0 − d/N|
+    * over every (source, missing-token) pair, i.e. a source×vocabulary
+    * cross join; the closed form needs only Σd over the tokens the
+    * source DOES have. Both numerator terms are exact long arithmetic
+    * (order-independent), so the oracle matches bit-for-bit; overflow
+    * bound: c·N needs n_s·N < 2^63 — fine to ~10^9 tokens/source
+    * against a 10^9-token corpus, decimal(38) beyond.
+    *
+    * Scale shape: one token explode → (source, tok) hash agg (the
+    * corpus-sized shuffle, map-side combined) → vocab-sized corpus
+    * re-agg + tok equi-join (per-tok fan-out = source count, no pair
+    * space) → source-level outputs. The per-source masses broadcast:
+    * joining them on `source` instead would re-key the corpus-vocab
+    * frame onto the skew-prone source key — one reducer per source. */
+  def sourceTokenDrift(docs: DataFrame): DataFrame = {
+    val tok = docs.select($"source",
+      explode(split(trim($"text"), "\\s+")).as("tok"))
+    val st = tok.groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+    val ns = st.groupBy($"source").agg(sum($"c").as("n_s"))
+    val n = st.agg(sum($"c").as("n"))
+    st.join(ct(st), Seq("tok"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(n))
+      .groupBy($"source", $"n_s", $"n")
+      .agg(count(lit(1)).as("n_distinct_tokens"),
+        sum(abs($"c" * $"n" - $"d" * $"n_s")).as("sum_abs"),
+        sum($"d").as("d_in_s"))
+      .select($"source",
+        $"n_s".as("n_tokens"),
+        $"n_distinct_tokens",
+        round2(($"sum_abs" + ($"n" - $"d_in_s") * $"n_s") * lit(1.0)
+          / (lit(2L) * $"n_s" * $"n"), 6).as("tv_drift"))
+  }
+
+  /** Corpus-wide per-token counts, re-aggregated from the (source,
+    * tok) counts so the token explode runs ONCE for both frames. */
+  private def ct(st: DataFrame): DataFrame =
+    st.groupBy($"tok").agg(sum($"c").as("d"))
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS):
     * char k-gram rolling hashes, one fingerprint per sliding window of
     * `w` consecutive grams (the window minimum), distinct per document.
@@ -950,6 +1005,37 @@ object TextOps {
       qualityClassifier(Tables.documents(s, d),
           classifierWeights(s, 1024), dim = 1024, thresholdPpm = 50000L)
         .orderBy($"doc_id")
+    },
+
+    /** Per-source token-distribution drift (E37) — see
+      * [[sourceTokenDrift]]. Exact rational TV distance, so the drift
+      * value itself is hash-checked, with the absent-token mass in
+      * closed form on both sides (neither engine materializes the
+      * source×vocabulary cross). */
+    QueryDef.sql(
+      "q74_source_token_drift",
+      s"""WITH tok AS (
+        |  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        |  FROM documents
+        |), st AS (
+        |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY 1, 2
+        |), ns AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM st GROUP BY 1
+        |), ct AS (
+        |  SELECT tok, CAST(sum(c) AS BIGINT) AS d FROM st GROUP BY 1
+        |), n AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n FROM st
+        |)
+        |SELECT st.source,
+        |       ns.n_s AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+        |       CAST(${roundPortableSql(
+               "(sum(abs(st.c * n.n - ct.d * ns.n_s)) + (n.n - sum(ct.d)) * ns.n_s) * 1.0 / (2 * ns.n_s * n.n)", 6)} AS DOUBLE) AS tv_drift
+        |FROM st JOIN ct USING (tok) JOIN ns USING (source) CROSS JOIN n
+        |GROUP BY st.source, ns.n_s, n.n
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      sourceTokenDrift(Tables.documents(s, d)).orderBy($"source")
     },
   )
 }

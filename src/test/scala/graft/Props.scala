@@ -178,6 +178,33 @@ object OperatorProps extends Properties("operators") {
       }
     }
 
+  property("source token drift == naive total-variation distance") =
+    forAll(Gen.listOfN(15, genSourcedDoc)) { rows =>
+      val docs = rows.zipWithIndex.map { case ((src, t), i) => (i.toLong, src, t) }
+      val got = operators.TextOps.sourceTokenDrift(
+          docs.toDF("doc_id", "source", "text"))
+        .select($"source", $"n_tokens", $"n_distinct_tokens", $"tv_drift")
+        .as[(String, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val toks = docs.map { case (_, s, t) => s -> t.trim.split("\\s+").toSeq }
+      val corpus = toks.flatMap(_._2).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val bigN = corpus.values.sum
+      toks.groupBy(_._1).forall { case (src, ds) =>
+        val cnt = ds.flatMap(_._2).groupBy(identity)
+          .view.mapValues(_.size.toLong).toMap
+        val ns = cnt.values.sum
+        // the closed-form TV restated naively: per-token |p - q| over
+        // the UNION vocabulary, summed the direct way (toSeq first —
+        // mapping over the key SET would dedupe equal |Δ| terms)
+        val tvRaw = corpus.toSeq.map { case (tok, d) =>
+          math.abs(cnt.getOrElse(tok, 0L) * bigN - d * ns)
+        }.sum * 1.0 / (2L * ns * bigN)
+        got(src) == ((ns, cnt.size.toLong,
+          graft.sim.Vectors.roundPortableD(tvRaw, 6)))
+      }
+    }
+
   property("jaccard kernel == naive set jaccard") =
     forAll(Gen.listOfN(6, genWords)) { texts =>
       val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
