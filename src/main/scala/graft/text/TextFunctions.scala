@@ -133,10 +133,18 @@ object TextFunctions {
     * split assignment and downsampling. Bucketing the CONTENT
     * fingerprint (not the doc id) makes splits leakage-safe: byte-equal
     * documents land in the same bucket by construction, so an exact
-    * duplicate can never straddle train/test. */
+    * duplicate can never straddle train/test.
+    *
+    * Spark side parses the 4-digit slice with one `conv` call; the
+    * DuckDB oracle replays the [[hexNibble]] ascii arithmetic (it has
+    * no base-16 `conv`). Value-identical — the contract is the number,
+    * not the expression: the nibble chain references `h` 12 times, and
+    * when `h` is an inlined md5 of a hot column, codegen's
+    * subexpression elimination will not hoist it through the CASE
+    * branches, so the hash runs 12x per row (measured 5x wall-clock on
+    * the q73 feature stream). */
   def hexBucket(h: Column, from: Int): Column =
-    (from until from + 4).map(hexNibble(h, _))
-      .reduce((acc, n) => acc * 16 + n) % 1000
+    conv(substring(h, from, 4), 16, 10).cast("int") % 1000
 
   /** Simple stop-list language scorer: hits per language stop-list.
     * Deterministic heuristic (n-gram/statistical LID is a model concern;
