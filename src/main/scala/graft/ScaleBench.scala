@@ -45,7 +45,10 @@ object ScaleBench {
     // the hashed-linear quality classifier (explode + broadcast model
     // join + per-doc agg) and the source-drift monitor (explode +
     // vocab-sized aggs) — both designed scan-parallel
-    "q73_quality_classifier", "q74_source_token_drift")
+    "q73_quality_classifier", "q74_source_token_drift",
+    // context-window chunking (E38): projection + explode, designed
+    // flat like the q59 class
+    "q75_context_chunks")
 
   /** Quadratic-by-contract entries, capped at 10×: the exact all-pairs
     * baselines (q33 n-gram Jaccard, q36 cosine pairs), and q49 whose
@@ -59,7 +62,11 @@ object ScaleBench {
     // the composed pipeline embeds the exact O(n²) Jaccard kernel, so
     // it inherits the 10× cap like q57 (advice r6); its LSH-candidate
     // sibling q68 is the uncapped scale path
-    "q66_cluster_dedup_pipeline")
+    "q66_cluster_dedup_pipeline",
+    // the survivor election takes the exact kernel's pair set as gate
+    // input (the election itself is aggregate-shaped and linear) —
+    // capped with it, like q57/q66
+    "q76_dedup_survivors")
 
   def main(args: Array[String]): Unit = {
     val scales = args.headOption.getOrElse("1,10,50")

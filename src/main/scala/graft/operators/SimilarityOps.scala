@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{Tables, QueryDef}
 import graft.dedup.Dedup
+import graft.functions.Shims.{round2, roundPortableSql}
 import graft.sim.Vectors
 import graft.text.TextFunctions._
 
@@ -115,6 +116,32 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n_docs_kept"),
         sum(tokenCount(col("text")).cast("long")).as("total_tokens"))
       .orderBy(col("source"))
+  }
+
+  /** Survivor election + soft-dedup weights over a near-dup pair graph
+    * (the q76 pipeline body, reusable over any candidate source —
+    * exact pairs, LSH pairs): resolve components, then per cluster
+    * keep the member with the most tokens (tie → lowest doc_id) and
+    * weight every member by 1/cluster_size. The election is a
+    * partial-aggregatable `max(struct(n_tokens, -doc_id))` + join-back
+    * — the E21 keep-first shape, never a per-cluster window. */
+  private[graft] def dedupSurvivors(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val cc = Dedup.connectedComponents(pairs)
+    val lab = docs
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"), col("n_tokens"))
+    val elect = lab.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("n_tokens"), negate(col("doc_id")).as("neg_id"))).as("win"))
+      .select(col("cluster_id"), col("cluster_size"),
+        negate(col("win.neg_id")).as("survivor_id"))
+    lab.join(elect, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("n_tokens").cast("int").as("n_tokens"),
+        (col("doc_id") === col("survivor_id")).as("is_kept"),
+        round2(lit(1.0) / col("cluster_size"), 4).as("repeat_weight"))
   }
 
   /** `CAST(x.embedding[i] AS DOUBLE)` term chains, left-associative. */
@@ -248,6 +275,64 @@ object SimilarityOps {
       val docs = Tables.documents(s, d)
       keptCorpusBySource(docs,
         Dedup.ngramJaccardPairsKernel(docs, "doc_id", "text"))
+    },
+
+    /** Survivor election + soft-dedup weights (E39): the keep-WHICH
+      * policy layered on cluster resolution. q57/q66 keep each
+      * cluster's minimum id — the arbitrary-but-deterministic default;
+      * production dedup usually keeps the BEST member (here: most
+      * tokens, the keep-longest/most-complete rule; tie → lowest id)
+      * and, when downsampling instead of dropping, weights every
+      * member by 1/cluster_size so the cluster contributes one
+      * document's worth of mass (soft dedup).
+      *
+      * The election is a partial-aggregatable `max(struct(n_tokens,
+      * -doc_id))` per cluster + join-back — the E21 keep-first shape,
+      * NOT a per-cluster row_number window, so a degenerate
+      * million-member cluster (boilerplate spam) collapses map-side
+      * instead of landing one reducer. The oracle elects via window
+      * rank over the recursive-CTE closure — feasible only at gate
+      * scale, which is the point of the iterative Spark form. */
+    QueryDef.sql(
+      "q76_dedup_survivors",
+      s"""WITH RECURSIVE $jaccardCtes, dup AS (
+        |  SELECT p.id_a, p.id_b FROM pairs p
+        |  JOIN sz sa ON sa.doc_id = p.id_a
+        |  JOIN sz sb ON sb.doc_id = p.id_b
+        |  WHERE p.inter * 1.0 / (sa.n_sh + sb.n_sh - p.inter) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM dup
+        |  UNION
+        |  SELECT id_b, id_a FROM dup
+        |), reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        |), comp AS (
+        |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+        |), lab AS (
+        |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+        |         length(regexp_split_to_array(trim(d.text), '\\s+')) AS n_tokens
+        |  FROM documents d LEFT JOIN comp c USING (doc_id)
+        |), ranked AS (
+        |  SELECT doc_id, cluster_id, n_tokens,
+        |         COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |         ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |                            ORDER BY n_tokens DESC, doc_id) AS rk
+        |  FROM lab
+        |)
+        |SELECT doc_id, cluster_id,
+        |       CAST(cluster_size AS BIGINT) AS cluster_size,
+        |       CAST(n_tokens AS INTEGER) AS n_tokens,
+        |       (rk = 1) AS is_kept,
+        |       CAST(${roundPortableSql("1.0 / cluster_size", 4)} AS DOUBLE) AS repeat_weight
+        |FROM ranked
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      dedupSurvivors(docs,
+          Dedup.ngramJaccardPairsKernel(docs, "doc_id", "text")
+            .select($"id_a", $"id_b"))
+        .orderBy($"doc_id")
     },
 
     /** The PRODUCTION cluster-dedup chain (verdict r6 Missing #1):

@@ -59,6 +59,39 @@ object TextOps {
   }
 
 
+  /** Context-window chunking (E38/q75): split each document's token
+    * stream into fixed-size training windows with overlap — the
+    * pretraining/RAG chunker (window `win` tokens, stride `stride`,
+    * overlap = win − stride). Emits one row per chunk: index, start
+    * offset, length, and the md5 of the reassembled chunk text (the
+    * content key downstream dedup/packing joins on).
+    *
+    * Chunk count is exact integer arithmetic — ⌈max(n−win,0)/stride⌉+1
+    * — so the last window is the only short one and every token lands
+    * in ≥1 chunk; both engines replay the same `DIV` formula.
+    *
+    * Scale shape: one codegen'd projection + a sequence explode
+    * (~n/stride rows per doc) — no shuffle at all (PlanSpec asserts
+    * zero Exchange); flat at any corpus size like the q59 class. */
+  def contextChunks(docs: DataFrame, win: Int = 64, stride: Int = 48): DataFrame = {
+    val t = docs
+      .select($"doc_id", tokens($"text").as("toks"))
+      .withColumn("n", size($"toks"))
+      .withColumn("n_chunks",
+        expr(s"(greatest(n - $win, 0) + ${stride - 1}) DIV $stride + 1"))
+    t.select($"doc_id", $"toks", $"n",
+        explode(sequence(lit(0), $"n_chunks" - 1)).as("chunk_idx"))
+      .withColumn("start_token", $"chunk_idx" * stride)
+      .select($"doc_id",
+        $"chunk_idx".cast("int").as("chunk_idx"),
+        $"start_token".cast("int").as("start_token"),
+        (least($"start_token" + win, $"n") - $"start_token")
+          .cast("int").as("chunk_len"),
+        md5(concat_ws(" ",
+          slice($"toks", $"start_token" + 1,
+            least(lit(win), $"n" - $"start_token")))).as("chunk_md5"))
+  }
+
   /** Model-based quality filter (E36/q73): a fastText-shaped linear
     * classifier over hashed unigram + bigram features (the trained
     * quality scorer of CCNet/DCLM-style corpus pipelines — the engine
@@ -1040,6 +1073,32 @@ object TextOps {
         |GROUP BY st.source, ns.n_s, n.n
         |ORDER BY source""".stripMargin) { (s, d) =>
       sourceTokenDrift(Tables.documents(s, d)).orderBy($"source")
+    },
+
+    /** Context-window chunking (E38) — see [[contextChunks]]. The
+      * chunk text md5 makes the oracle byte-exact on the reassembled
+      * window content, not just the offsets. */
+    QueryDef.sql(
+      "q75_context_chunks",
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |         (GREATEST(len(toks) - 64, 0) + 47) // 48 + 1 AS n_chunks
+        |  FROM t
+        |), c AS (
+        |  SELECT doc_id, i AS chunk_idx, i * 48 AS start_token,
+        |         LEAST(i * 48 + 64, n) - i * 48 AS chunk_len,
+        |         md5(array_to_string(list_slice(toks, i * 48 + 1, LEAST(i * 48 + 64, n)), ' ')) AS chunk_md5
+        |  FROM d, UNNEST(generate_series(0, n_chunks - 1)) AS g(i)
+        |)
+        |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+        |       CAST(start_token AS INTEGER) AS start_token,
+        |       CAST(chunk_len AS INTEGER) AS chunk_len, chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+      contextChunks(Tables.documents(s, d))
+        .orderBy($"doc_id", $"chunk_idx")
     },
   )
 }

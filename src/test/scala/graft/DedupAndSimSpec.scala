@@ -300,6 +300,59 @@ class DedupSpec extends GraftSpec {
     assert(exact.map(_._2).sum === 14L)
   }
 
+  test("survivor election keeps the longest cluster member; soft weights are 1/cluster_size") {
+    // 4 groups of 3 near-identical docs sharing a 30-token base; member
+    // j appends j+1 distinct tail tokens (jaccard vs base ≥ 28/33 —
+    // well above threshold), so the LAST member of each group is
+    // strictly longest and must win the election over the lower-id
+    // members (a min-id election would pick member 0 — the test
+    // distinguishes the policies). 5 lone docs are their own singleton
+    // clusters: kept, weight 1.
+    val rnd = new scala.util.Random(29)
+    val groups = (0 until 4).flatMap { g =>
+      val base = (0 until 30).map(_ => s"g${g}w${rnd.nextInt(500)}")
+      (0 until 3).map { j =>
+        val toks = base ++ (0 to j).map(t => s"tail$g${j}x$t")
+        ((g * 3 + j).toLong, toks.mkString(" "))
+      }
+    }
+    val lone = (0 until 5).map { i =>
+      ((100 + i).toLong,
+        (0 until 25).map(_ => s"lone${i}t${rnd.nextInt(900)}").mkString(" "))
+    }
+    val docs = (groups ++ lone).map { case (id, t) => (id, "s0", t) }
+      .toDF("doc_id", "source", "text")
+    // the q76 operator over THIS corpus (the gate closure reads the sf
+    // dir; its arithmetic is oracle-verified — this spec pins the
+    // POLICY on planted clusters)
+    val out = graft.operators.SimilarityOps.dedupSurvivors(docs,
+        Dedup.ngramJaccardPairsKernel(docs, "doc_id", "text")
+          .select($"id_a", $"id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getBoolean(4), r.getDouble(5)))
+    assert(out.length === 17)
+    // soft-dedup weight: portable-rounded 1/cluster_size for every member
+    out.foreach { case (_, _, size, _, _, w) =>
+      assert(w === graft.sim.Vectors.roundPortableD(1.0 / size, 4))
+    }
+    // each 3-member group: survivor is the LONGEST member (id g*3+2),
+    // not the min id
+    (0 until 4).foreach { g =>
+      val grp = out.filter(_._2 == g * 3L)
+      assert(grp.length === 3 && grp.forall(_._3 == 3L))
+      assert(grp.filter(_._5).map(_._1).toSeq === Seq(g * 3L + 2),
+        s"group $g must elect its longest member")
+    }
+    // singletons: kept, cluster of one
+    lone.foreach { case (id, _) =>
+      val r = out.find(_._1 == id).get
+      assert(r._5 && r._3 == 1L && r._2 == id)
+    }
+    // exactly one survivor per cluster
+    assert(out.filter(_._5).map(_._2).distinct.length ===
+      out.map(_._2).distinct.length)
+  }
+
   test("connected components match a union-find reference on a seeded random graph") {
     // independent reference: plain array union-find with path halving
     def unionFind(n: Int, edges: Seq[(Int, Int)]): Map[Long, Long] = {

@@ -129,6 +129,19 @@ class PlanSpec extends GraftSpec {
     assert(!overlap.contains("BroadcastNestedLoopJoin") &&
       !overlap.contains("CartesianProduct"),
       s"source overlap must equi-join on fp:\n${overlap.linesIterator.take(15).mkString("\n")}")
+    // q75 context chunking: a codegen'd projection + sequence explode —
+    // no aggregate, no join; the only Exchange is the gate ORDER BY
+    val chunk = plan(q("q75_context_chunks"))
+    assert(!chunk.contains("Exchange hashpartitioning") &&
+      !chunk.contains("HashAggregate") && !chunk.contains("Join"),
+      s"chunking must stay a projection + explode:\n${chunk.linesIterator.take(15).mkString("\n")}")
+    // q76 survivor election: the per-cluster keep decision must be a
+    // partial-aggregatable max(struct) HashAggregate + join-back, never
+    // a per-cluster row_number Window (the q58 single-reducer hazard —
+    // a degenerate boilerplate cluster would land one reducer)
+    val surv = plan(q("q76_dedup_survivors"))
+    assert(!surv.contains("Window"),
+      s"survivor election must not window on the cluster key:\n${surv.linesIterator.take(25).mkString("\n")}")
   }
 
   test("whole-stage codegen spans the aggregation hot path") {

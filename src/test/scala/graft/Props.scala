@@ -143,6 +143,34 @@ object OperatorProps extends Properties("operators") {
       got == expect
     }
 
+  private val genChunkDoc: Gen[String] = for {
+    n  <- Gen.choose(1, 150)
+    ws <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta"))
+  } yield ws.mkString(" ")
+
+  property("context chunker == naive sliding-window reference") =
+    forAll(Gen.listOfN(6, genChunkDoc)) { texts =>
+      val win = 10; val stride = 7   // small windows: multi-chunk docs
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = operators.TextOps.contextChunks(
+          docs.toDF("doc_id", "text"), win, stride)
+        .select($"doc_id", $"chunk_idx", $"start_token", $"chunk_len", $"chunk_md5")
+        .as[(Long, Int, Int, Int, String)].collect().toSet
+      def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val expect = docs.flatMap { case (id, t) =>
+        val toks = t.trim.split("\\s+").toSeq
+        val n = toks.length
+        val nChunks = (math.max(n - win, 0) + stride - 1) / stride + 1
+        (0 until nChunks).map { i =>
+          val s = i * stride
+          val chunk = toks.slice(s, math.min(s + win, n))
+          (id, i, s, chunk.length, md5hex(chunk.mkString(" ")))
+        }
+      }.toSet
+      got == expect
+    }
+
   private val genClassifierDoc: Gen[String] = for {
     n  <- Gen.choose(1, 20)
     ws <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta"))
