@@ -48,7 +48,11 @@ object ScaleBench {
     "q73_quality_classifier", "q74_source_token_drift",
     // context-window chunking (E38): projection + explode, designed
     // flat like the q59 class
-    "q75_context_chunks")
+    "q75_context_chunks",
+    // bigram-LM perplexity filter (E40): model hash aggs + bigram-
+    // stream equi-joins + per-doc ordered fold — designed linear in
+    // corpus bigrams, like the q73 classifier
+    "q77_perplexity_filter")
 
   /** Quadratic-by-contract entries, capped at 10×: the exact all-pairs
     * baselines (q33 n-gram Jaccard, q36 cosine pairs), and q49 whose

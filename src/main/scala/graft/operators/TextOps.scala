@@ -92,6 +92,92 @@ object TextOps {
             least(lit(win), $"n" - $"start_token")))).as("chunk_md5"))
   }
 
+  /** LM perplexity filter (E40/q77): per-document negative log
+    * likelihood under a Laplace-smoothed bigram language model trained
+    * on the corpus itself — the CCNet/KenLM-style trained-LM quality
+    * pass (docs whose token sequences the corpus LM finds surprising
+    * score high and get filtered). The engine capability is everything
+    * but the n-gram order: count the model, join it back, score per
+    * doc at corpus scale.
+    *
+    *   p(w_i | w_{i-1}) = (c2(w_{i-1}, w_i) + 1) / (c1(w_{i-1}) + V)
+    *   nll(doc) = −(1/(n−1)) Σ_{i≥1} ln p(w_i | w_{i-1})
+    *
+    * with c1 the bigram-PREFIX count (Σ c2 over the prefix — re-agged
+    * from c2 so the bigram stream is counted once, the q74 `ct`
+    * pattern) and V the corpus vocabulary size (a broadcast 1-row
+    * aggregate, the q64 N pattern — never a driver count).
+    *
+    * Docs are then bucketed CCNet-style by corpus-level perplexity
+    * terciles — head (fluent) / middle / tail (surprising) — and the
+    * keep flag drops the tail. Percentile cuts are scale-FREE (an
+    * absolute NLL threshold moves with corpus entropy and smoothing
+    * mass), computed as one exact-`percentile` 1-row broadcast; at
+    * 100 TB the same plan flips to `approx_percentile` (the q42/q42b
+    * twin pattern — exact percentile state grows with distinct score
+    * values, the sketch's does not).
+    *
+    * ln is transcendental, so the VALUE is not oracle-hash-comparable
+    * across engines (the same reason q74 scores drift with TV, not
+    * KL) ⇒ rows-only gate; OperatorProps pins the score against a
+    * naive JVM reference instead. Determinism inside the engine is
+    * still exact: each doc's terms fold in POSITION order
+    * (sort_array + aggregate), not shuffle-arrival order, so repeated
+    * runs and repartitions produce bit-identical scores.
+    *
+    * Scale shape: one bigram explode (~1/token) → model hash aggs
+    * (map-side combined, vocab²-bounded keys) → equi-joins of the
+    * bigram stream against the model on (prev, cur)/prev — shuffle ∝
+    * corpus bigrams, no pair space; the per-doc fold state is bounded
+    * by doc length (collect_list per doc — the document itself). */
+  def perplexityScore(docs: DataFrame): DataFrame = {
+    val bi = docs
+      .select($"doc_id", tokens($"text").as("ts"))
+      .select($"doc_id",
+        posexplode(when(size($"ts") >= 2,
+            transform(sequence(lit(1), size($"ts") - 1),
+              i => struct(element_at($"ts", i).as("prev"),
+                element_at($"ts", i + 1).as("cur"))))
+          .otherwise(array().cast("array<struct<prev:string,cur:string>>")))
+          .as(Seq("pos", "bg")))
+      .select($"doc_id", $"pos", $"bg.prev", $"bg.cur")
+    val c2 = bi.groupBy($"prev", $"cur").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy($"prev").agg(sum($"c2").as("c1"))
+    val vocab = docs
+      .select(explode(tokens($"text")).as("tok"))
+      .agg(count_distinct($"tok").as("v"))
+    val terms = bi
+      .join(c2, Seq("prev", "cur"))
+      .join(c1, Seq("prev"))
+      .crossJoin(broadcast(vocab))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        // position-ordered left fold: deterministic under any
+        // partitioning (a plain SUM would add in shuffle-arrival order
+        // — same value only up to FP reassociation)
+        aggregate(
+          sort_array(collect_list(struct($"pos", $"c2", $"c1", $"v"))),
+          lit(0.0),
+          (acc, x) => acc - log((x("c2") + 1).cast("double")
+            / (x("c1") + x("v")).cast("double"))).as("nll_sum"))
+    val scored = docs.select($"doc_id")
+      .join(terms, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_bigrams", lit(0L)).cast("int").as("n_bigrams"),
+        round2($"nll_sum" / $"n_bigrams", 6).as("mean_nll"))
+    val cuts = scored.agg(
+      expr("percentile(mean_nll, 0.33)").as("cut33"),
+      expr("percentile(mean_nll, 0.67)").as("cut67"))
+    scored.crossJoin(broadcast(cuts))
+      .select($"doc_id", $"n_bigrams", $"mean_nll",
+        // unscorable docs (< 2 tokens) pass the filter by convention
+        when($"mean_nll".isNull, "unscored")
+          .when($"mean_nll" <= $"cut33", "head")
+          .when($"mean_nll" <= $"cut67", "middle")
+          .otherwise("tail").as("ppl_bucket"),
+        coalesce($"mean_nll" <= $"cut67", lit(true)).as("keep"))
+  }
+
   /** Model-based quality filter (E36/q73): a fastText-shaped linear
     * classifier over hashed unigram + bigram features (the trained
     * quality scorer of CCNet/DCLM-style corpus pipelines — the engine
@@ -1099,6 +1185,14 @@ object TextOps {
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
       contextChunks(Tables.documents(s, d))
         .orderBy($"doc_id", $"chunk_idx")
+    },
+
+    /** LM perplexity filter (E40) — see [[perplexityScore]]. ln is
+      * transcendental ⇒ rows-only (the q74 TV-over-KL reasoning);
+      * OperatorProps pins the score to a naive JVM reference and the
+      * gate threshold keeps both flag values populated. */
+    QueryDef.rowsOnly("q77_perplexity_filter") { (s, d) =>
+      perplexityScore(Tables.documents(s, d)).orderBy($"doc_id")
     },
   )
 }

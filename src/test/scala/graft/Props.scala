@@ -206,6 +206,57 @@ object OperatorProps extends Properties("operators") {
       }
     }
 
+  property("perplexity filter == naive bigram-LM + tercile reference") =
+    forAll(Gen.listOfN(10, genClassifierDoc)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = operators.TextOps.perplexityScore(docs.toDF("doc_id", "text"))
+        .select($"doc_id", $"n_bigrams", $"mean_nll", $"ppl_bucket", $"keep")
+        .as[(Long, Int, Option[Double], String, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").toSeq }
+      val allBi = toks.flatMap(_._2.sliding(2).filter(_.size == 2)
+        .map(p => (p(0), p(1))))
+      val c2 = allBi.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val c1 = allBi.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val v = toks.flatMap(_._2).distinct.size.toLong
+      val nll: Map[Long, Option[Double]] = toks.map { case (id, ts) =>
+        val bis = ts.sliding(2).filter(_.size == 2).toSeq
+        id -> (if (bis.isEmpty) None
+        else {
+          // the same position-ordered left fold the operator runs
+          var acc = 0.0
+          bis.foreach { p =>
+            acc -= math.log((c2((p(0), p(1))) + 1).toDouble / (c1(p(0)) + v))
+          }
+          Some(graft.sim.Vectors.roundPortableD(acc / bis.size, 6))
+        })
+      }.toMap
+      // Spark exact-percentile interpolation: idx = p·(n−1) over the
+      // sorted non-null scores, linear between neighbors
+      val sorted = nll.values.flatten.toSeq.sorted
+      def cut(p: Double): Double = {
+        val idx = p * (sorted.size - 1)
+        val lo = idx.toInt
+        val hi = math.min(lo + 1, sorted.size - 1)
+        sorted(lo) + (sorted(hi) - sorted(lo)) * (idx - lo)
+      }
+      val (cut33, cut67) = (cut(0.33), cut(0.67))
+      toks.forall { case (id, ts) =>
+        val bis = ts.sliding(2).filter(_.size == 2).size
+        val (n, m, b, k) = got(id)
+        val expBucket = nll(id) match {
+          case None => "unscored"
+          case Some(x) if x <= cut33 => "head"
+          case Some(x) if x <= cut67 => "middle"
+          case _ => "tail"
+        }
+        n == bis &&
+          m.isDefined == nll(id).isDefined &&
+          m.zip(nll(id)).forall { case (a, e) => math.abs(a - e) < 1e-9 } &&
+          b == expBucket && k == (expBucket != "tail")
+      }
+    }
+
   property("source token drift == naive total-variation distance") =
     forAll(Gen.listOfN(15, genSourcedDoc)) { rows =>
       val docs = rows.zipWithIndex.map { case ((src, t), i) => (i.toLong, src, t) }
