@@ -18,7 +18,13 @@ import org.apache.spark.sql.SparkSession
   * estimate is the right per-point statistic (unlike BENCH's cross-
   * engine median-of-3 contract).
   *
-  * Usage: runMain graft.ScaleBench [scales]   (default "1,10,50")
+  * Usage: runMain graft.ScaleBench [scales] [ops]
+  * (scales default "1,10,50"; ops = comma-separated entry names to
+  * restrict the run to — then existing PERF_SCALING.json entries for
+  * the OTHER ops are kept and only the named ones are re-measured,
+  * so adding one operator doesn't force a multi-hour full re-run.
+  * Sound because the curve compares each op with ITSELF across
+  * scales, never op-vs-op within a session.)
   * Output: one JSON line per scale + PERF_SCALING.json with everything.
   */
 object ScaleBench {
@@ -52,7 +58,10 @@ object ScaleBench {
     // bigram-LM perplexity filter (E40): model hash aggs + bigram-
     // stream equi-joins + per-doc ordered fold — designed linear in
     // corpus bigrams, like the q73 classifier
-    "q77_perplexity_filter")
+    "q77_perplexity_filter",
+    // BPE tokenizer train+encode (E41): one dictionary hash agg +
+    // vocab-sized encode + broadcast join back — designed scan-linear
+    "q78_bpe_train_encode")
 
   /** Quadratic-by-contract entries, capped at 10×: the exact all-pairs
     * baselines (q33 n-gram Jaccard, q36 cosine pairs), and q49 whose
@@ -75,6 +84,28 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val scales = args.headOption.getOrElse("1,10,50")
       .split(",").map(_.trim.toInt).toSeq
+    val onlyOps: Option[Set[String]] =
+      args.drop(1).headOption.map(_.split(",").map(_.trim).toSet)
+    onlyOps.foreach { only =>
+      val known = (scaleOps ++ exactOps).toSet
+      val unknown = only -- known
+      require(unknown.isEmpty,
+        s"unknown op name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+    }
+    // prior measurements to carry through on a subset run, keyed by scale
+    val prior: Map[Int, Map[String, Double]] =
+      if (onlyOps.isEmpty) Map.empty
+      else scala.util.Try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("PERF_SCALING.json")), "UTF-8")
+        val entry = """\{"scale":(\d+),"docs":\d+,"queries":\{([^}]*)\}\}""".r
+        val kv = """"([^"]+)":(-?[0-9.]+)""".r
+        entry.findAllMatchIn(txt).map { m =>
+          m.group(1).toInt ->
+            kv.findAllMatchIn(m.group(2))
+              .map(p => p.group(1) -> p.group(2).toDouble).toMap
+        }.toMap
+      }.getOrElse(Map.empty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -101,9 +132,13 @@ object ScaleBench {
           try q.fn(spark, dir).count() catch { case _: Throwable => return -1.0 }
           (System.nanoTime() - t0) / 1e9
         }
-        once() // warm
-        val ok = Seq(once(), once()).filter(_ >= 0)
-        name -> (if (ok.nonEmpty) ok.min else -1.0)
+        val carried = onlyOps.filterNot(_.contains(name))
+          .flatMap(_ => prior.get(scale).flatMap(_.get(name)))
+        name -> carried.getOrElse {
+          once() // warm
+          val ok = Seq(once(), once()).filter(_ >= 0)
+          if (ok.nonEmpty) ok.min else -1.0
+        }
       }
       val line = times.map { case (k, v) =>
         "\"" + k + "\":" + math.rint(v * 1e4) / 1e4

@@ -178,6 +178,92 @@ object TextOps {
         coalesce($"mean_nll" <= $"cut67", lit(true)).as("keep"))
   }
 
+  // BPE tokenizer-training hyper-parameters, named once and used in
+  // BOTH the model-cache key and the train call (the r5 drifted-default
+  // rule): merge rounds and the pruned-dictionary bound.
+  private[graft] val BpeMerges = 60
+  private[graft] val BpeMaxDict = 4096
+
+  /** Learned BPE merge-rank tables, memoized per corpus directory —
+    * a trained tokenizer is a stored artifact (trained once per corpus
+    * snapshot, off the query path), exactly like the IVF/PQ models
+    * SimilarityOps memoizes. Values are plain driver-side maps (model-
+    * sized: ≤ BpeMerges entries — no SparkSession binding). */
+  private val bpeModels = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[(String, String), Int]]()
+
+  private[graft] def bpeModel(docs: DataFrame, key: String): Map[(String, String), Int] =
+    bpeModels.computeIfAbsent(key, _ => {
+      val spark = docs.sparkSession
+      import spark.implicits.{StringToColumn => _, _}
+      // the corpus contributes ONE map-side-combined hash aggregation;
+      // the dictionary is then pruned to the top-BpeMaxDict words
+      // (count desc, word asc — total order) via TakeOrderedAndProject,
+      // so the driver-side training input is bounded BY CONSTRUCTION
+      // no matter the corpus size — the long tail of rare words
+      // contributes negligible pair mass and is dropped, which is how
+      // production BPE trainers bound the problem too
+      val dict = docs
+        .select(explode(graft.text.TextFunctions.tokens($"text")).as("word"))
+        .where(length($"word") > 0)
+        .groupBy($"word").agg(count(lit(1)).as("wc"))
+        .orderBy($"wc".desc, $"word".asc).limit(BpeMaxDict)
+        .as[(String, Long)].collect().toSeq
+      graft.text.Bpe.learnMerges(dict, BpeMerges).zipWithIndex.toMap
+    })
+
+  /** BPE tokenizer training + corpus encoding (E41/q78): learn a
+    * byte-pair-encoding vocabulary from the corpus itself (the
+    * tokenizer-prep step every LLM-corpus pipeline runs before token
+    * budgeting means anything), then re-encode the corpus under the
+    * learned merges and emit per-doc subtoken statistics — word count,
+    * char mass, BPE token count, chars-per-token compression.
+    *
+    * Scale shape — the reason this is an engine operator and not a
+    * driver script: the corpus-sized work is (a) one word-count hash
+    * aggregation (map-side combined) to build the training dictionary,
+    * and (b) one scoring pass where the word stream equi-joins a
+    * BROADCAST vocab-sized (word → n_subtokens) table and folds into a
+    * per-doc aggregate — each distinct word is ENCODED ONCE (work ∝
+    * vocabulary), never once per occurrence (work ∝ corpus), and the
+    * word stream itself never shuffles (broadcast join + partial agg;
+    * the only corpus-sized exchange is one row per doc). The greedy
+    * merge loop ([[graft.text.Bpe]]) runs on the pruned bounded
+    * dictionary — documented driver-side model state, like the IVF
+    * centroid fit.
+    *
+    * The model and all counts are exact integers; the single derived
+    * ratio goes through [[roundPortable]]. The merge LEARNING is an
+    * iterative argmax recurrence — not SQL-expressible — so the gate
+    * is rows-only and OperatorProps pins dictionaries, merge tables,
+    * encodings, and per-doc stats to an independent naive reference. */
+  def bpeTrainEncode(docs: DataFrame, modelKey: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits.{StringToColumn => _, _}
+    val rank = bpeModel(docs, s"$modelKey|m$BpeMerges|d$BpeMaxDict")
+    val words = docs
+      .select($"doc_id", explode(graft.text.TextFunctions.tokens($"text")).as("word"))
+      .where(length($"word") > 0)
+    // vocab-sized: every distinct word encoded exactly once; the rank
+    // table rides the closure (≤ BpeMerges entries)
+    val subtok = words.select($"word").distinct()
+      .as[String]
+      .map(w => (w, graft.text.Bpe.encode(w, rank).length))
+      .toDF("word", "n_subtokens")
+    val perDoc = words.join(broadcast(subtok), Seq("word"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length($"word")).as("n_chars"),
+        sum($"n_subtokens").as("n_bpe_tokens"))
+    docs.select($"doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_words", lit(0L)).cast("int").as("n_words"),
+        coalesce($"n_chars", lit(0L)).as("n_chars"),
+        coalesce($"n_bpe_tokens", lit(0L)).as("n_bpe_tokens"),
+        roundPortable(
+          $"n_chars" * lit(1.0) / $"n_bpe_tokens", 4).as("chars_per_token"))
+  }
+
   /** Model-based quality filter (E36/q73): a fastText-shaped linear
     * classifier over hashed unigram + bigram features (the trained
     * quality scorer of CCNet/DCLM-style corpus pipelines — the engine
@@ -1193,6 +1279,15 @@ object TextOps {
       * gate threshold keeps both flag values populated. */
     QueryDef.rowsOnly("q77_perplexity_filter") { (s, d) =>
       perplexityScore(Tables.documents(s, d)).orderBy($"doc_id")
+    },
+
+    /** BPE tokenizer training + encoding (E41) — see
+      * [[bpeTrainEncode]]. The merge learning is an iterative argmax
+      * recurrence (not SQL-expressible) ⇒ rows-only; OperatorProps
+      * pins the dictionary, merge table, encodings, and per-doc stats
+      * to an independent naive reference. */
+    QueryDef.rowsOnly("q78_bpe_train_encode") { (s, d) =>
+      bpeTrainEncode(Tables.documents(s, d), modelKey = d).orderBy($"doc_id")
     },
   )
 }

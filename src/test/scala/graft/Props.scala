@@ -257,6 +257,83 @@ object OperatorProps extends Properties("operators") {
       }
     }
 
+  private val genBpeDoc: Gen[String] = for {
+    n  <- Gen.choose(0, 12)   // 0 ⇒ empty doc: exercises the null path
+    ws <- Gen.listOfN(n, Gen.oneOf(
+      "alpha", "beta", "gamma", "delta", "eps", "zeta", "a", "ab", "abab", "zz"))
+  } yield ws.mkString(" ")
+
+  property("bpe train+encode == naive dictionary-BPE reference") =
+    forAll(Gen.listOfN(10, genBpeDoc)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // unique model-cache key per generated corpus (the memo is per
+      // corpus snapshot by contract)
+      val key = s"prop|${texts.hashCode}|${texts.map(_.length).sum}"
+      val df = docs.toDF("doc_id", "text")
+      val got = operators.TextOps.bpeTrainEncode(df, modelKey = key)
+        .select($"doc_id", $"n_words", $"n_chars", $"n_bpe_tokens",
+          $"chars_per_token")
+        .as[(Long, Int, Long, Long, Option[Double])].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      // naive reference, written immutably and encoding every word
+      // OCCURRENCE (the operator encodes each DISTINCT word once and
+      // joins — the machinery under test)
+      val toks = docs.map { case (id, t) =>
+        id -> t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      }
+      val wc = toks.flatMap(_._2).groupBy(identity).view
+        .mapValues(_.size.toLong).toSeq
+        .sortBy { case (w, c) => (-c, w) }.take(operators.TextOps.BpeMaxDict)
+      def naiveMerge(s: List[String], p: (String, String)): List[String] = s match {
+        case a :: b :: rest if (a, b) == p => (a + b) :: naiveMerge(rest, p)
+        case a :: rest => a :: naiveMerge(rest, p)
+        case Nil => Nil
+      }
+      var ws = wc.map { case (w, c) => (w.map(_.toString).toList, c) }
+      var merges = List.empty[(String, String)]
+      var stop = false
+      while (merges.size < operators.TextOps.BpeMerges && !stop) {
+        val counts = ws.flatMap { case (s, c) => s.zip(s.tail).map(p => (p, c)) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        if (counts.isEmpty) stop = true
+        else {
+          val best = counts.toSeq
+            .sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+          merges = merges :+ best
+          ws = ws.map { case (s, c) => (naiveMerge(s, best), c) }
+        }
+      }
+      val rank = merges.zipWithIndex.toMap
+      def naiveEncode(w: String): List[String] = {
+        var s = w.map(_.toString).toList
+        var cont = s.size >= 2
+        while (cont) {
+          val present = s.zip(s.tail).filter(rank.contains)
+          if (present.isEmpty) cont = false
+          else s = naiveMerge(s, present.minBy(rank))
+        }
+        s
+      }
+      // the learned model itself must match, not just its effects
+      // (bpeModel returns the memoized table trained by the run above)
+      val modelOk = operators.TextOps.bpeModel(df,
+        s"$key|m${operators.TextOps.BpeMerges}|d${operators.TextOps.BpeMaxDict}") ==
+        rank
+      modelOk && toks.forall { case (id, ts) =>
+        val enc = ts.map(naiveEncode)
+        val conserve = ts.zip(enc).forall { case (w, e) => e.mkString == w }
+        val chars = ts.map(_.length.toLong).sum
+        val bpe = enc.map(_.size.toLong).sum
+        val expRatio = if (bpe > 0)
+          Some(graft.sim.Vectors.roundPortableD(chars.toDouble / bpe, 4))
+        else None
+        val (n, c, b, r) = got(id)
+        conserve && n == ts.size && c == chars && b == bpe &&
+          r.isDefined == expRatio.isDefined &&
+          r.zip(expRatio).forall { case (a, e) => a == e }
+      }
+    }
+
   property("source token drift == naive total-variation distance") =
     forAll(Gen.listOfN(15, genSourcedDoc)) { rows =>
       val docs = rows.zipWithIndex.map { case ((src, t), i) => (i.toLong, src, t) }
