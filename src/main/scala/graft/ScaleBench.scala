@@ -61,7 +61,10 @@ object ScaleBench {
     "q77_perplexity_filter",
     // BPE tokenizer train+encode (E41): one dictionary hash agg +
     // vocab-sized encode + broadcast join back — designed scan-linear
-    "q78_bpe_train_encode")
+    "q78_bpe_train_encode",
+    // survivor election over LSH candidates (E39's scale path): every
+    // stage an equi-join shuffle, uncapped like its sibling q68
+    "q79_dedup_survivors_lsh")
 
   /** Quadratic-by-contract entries, capped at 10×: the exact all-pairs
     * baselines (q33 n-gram Jaccard, q36 cosine pairs), and q49 whose

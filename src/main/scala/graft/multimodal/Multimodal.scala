@@ -73,6 +73,28 @@ object Multimodal {
         expr(s"substring(content, frame_idx * $stride + 1, $frame)"))
       .select(col("asset_id"), col("frame_idx"), col("frame"))
 
+  /** Per-asset frame-sampling summary (the q80 gate body): run
+    * [[frameSample]] and fold each asset's frames into one row —
+    * frame count plus an order-sensitive digest (md5 over the
+    * concatenated per-frame md5s, frame order) that pins every
+    * sampled byte window, not just the count. The fold is one
+    * partial-aggregatable groupBy on asset_id (per-group state is
+    * bounded by frames-per-asset ∝ asset size, never corpus size);
+    * frame order is restored inside the aggregate via array_sort on
+    * (frame_idx, md5) structs — no Window, no second shuffle. */
+  def frameSummary(assets: DataFrame, frame: Int, stride: Int): DataFrame = {
+    val frames = frameSample(assets, frame, stride)
+      .select(col("asset_id"), col("frame_idx"), md5(col("frame")).as("h"))
+    assets.select(col("asset_id"),
+        octet_length(col("content")).cast("long").as("byte_len"))
+      .join(frames.groupBy(col("asset_id"))
+        .agg(count(lit(1)).cast("int").as("n_frames"),
+          md5(concat_ws("",
+            transform(array_sort(collect_list(struct(col("frame_idx"), col("h")))),
+              x => x.getField("h"))).cast("binary")).as("frames_md5")),
+        Seq("asset_id"))
+  }
+
   /** Resize-to-length: truncate or zero-pad the content column. */
   def resize(assets: DataFrame, len: Int): DataFrame =
     assets.withColumn("content_resized",

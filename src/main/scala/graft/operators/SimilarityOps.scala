@@ -352,6 +352,26 @@ object SimilarityOps {
         Dedup.minhashNearDups(docs, "doc_id", "text").select($"id_a", $"id_b"))
     },
 
+    /** Survivor election + soft-dedup weights over the LSH candidate
+      * chain (E39's scale path, the composition SURVEY §2.14 promises:
+      * the election is "reusable over exact or LSH pair sources").
+      * q76 proves the election arithmetic against the recursive-CTE +
+      * window oracle but takes the exact O(n²) Jaccard kernel as its
+      * pair source, so it inherits the kernel's 10× ScaleBench cap —
+      * THIS entry feeds the identical election the banded-MinHash
+      * pairs (q34's kernel), keeping every stage an equi-join shuffle
+      * (bands → verify → component rounds → max-struct election), so
+      * the full keep-WHICH policy chain runs uncapped like q68.
+      * MinHash is hash-family-specific ⇒ rows-only; DedupAndSimSpec
+      * proves the LSH-sourced election emits EXACTLY the exact-sourced
+      * election's rows on planted near-dup clusters. */
+    QueryDef.rowsOnly("q79_dedup_survivors_lsh") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      dedupSurvivors(docs,
+          Dedup.minhashNearDups(docs, "doc_id", "text").select($"id_a", $"id_b"))
+        .orderBy($"doc_id")
+    },
+
     /** MinHash+LSH near-dups (banded signatures → candidate equi-join →
       * exact verify). Hash family is engine-specific ⇒ rows-only here;
       * the ScalaTest spec checks recall against q33's exact pairs. */

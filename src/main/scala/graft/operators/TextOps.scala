@@ -598,6 +598,41 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    /** Multimodal frame sampling, oracle-gated (E42): every stride-th
+      * fixed-width byte window of each asset's binary content — the
+      * video/audio frame-sampling access pattern, run on the corpus
+      * bytes (the container has no codecs; the windowing, not the
+      * decode, is the engine's job). One row per asset: frame count +
+      * an ORDER-SENSITIVE digest (md5 over concatenated per-frame
+      * md5s) pinning every sampled byte window byte-for-byte against
+      * the oracle's substring restatement — sound because the corpus
+      * is printable ASCII, so DuckDB's character substring is the
+      * byte substring. Shape: sequence-explode projection (q59/q75
+      * class) + ONE partial-aggregatable fold per asset (per-group
+      * state ∝ asset size); no Window, no second shuffle. */
+    QueryDef.sql(
+      "q80_frame_sample",
+      """WITH f AS (
+        |  SELECT doc_id, length(text) AS byte_len,
+        |         UNNEST(generate_series(0, greatest(0,
+        |           CAST(floor((length(text) - 32) / 24.0) AS INT)))) AS frame_idx,
+        |         text
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(byte_len AS BIGINT) AS byte_len,
+        |       CAST(COUNT(*) AS INTEGER) AS n_frames,
+        |       md5(string_agg(md5(substring(text, frame_idx * 24 + 1, 32)), ''
+        |           ORDER BY frame_idx)) AS frames_md5
+        |FROM f GROUP BY doc_id, byte_len
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.multimodal.Multimodal.frameSummary(
+          Tables.documents(s, d).select(
+            $"doc_id".as("asset_id"), $"text".cast("binary").as("content")),
+          frame = 32, stride = 24)
+        .select($"asset_id".as("doc_id"), $"byte_len", $"n_frames", $"frames_md5")
+        .orderBy($"doc_id")
+    },
+
     /** Cross-document duplicate-SPAN removal (C4 / exact-substring
       * dedup shape): 10-token spans, keep the globally first occurrence
       * of each exact span, reassemble docs from their surviving spans —

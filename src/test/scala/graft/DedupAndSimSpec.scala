@@ -353,6 +353,43 @@ class DedupSpec extends GraftSpec {
       out.map(_._2).distinct.length)
   }
 
+  test("LSH-sourced survivor election matches the exact-sourced election on planted clusters") {
+    // Same planted shape as the election-policy test (4 groups of 3,
+    // longest member last, 5 singletons), but here the assertion is
+    // the q79 COMPOSITION: feeding the election banded-MinHash
+    // candidate pairs must reproduce the exact-kernel election's rows
+    // bit-for-bit (planted jaccard ≈ 0.9 ⇒ LSH recall effectively 1).
+    val rnd = new scala.util.Random(31)
+    val groups = (0 until 4).flatMap { g =>
+      val base = (0 until 30).map(_ => s"g${g}w${rnd.nextInt(500)}")
+      (0 until 3).map { j =>
+        val toks = base ++ (0 to j).map(t => s"tail$g${j}x$t")
+        ((g * 3 + j).toLong, "s0", toks.mkString(" "))
+      }
+    }
+    val lone = (0 until 5).map { i =>
+      ((100 + i).toLong, "s0",
+        (0 until 25).map(_ => s"lone${i}t${rnd.nextInt(900)}").mkString(" "))
+    }
+    val docs = (groups ++ lone).toDF("doc_id", "source", "text")
+    def rows(pairs: org.apache.spark.sql.DataFrame) =
+      graft.operators.SimilarityOps.dedupSurvivors(docs, pairs)
+        .orderBy($"doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3), r.getBoolean(4), r.getDouble(5))).toSeq
+    val exact = rows(Dedup.ngramJaccardPairsKernel(docs, "doc_id", "text")
+      .select($"id_a", $"id_b"))
+    val lsh = rows(Dedup.minhashNearDups(docs, "doc_id", "text")
+      .select($"id_a", $"id_b"))
+    assert(exact.length === 17)
+    assert(lsh === exact)
+    // and the composition still elects longest-per-cluster, not min id
+    (0 until 4).foreach { g =>
+      assert(lsh.filter(t => t._2 == g * 3L && t._5).map(_._1) ===
+        Seq(g * 3L + 2))
+    }
+  }
+
   test("connected components match a union-find reference on a seeded random graph") {
     // independent reference: plain array union-find with path halving
     def unionFind(n: Int, edges: Seq[(Int, Int)]): Map[Long, Long] = {
