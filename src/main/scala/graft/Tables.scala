@@ -25,15 +25,29 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark refuses to map
-    * to its µs TimestampType. Read it as a raw ns long (legacy conf) and
-    * floor-convert to µs with integer division — `ts/1000` in double
-    * would lose precision (ns epochs exceed 2^53). */
+  /** `events.ts` has shipped in two physical schemas across driver
+    * regenerations: TIMESTAMP(NANOS) (which Spark can only read as a raw
+    * ns long via the legacy conf) and TIMESTAMP(MICROS, NTZ). Branch on
+    * the schema actually loaded so either layout works:
+    *   - LongType        → floor-convert ns→µs with integer division
+    *                       (`ts/1000` in double loses precision; ns epochs
+    *                       exceed 2^53)
+    *   - TimestampNTZType → cast to session-TZ TimestampType (Verify runs
+    *                       with session TZ = UTC, matching the oracle)
+    *   - TimestampType   → use as-is
+    */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: unexpected parquet-mapped type $other")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

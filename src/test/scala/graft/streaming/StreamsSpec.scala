@@ -42,6 +42,61 @@ class StreamsSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("events loader handles both driver timestamp formats; streams run from real NTZ files") {
+    // Round 7 shipped broken because the driver regenerated
+    // events.parquet as TIMESTAMP(µs, NTZ) while the loader assumed
+    // ns-as-long — and no test read the streaming layer from files.
+    // This test writes BOTH physical formats, reads each through the
+    // SAME loader the gates use (Tables.events), and drives a real
+    // file-source streaming query off the NTZ files.
+    val base = java.nio.file.Files.createTempDirectory("ntz_events").toString
+
+    // (a) the new driver format: TIMESTAMP_NTZ microseconds
+    val ntzDir = s"$base/ntz"
+    Seq(
+      (1L, "2025-01-01 10:00:00", 7L, "gps", 10.0, "{}"),
+      (2L, "2025-01-01 10:01:00", 8L, "gps", 50.0, "{}"))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .select($"event_id", to_timestamp($"ts_s").cast("timestamp_ntz").as("ts"),
+        $"user_id", $"event_type", $"value", $"props")
+      .write.mode("overwrite").parquet(s"$ntzDir/events.parquet")
+    val viaLoaderNtz = graft.Tables.events(spark, ntzDir)
+    assert(viaLoaderNtz.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    assert(viaLoaderNtz.select(unix_millis($"ts")).as[Long].collect().sorted
+      === Array(ts("2025-01-01 10:00:00").getTime, ts("2025-01-01 10:01:00").getTime))
+
+    // (b) the old driver format: raw ns epoch longs
+    val nsDir = s"$base/ns"
+    viaLoaderNtz.select($"event_id",
+        (unix_micros($"ts") * 1000).as("ts"),
+        $"user_id", $"event_type", $"value", $"props")
+      .write.mode("overwrite").parquet(s"$nsDir/events.parquet")
+    val viaLoaderNs = graft.Tables.events(spark, nsDir)
+    assert(viaLoaderNs.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    assert(viaLoaderNs.select(unix_millis($"ts")).as[Long].collect().sorted
+      === viaLoaderNtz.select(unix_millis($"ts")).as[Long].collect().sorted)
+
+    // (c) end-to-end: a REAL file-source stream over the NTZ files,
+    // same NTZ→session-TZ normalization, through the R3 operator
+    val gpsStream = spark.readStream
+      .schema(spark.read.parquet(s"$ntzDir/events.parquet").schema)
+      .parquet(s"$ntzDir/events.parquet")
+      .select($"user_id".as("vehicle_id"), lit(10L).as("route_id"),
+        ($"value" / 100).as("lat"), lit(0.001).as("lon"),
+        lit(60.0).as("speed_kmh"), $"ts".cast("timestamp").as("ts"))
+    val q = Streams.routeDeviationAlerts(gpsStream, waypoints)
+      .writeStream.format("memory").queryName("ntz_file_alerts")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // value=50 → lat 0.5, ~33 km off route 10; value=10 → lat 0.1, on-route
+      val got = spark.table("ntz_file_alerts").collect()
+      assert(got.map(_.getAs[Long]("vehicle_id")).toSeq === Seq(8L))
+    } finally q.stop()
+  }
+
   test("R2 ETA: distance/speed arithmetic and timestamp advance") {
     val dest = Seq((10L, 1.0, 0.0)).toDF("route_id", "dest_lat", "dest_lon")
     val gps = Seq(Streams.GpsEvent(1L, 10L, 0.0, 0.0, 111.0, ts("2025-01-01 10:00:00"))).toDF()
