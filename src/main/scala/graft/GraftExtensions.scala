@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{FloatVecDot, FnvHash64}
+import graft.functions.{FloatVecDot, FnvHash64, TopKStruct}
 
 /** SparkSessionExtensions entry point: wires the engine's native
   * Catalyst expressions into any session built with
@@ -26,5 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FloatVecDot].getName, "fdot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FloatVecDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("topk_struct"),
+      new ExpressionInfo(classOf[TopKStruct].getName, "topk_struct"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TopKStruct.fromExprs(exprs).toAggregateExpression()))
   }
 }

@@ -52,4 +52,10 @@ object FnvHash64 {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fnv64", (exprs: Seq[Expression]) => FnvHash64(exprs.head), "built-in")
+
+  /** Column form (registers `fnv64` in the session first, idempotent). */
+  def column(spark: SparkSession, c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("fnv64", c)
+  }
 }

@@ -289,7 +289,8 @@ object TextOps {
     * weight table for a real 2M-bucket fastText model is ~30 MB —
     * still broadcast-sized. */
   def qualityClassifier(docs: DataFrame, weights: DataFrame, dim: Int,
-                        thresholdPpm: Long): DataFrame = {
+                        thresholdPpm: Long,
+                        bucketOf: Column => Column = null): DataFrame = {
     val ts = split(trim($"text"), "\\s+")
     val bigrams = when(size($"ts") >= 2,
         transform(sequence(lit(0), size($"ts") - 2),
@@ -298,12 +299,15 @@ object TextOps {
     val feats = docs
       .select($"doc_id", ts.as("ts"))
       .select($"doc_id", explode(concat($"ts", bigrams)).as("f"))
-    // one md5 per feature: conv parses the 16-bit prefix in a single
-    // call (the nibble-chain formulation re-evaluates the inlined md5
-    // 12x per row — codegen subexpression elimination refuses CASE
-    // branches; measured 2.6 -> 0.9 s on the sf0.1 feature stream).
-    // The oracle replays the hexNibble ascii arithmetic; values match.
-    val bucket = conv(substring(md5($"f"), 1, 4), 16, 10).cast("long") % dim
+    // Default (oracle-replayable) bucketing: one md5 per feature — conv
+    // parses the 16-bit prefix in a single call (the nibble-chain
+    // formulation re-evaluates the inlined md5 12x per row — codegen
+    // subexpression elimination refuses CASE branches; measured
+    // 2.6 -> 0.9 s on the sf0.1 feature stream). The oracle replays
+    // the hexNibble ascii arithmetic; values match. The production
+    // path (q73b) swaps in the codegen'd FNV-1a bucket via `bucketOf`.
+    val bucket = Option(bucketOf).map(_.apply($"f"))
+      .getOrElse(conv(substring(md5($"f"), 1, 4), 16, 10).cast("long") % dim)
     feats
       .select($"doc_id", bucket.cast("long").as("bucket"))
       .join(broadcast(weights), Seq("bucket"))
@@ -861,7 +865,12 @@ object TextOps {
       * rational arithmetic, so both engines agree bit-for-bit after
       * rounding; log's transcendental last-ulp would not), top 3 terms
       * per doc with deterministic tie-break. One explode, two hash
-      * aggs, a doc-frequency join, one per-doc window. */
+      * aggs, a doc-frequency join — and a bounded 3-slot top-k
+      * aggregate ([[graft.functions.TopKStruct]]) instead of a per-doc
+      * rank window: the window sorts the entire exploded token stream
+      * (the 100×-curve bottleneck, 9.5× growth measured in r7); the
+      * aggregate's map-side partials cap shuffle at ≤3 rows per doc
+      * per partition and nothing sorts. */
     QueryDef.sql(
       "q64_tfidf_terms",
       """WITH t AS (
@@ -891,8 +900,6 @@ object TextOps {
       val df = tok.groupBy($"tok").agg(countDistinct($"doc_id").as("df"))
       // corpus size as a broadcast 1-row aggregate, not a driver count
       val n = docs.agg(count(lit(1)).as("n_docs"))
-      val w = Window.partitionBy($"doc_id")
-        .orderBy(($"tf" * $"n_docs" * lit(1.0) / $"df").desc, $"tok")
       // the df side is vocab-sized; AQE converts this to a broadcast
       // join at runtime when the measured build side is small (the
       // synthetic corpus: ~1e3 tokens), and keeps the shuffle join
@@ -901,14 +908,19 @@ object TextOps {
       // 100 TB vocab, so the adaptive choice is the right default
       tf.join(df, Seq("tok"))
         .crossJoin(broadcast(n))
-        .withColumn("rnk", row_number().over(w))
-        .filter($"rnk" <= 3)
-        .select($"doc_id", $"rnk".cast("int").as("rnk"), $"tok",
+        // the same double the oracle's ROW_NUMBER orders by; the
+        // aggregate compares it with IEEE semantics (see TopKStruct)
+        .select($"doc_id",
+          ($"tf" * $"n_docs" * lit(1.0) / $"df").as("s"), $"tok")
+        .groupBy($"doc_id")
+        .agg(graft.functions.TopKStruct.topk(s, $"s", $"tok", 3).as("top"))
+        .select($"doc_id", posexplode($"top"))
+        .select($"doc_id", ($"pos" + 1).cast("int").as("rnk"),
+          $"col.item".as("tok"),
           // roundPortable, not round: the quotient is a double, and the
           // corpus guarantees nothing about its 4-decimal halfway points
           // (advice r6 — plain round diverges between engines there)
-          roundPortable($"tf" * $"n_docs" * lit(1.0) / $"df", 4)
-            .cast("double").as("score"))
+          roundPortable($"col.score", 4).cast("double").as("score"))
         .orderBy($"doc_id", $"rnk")
     },
 
@@ -1248,6 +1260,24 @@ object TextOps {
       }) { (s, d) =>
       qualityClassifier(Tables.documents(s, d),
           classifierWeights(s, 1024), dim = 1024, thresholdPpm = 50000L)
+        .orderBy($"doc_id")
+    },
+
+    /** The PRODUCTION spelling of the q73 quality classifier (advice
+      * r7): identical featurization, weight table, and integer-ppm
+      * scoring, but the feature→bucket hash is the codegen'd FNV-1a
+      * expression ([[graft.functions.FnvHash64]]) instead of the
+      * md5-prefix parse — ~2 md5 invocations per token was 5.6× the
+      * DuckDB baseline, and a real fastText scorer uses exactly this
+      * kind of cheap integer hash. Rows-only gate (DuckDB has no
+      * FNV-1a); the score semantics are pinned bit-exact against a
+      * naive JVM reference — including hash collisions — in
+      * TextOpsSpec, and the md5 twin q73 stays the hash-exact oracle
+      * for the operator's arithmetic. */
+    QueryDef.rowsOnly("q73b_quality_classifier_fnv") { (s, d) =>
+      qualityClassifier(Tables.documents(s, d),
+          classifierWeights(s, 1024), dim = 1024, thresholdPpm = 50000L,
+          bucketOf = f => pmod(graft.functions.FnvHash64.column(s, f), lit(1024L)))
         .orderBy($"doc_id")
     },
 

@@ -76,6 +76,31 @@ class PlanSpec extends GraftSpec {
       s"span keep-first must be an aggregate:\n${span.linesIterator.take(25).mkString("\n")}")
   }
 
+  test("q64 tf-idf top-3: bounded topk_struct aggregate, no rank window (advice r7)") {
+    // the per-doc top-3 must be the 3-slot TopKStruct aggregate under
+    // ObjectHashAggregate — a row_number Window would sort the entire
+    // exploded token stream per doc (the 9.5×-at-100× curve bottleneck
+    // measured in r7)
+    val p = plan(q("q64_tfidf_terms"))
+    assert(!p.contains("Window"),
+      s"q64 must not rank-window the token stream:\n${p.linesIterator.take(25).mkString("\n")}")
+    assert(p.contains("ObjectHashAggregate") && p.contains("topk_struct"),
+      s"q64 top-3 must be the bounded topk_struct aggregate:\n${p.linesIterator.take(25).mkString("\n")}")
+  }
+
+  test("q73b FNV production classifier: codegen fnv64, broadcast weights") {
+    // same shape contract as q73, with the md5 projection replaced by
+    // the codegen'd fnv64 expression — and it must actually be fnv64
+    // in the plan, not a fallback
+    val p = plan(q("q73b_quality_classifier_fnv"))
+    assert(p.contains("fnv64"),
+      s"production classifier must hash with fnv64:\n${p.linesIterator.take(25).mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"only the doc aggregate may shuffle the corpus:\n${p.linesIterator.take(25).mkString("\n")}")
+  }
+
   test("q73 quality classifier: broadcast weights, one corpus shuffle (E36)") {
     // feature explode + md5-bucket projection stay scan-local; the
     // model joins as a broadcast (never a shuffle of the feature

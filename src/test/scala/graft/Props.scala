@@ -206,6 +206,57 @@ object OperatorProps extends Properties("operators") {
       }
     }
 
+  property("quality classifier FNV production twin == naive FNV reference") =
+    forAll(Gen.listOfN(8, genClassifierDoc)) { texts =>
+      val dim = 64; val thr = 10000L   // small dim: collisions exercised
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = operators.TextOps.qualityClassifier(
+          docs.toDF("doc_id", "text"),
+          operators.TextOps.classifierWeights(spark, dim), dim, thr,
+          bucketOf = f => pmod(
+            graft.functions.FnvHash64.column(spark, f), lit(dim.toLong)))
+        .select($"doc_id", $"n_features", $"score_ppm_sum", $"mean_logit", $"keep")
+        .as[(Long, Int, Long, Double, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      def bucketOf(f: String): Int =
+        java.lang.Math.floorMod(graft.functions.FnvHash64.hash(f), dim.toLong).toInt
+      def wOf(j: Int): Long = (j + 1).toLong * 2654435761L % 2000001L - 1000000L
+      docs.forall { case (id, t) =>
+        val toks = t.trim.split("\\s+").toSeq
+        val feats = toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString("_"))
+        val s = feats.map(f => wOf(bucketOf(f))).sum
+        val n = feats.size
+        got(id) == ((n, s,
+          graft.sim.Vectors.roundPortableD(s / 1e6 / n, 4), s > thr * n))
+      }
+    }
+
+  private val genTopKRows: Gen[List[(Long, Double, String)]] =
+    Gen.listOfN(40, for {
+      g <- Gen.choose(1L, 5L)
+      s <- Gen.oneOf(Gen.choose(-100, 100).map(_ / 8.0), Gen.const(0.5))
+      i <- Gen.oneOf("aa", "ab", "ba", "bb", "ca", "cb", "cc", "dd")
+    } yield (g, s, i))   // coarse scores + tiny alphabet: score ties and
+  // duplicate (score, item) pairs occur constantly, so the tie-break
+  // path and the duplicate-tolerant insert are what the property tests
+
+  property("topk_struct == sorted-take-k reference (score DESC, item ASC)") =
+    forAll(genTopKRows, Gen.choose(1, 4)) { (rows, k) =>
+      val got = rows.toDF("g", "s", "item")
+        .groupBy($"g")
+        .agg(graft.functions.TopKStruct.topk(spark, $"s", $"item", k).as("top"))
+        .select($"g", posexplode($"top"))
+        .select($"g", $"pos", $"col.score", $"col.item")
+        .as[(Long, Int, Double, String)].collect()
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toList).toMap
+      val expect = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(r => (r._2, r._3))
+          .sortBy { case (s, i) => (-s, i) }.take(k)
+      }
+      got.keySet == expect.keySet && expect.forall { case (g, e) => got(g) == e }
+    }
+
   property("perplexity filter == naive bigram-LM + tercile reference") =
     forAll(Gen.listOfN(10, genClassifierDoc)) { texts =>
       val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
