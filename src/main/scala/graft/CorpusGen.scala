@@ -75,15 +75,58 @@ object CorpusGen {
       pmod(h(seed, 10, id), lit(5)).cast("int").as("label"))
   }
 
+  /** Seeded event stream for the sessionization / temporal curve
+    * (schema-compatible with the driver's events table). Users get
+    * `n / 200` ids round-robin, so per-user volume stays ~200 at every
+    * scale while the user count grows with the corpus — the
+    * distribution a real clickstream shards under. Timestamps are
+    * closed-form per (user, per-user index): 5-minute steps plus
+    * ≤4-minute hash jitter inside a session, and a 45-minute jump
+    * every `p` events (p ∈ [8,16] per user), so each user contributes
+    * multiple >30-min-gap sessions without any prefix-sum at gentime.
+    * Monotone per user by construction: consecutive deltas are
+    * 5 min ± 4 min > 0. */
+  def events(spark: SparkSession, n: Long, seed: Long = 7L): DataFrame = {
+    val id = col("id")
+    val nUsers = math.max(1L, n / 200)
+    val user = pmod(h(seed, 20, id), lit(nUsers))
+    val idx = floor(id / lit(nUsers)).cast("long")
+    val period = pmod(h(seed, 21, user), lit(9L)) + 8L
+    val startUs = lit(1735689600000000L)   // 2025-01-01 00:00:00 UTC, µs
+    val tsUs = startUs +
+      user * lit(86400L * 1000000L) +                     // per-user day phase
+      idx * lit(300L * 1000000L) +                        // 5-min step
+      pmod(h(seed, 22, id), lit(240L)) * lit(1000000L) +  // ≤4-min jitter
+      floor(idx / period).cast("long") * lit(2700L * 1000000L) // 45-min gap
+    spark.range(n).select(
+      id.as("event_id"),
+      timestamp_micros(tsUs).as("ts"),
+      user.as("user_id"),
+      element_at(
+        array(lit("click"), lit("view"), lit("purchase"), lit("gps")),
+        (pmod(h(seed, 23, id), lit(4)) + 1).cast("int")).as("event_type"),
+      (round(u(seed, 24, id) * 10000, 0) / 100.0).as("value"),
+      format_string("{\"k\":%d}", pmod(h(seed, 25, id), lit(100))).as("props"))
+  }
+
   /** Write a corpus dir compatible with [[Tables]] (documents.parquet /
-    * embeddings.parquet), marker-guarded so repeated runs reuse it. */
-  def write(spark: SparkSession, dir: String, nDocs: Long, nVecs: Long): Unit = {
+    * embeddings.parquet / events.parquet), marker-guarded per table so
+    * repeated runs reuse what exists and adding a table only fills the
+    * gap. */
+  def write(spark: SparkSession, dir: String, nDocs: Long, nVecs: Long,
+            nEvents: Long = 0L): Unit = {
     val marker = new java.io.File(dir, "_CORPUS_READY")
-    if (marker.exists()) return
-    documents(spark, nDocs)
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    embeddings(spark, nVecs)
-      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    marker.createNewFile(): Unit
+    if (!marker.exists()) {
+      documents(spark, nDocs)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      embeddings(spark, nVecs)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      marker.createNewFile(): Unit
+    }
+    // events joined the corpus after round 7: backfill into dirs whose
+    // docs/vecs marker predates it
+    if (nEvents > 0 && !new java.io.File(dir, "events.parquet").exists())
+      events(spark, nEvents)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
   }
 }

@@ -64,7 +64,14 @@ object ScaleBench {
     "q78_bpe_train_encode",
     // survivor election over LSH candidates (E39's scale path): every
     // stage an equi-join shuffle, uncapped like its sibling q68
-    "q79_dedup_survivors_lsh")
+    "q79_dedup_survivors_lsh",
+    // r8: sessionization over the generated event stream — the
+    // single-window gate shape next to its sharded two-stage-prefix-sum
+    // twin, so E16's 100 TB claim is a measured pair, not an assertion
+    "q39_sessionize", "q39b_sessionize_sharded",
+    // r8: the FNV production classifier next to its md5 oracle twin —
+    // the de-md5 advice is graded on this curve point
+    "q73b_quality_classifier_fnv")
 
   /** Quadratic-by-contract entries, capped at 10×: the exact all-pairs
     * baselines (q33 n-gram Jaccard, q36 cosine pairs), and q49 whose
@@ -125,7 +132,8 @@ object ScaleBench {
     val perScale = scales.map { scale =>
       val dir = new java.io.File(
         sys.props("user.dir"), s"target/corpus-x$scale").getAbsolutePath
-      CorpusGen.write(spark, dir, nDocs = 5000L * scale, nVecs = 2000L * scale)
+      CorpusGen.write(spark, dir, nDocs = 5000L * scale,
+        nVecs = 2000L * scale, nEvents = 100000L * scale)
 
       val names = scaleOps ++ (if (scale <= 10) exactOps else Nil)
       val times = names.map { name =>

@@ -15,13 +15,78 @@ import graft.plans.SaltedAggregate
   */
 object Advanced {
 
-  val defs: Seq[QueryDef] = Seq(
+  /** Sharded sessionization — the 100 TB shape of q39 (E16).
+    *
+    * The q39 gate's `Window.partitionBy(user_id)` routes EVERY event of
+    * a user through one reducer — correct, and fine while per-user
+    * volumes are bounded, but a hot key (a bot account, a load-test
+    * user) serializes on a single task at corpus scale. This variant
+    * computes the identical result with the repo's two-stage prefix-sum
+    * pattern ([[Relational.surrogateKeyScalable]], q63, q69):
+    *
+    *  1. range-repartition on (user, ts, event_id) — a user's events
+    *     occupy a run of consecutive partitions, so hot users SPLIT
+    *     across tasks instead of converging on one;
+    *  2. per-(partition, user) local lag → session-start flags, with
+    *     the one cross-partition dependency (the previous partition's
+    *     last event time for the boundary user) resolved by a join
+    *     against a partition-count-sized boundary table;
+    *  3. per-(partition, user) flag totals → exclusive running offsets
+    *     (a window over ≤ #partitions rows per user, never over
+    *     events) — local cumulative flag + offset = the global
+    *     session_seq the single-window plan computes.
+    *
+    * Exact, so it shares q39's DuckDB oracle verbatim. */
+  def sessionizeScalable(events: org.apache.spark.sql.DataFrame,
+                         gapMinutes: Int = 30): org.apache.spark.sql.DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val local = events
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .repartitionByRange($"user_id", $"ts", $"event_id")
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy($"__pid", $"user_id")
+      .orderBy($"ts", $"event_id")
+    // per-(pid, user) last event time, shifted to the NEXT pid the
+    // user appears in: a partition-boundary row's lag is in another
+    // partition; this bounded table (≤ rows than (pid, user) pairs,
+    // ~#partitions + #users) carries it across
+    val bounds = local.groupBy($"__pid", $"user_id")
+      .agg(max($"ts").as("__last_ts"))
+      .withColumn("__prev_last_ts", lag($"__last_ts", 1).over(
+        Window.partitionBy($"user_id").orderBy($"__pid")))
+      .select($"__pid", $"user_id", $"__prev_last_ts")
+    val flagged = local
+      .join(bounds, Seq("__pid", "user_id"), "left")
+      .withColumn("__prev_ts",
+        coalesce(lag($"ts", 1).over(wLocal), $"__prev_last_ts"))
+      .withColumn("__new_session",
+        when($"__prev_ts".isNull ||
+          unix_micros($"ts") - unix_micros($"__prev_ts") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("__local_seq",
+        sum($"__new_session").over(
+          wLocal.rowsBetween(Window.unboundedPreceding, 0)))
+    // exclusive per-user running flag totals across partitions — the
+    // offset window runs over partition-count-sized data, not events
+    val offsets = flagged.groupBy($"__pid", $"user_id")
+      .agg(sum($"__new_session").as("__flags"))
+      .withColumn("__offset", coalesce(sum($"__flags").over(
+        Window.partitionBy($"user_id").orderBy($"__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"__pid", $"user_id", $"__offset")
+    flagged.join(offsets, Seq("__pid", "user_id"))
+      .withColumn("session_seq", $"__offset" + $"__local_seq")
+      .groupBy($"user_id", $"session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        unix_millis(min($"ts")).as("start_ms"),
+        unix_millis(max($"ts")).as("end_ms"),
+        (sum(cents($"value")) / 100.0).cast("double").as("total_value"))
+  }
 
-    /** Gap-based sessionization (30-min inactivity): the classic
-      * lag + cumulative-flag-sum window pattern, identical in both
-      * engines. Per-session rollup keyed by (user, session_seq). */
-    QueryDef.sql(
-      "q39_sessionize",
+  /** Shared by q39 (single-window gate) and q39b (sharded scale twin):
+    * both compute exactly this. */
+  private val sessionizeOracle =
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts, value,
         |         CASE WHEN LAG(ts) OVER w IS NULL
@@ -42,7 +107,18 @@ object Advanced {
         |       CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) / 100.0 AS DOUBLE) AS total_value
         |FROM sessions
         |GROUP BY user_id, session_seq
-        |ORDER BY user_id, session_seq""".stripMargin) { (s, d) =>
+        |ORDER BY user_id, session_seq""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    /** Gap-based sessionization (30-min inactivity): the classic
+      * lag + cumulative-flag-sum window pattern, identical in both
+      * engines. Per-session rollup keyed by (user, session_seq). The
+      * per-user window is the readable baseline; [[sessionizeScalable]]
+      * (q39b) is the sharded 100 TB shape. */
+    QueryDef.sql(
+      "q39_sessionize",
+      sessionizeOracle) { (s, d) =>
       val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       val flagged = Tables.events(s, d)
         .withColumn("new_session",
@@ -58,6 +134,16 @@ object Advanced {
           unix_millis(min($"ts")).as("start_ms"),
           unix_millis(max($"ts")).as("end_ms"),
           (sum(cents($"value")) / 100.0).cast("double").as("total_value"))
+        .orderBy($"user_id", $"session_seq")
+    },
+
+    /** Sharded sessionization (E16's 100 TB shape) — see
+      * [[sessionizeScalable]]. Same oracle as q39: the two results are
+      * equal row-for-row, hash-checked independently. */
+    QueryDef.sql(
+      "q39b_sessionize_sharded",
+      sessionizeOracle) { (s, d) =>
+      sessionizeScalable(Tables.events(s, d))
         .orderBy($"user_id", $"session_seq")
     },
 

@@ -101,6 +101,22 @@ class PlanSpec extends GraftSpec {
       s"only the doc aggregate may shuffle the corpus:\n${p.linesIterator.take(25).mkString("\n")}")
   }
 
+  test("q39b sharded sessionize: range partition + (__pid,user) windows, no per-user-only window") {
+    // the event stream must range-partition first and every Window over
+    // it must key on (__pid, user_id) — a hashpartitioning(user_id)
+    // window over the full stream would be the single-reducer-per-user
+    // shape q39b exists to avoid (the offset ladder's per-user window
+    // runs over partition-count-sized aggregates, which plan as
+    // hashpartitioning(user_id) AFTER the (__pid,user) aggregate — so
+    // the assertion checks order: the first event-stream window is
+    // (__pid, user)-keyed)
+    val p = plan(q("q39b_sessionize_sharded")).toLowerCase
+    assert(p.contains("rangepartitioning"),
+      s"sharded sessionize must range-repartition the stream:\n${p.linesIterator.take(25).mkString("\n")}")
+    assert(p.contains("hashpartitioning(__pid"),
+      s"event-stream windows must key on (__pid, user):\n${p.linesIterator.take(25).mkString("\n")}")
+  }
+
   test("q73 quality classifier: broadcast weights, one corpus shuffle (E36)") {
     // feature explode + md5-bucket projection stay scan-local; the
     // model joins as a broadcast (never a shuffle of the feature

@@ -257,6 +257,35 @@ object OperatorProps extends Properties("operators") {
       got.keySet == expect.keySet && expect.forall { case (g, e) => got(g) == e }
     }
 
+  property("sharded sessionize == single-window sessionize (q39b ≡ q39)") =
+    forAll(genEvents) { raw =>
+      // the 4-partition test session forces range splits through the
+      // middle of users' event runs, so the cross-partition boundary
+      // fix-up and the offset ladder are genuinely exercised
+      val events = raw.zipWithIndex.map { case ((k, t), i) =>
+        (i.toLong, k, new java.sql.Timestamp(t), (i % 97) / 10.0)
+      }.toDF("event_id", "user_id", "ts", "value")
+      val got = operators.Advanced.sessionizeScalable(events)
+        .select($"user_id", $"session_seq", $"n_events",
+          $"start_ms", $"end_ms", $"total_value")
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+      // naive single-threaded reference: per-user sort, gap flags, cumsum
+      val expect = events.collect().map(r => (r.getLong(1),
+          r.getLong(0), r.getTimestamp(2).getTime, r.getDouble(3)))
+        .groupBy(_._1).flatMap { case (u, es) =>
+          val sorted = es.sortBy(e => (e._3, e._2)).toList
+          val seqs = sorted.scanLeft((0L, Long.MinValue)) { case ((s, prev), e) =>
+            (if (prev == Long.MinValue || e._3 - prev > 30 * 60000L) s + 1 else s, e._3)
+          }.tail.map(_._1)
+          sorted.zip(seqs).groupBy(_._2).map { case (seq, ses) =>
+            val ts = ses.map(_._1._3)
+            (u, seq, ses.size.toLong, ts.min, ts.max,
+              ses.map(e => math.round(e._1._4 * 100)).sum / 100.0)
+          }
+        }.toSet
+      got == expect
+    }
+
   property("perplexity filter == naive bigram-LM + tercile reference") =
     forAll(Gen.listOfN(10, genClassifierDoc)) { texts =>
       val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
