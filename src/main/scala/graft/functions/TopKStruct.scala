@@ -162,7 +162,19 @@ object TopKStruct {
       (exprs: Seq[Expression]) => fromExprs(exprs).toAggregateExpression(),
       "built-in")
 
-  /** Column form (registers `topk_struct` in the session, idempotent). */
+  /** Column form (registers `topk_struct` in the session, idempotent).
+    *
+    * Leave `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    * at its default. Measured on the 500k-doc / 30M-token q64 curve
+    * point: the sort-based fallback is per-MAP-PARTITION (bounded by
+    * `maxPartitionBytes`, never a global sort) and still combines to
+    * ≤ k rows per group before the exchange, while raising the
+    * threshold makes every map task hold an object buffer for ~every
+    * group it touches — on hash-scattered high-cardinality input that
+    * is ~every group in the dataset per task, concurrently (heap OOM
+    * at 4M, slower at 1M + pre-repartition because the exchange then
+    * carries the full input instead of the combined ≤ k-per-group
+    * partials). */
   def topk(spark: SparkSession, score: Column, item: Column, k: Int): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function(

@@ -897,7 +897,13 @@ object TextOps {
       val docs = Tables.documents(s, d)
       val tok = docs.select($"doc_id", explode(tokens($"text")).as("tok"))
       val tf = tok.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
-      val df = tok.groupBy($"tok").agg(countDistinct($"doc_id").as("df"))
+      // df DERIVED from tf — tf's rows are exactly the distinct
+      // (doc, tok) pairs, so df(tok) is a plain count over them: no
+      // second explode of the token stream, no countDistinct expand,
+      // and ReuseExchange shares tf's shuffle between both branches
+      // (the r8 curve fix: the 100× point was join-input-bound, not
+      // window-bound)
+      val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
       // corpus size as a broadcast 1-row aggregate, not a driver count
       val n = docs.agg(count(lit(1)).as("n_docs"))
       // the df side is vocab-sized; AQE converts this to a broadcast
