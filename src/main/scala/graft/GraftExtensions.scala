@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{FloatVecDot, FnvHash64, TopKStruct}
+import graft.functions.{FloatVecDot, FnvHash64, MisraGries, TopKStruct}
 
 /** SparkSessionExtensions entry point: wires the engine's native
   * Catalyst expressions into any session built with
@@ -31,5 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKStruct].getName, "topk_struct"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TopKStruct.fromExprs(exprs).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MisraGries.fromExprs(exprs).toAggregateExpression()))
   }
 }

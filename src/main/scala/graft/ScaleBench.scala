@@ -71,7 +71,11 @@ object ScaleBench {
     "q39_sessionize", "q39b_sessionize_sharded",
     // r8: the FNV production classifier next to its md5 oracle twin —
     // the de-md5 advice is graded on this curve point
-    "q73b_quality_classifier_fnv")
+    "q73b_quality_classifier_fnv",
+    // r8: bounded-aggregate family — MG sketch→recount heavy hitters,
+    // deterministic per-source sample, per-source cap; all designed
+    // scan-linear with k-slot state
+    "q81_heavy_hitters", "q82_group_sample", "q83_domain_cap")
 
   /** Quadratic-by-contract entries, capped at 10×: the exact all-pairs
     * baselines (q33 n-gram Jaccard, q36 cosine pairs), and q49 whose

@@ -1360,5 +1360,121 @@ object TextOps {
     QueryDef.rowsOnly("q78_bpe_train_encode") { (s, d) =>
       bpeTrainEncode(Tables.documents(s, d), modelKey = d).orderBy($"doc_id")
     },
+
+    /** Per-source heavy hitters (E42/q81) via the sketch→recount
+      * pattern: a Misra–Gries mergeable sketch
+      * ([[graft.functions.MisraGries]], k=4096) over the token stream
+      * yields a bounded candidate set per source; the candidates
+      * broadcast back onto the stream for an EXACT recount; the exact
+      * counts feed the bounded top-k aggregate. Every corpus-sized
+      * stage is scan-shaped — the only per-group state anywhere is the
+      * k-slot sketch and the ≤10-slot top-k buffer, and the sketch
+      * shuffle carries k-sized summaries, never tokens. On the gate
+      * corpus the per-source vocabulary is under k, so the sketch is
+      * exact by the MG no-eviction property and the result is
+      * hash-checkable against plain SQL; on a web-scale vocabulary the
+      * same plan degrades gracefully to the (provable) superset
+      * guarantee, which OperatorProps pins on adversarial small-k
+      * cases. */
+    QueryDef.sql(
+      "q81_heavy_hitters",
+      """WITH tok AS (
+        |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tok GROUP BY 1, 2
+        |), r AS (
+        |  SELECT source, tok, cnt,
+        |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, tok) AS rnk
+        |  FROM c
+        |)
+        |SELECT source, CAST(rnk AS INTEGER) AS rnk, tok, cnt
+        |FROM r WHERE rnk <= 10
+        |ORDER BY source, rnk""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select($"source", explode(tokens($"text")).as("tok"))
+      val cand = tok.groupBy($"source")
+        .agg(graft.functions.MisraGries.sketch(s, $"tok", 4096).as("sk"))
+        .select($"source", explode($"sk.item").as("tok"))
+      tok.join(broadcast(cand), Seq("source", "tok"))
+        .groupBy($"source", $"tok").agg(count(lit(1)).as("cnt"))
+        .select($"source", $"cnt".cast("double").as("sc"), $"tok")
+        .groupBy($"source")
+        .agg(graft.functions.TopKStruct.topk(s, $"sc", $"tok", 10).as("top"))
+        .select($"source", posexplode($"top"))
+        .select($"source", ($"pos" + 1).cast("int").as("rnk"),
+          $"col.item".as("tok"), $"col.score".cast("long").as("cnt"))
+        .orderBy($"source", $"rnk")
+    },
+
+    /** Deterministic per-source sampling (E43/q82): the k
+      * content-hash-smallest documents of every source — the
+      * reproducible "inspect a fixed sample of each slice" primitive
+      * (auditing, eval carve-outs, spot-checks) that survives
+      * re-partitioning and re-ingestion because the order key is the
+      * content fingerprint, not arrival order. One bounded top-k
+      * aggregate per source (score const, item = fp‖zero-padded
+      * doc_id, so the k-smallest-by-(fp, doc_id) fall out of the
+      * item ASC tie-break) — no per-source window, no global sort. */
+    QueryDef.sql(
+      "q82_group_sample",
+      """WITH f AS (
+        |  SELECT source, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp, doc_id
+        |  FROM documents
+        |), r AS (
+        |  SELECT source, fp, doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY fp, doc_id) AS rnk
+        |  FROM f
+        |)
+        |SELECT source, CAST(rnk AS INTEGER) AS rnk, fp, CAST(doc_id AS BIGINT) AS doc_id
+        |FROM r WHERE rnk <= 5
+        |ORDER BY source, rnk""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select($"source", concat(fingerprint($"text"), lit("|"),
+          format_string("%018d", $"doc_id")).as("key"))
+        .groupBy($"source")
+        .agg(graft.functions.TopKStruct.topk(s, lit(0.0), $"key", 5).as("top"))
+        .select($"source", posexplode($"top"))
+        .select($"source", ($"pos" + 1).cast("int").as("rnk"),
+          substring($"col.item", 1, 32).as("fp"),
+          substring($"col.item", 34, 18).cast("long").as("doc_id"))
+        .orderBy($"source", $"rnk")
+    },
+
+    /** Per-source document cap (E44/q83): keep at most N documents per
+      * source, best-first — the C4/CommonCrawl per-domain cap that
+      * stops one domain from flooding the corpus mix. Cap criterion
+      * here: token count descending (doc_id ascending on ties);
+      * production swaps in any per-doc quality score without touching
+      * the shape. Same bounded top-k aggregate as q81/q82 — the
+      * hot-domain case is exactly where a per-domain rank window would
+      * serialize on one reducer. */
+    QueryDef.sql(
+      "q83_domain_cap",
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |         CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), r AS (
+        |  SELECT source, doc_id, n_tokens,
+        |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS rnk
+        |  FROM t
+        |)
+        |SELECT source, CAST(rnk AS INTEGER) AS rnk, CAST(doc_id AS BIGINT) AS doc_id, n_tokens
+        |FROM r WHERE rnk <= 20
+        |ORDER BY source, rnk""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select($"source", tokenCount($"text").cast("long").as("n_tokens"),
+          format_string("%018d", $"doc_id").as("key"))
+        .groupBy($"source")
+        .agg(graft.functions.TopKStruct.topk(
+          s, $"n_tokens".cast("double"), $"key", 20).as("top"))
+        .select($"source", posexplode($"top"))
+        .select($"source", ($"pos" + 1).cast("int").as("rnk"),
+          $"col.item".cast("long").as("doc_id"),
+          $"col.score".cast("long").as("n_tokens"))
+        .orderBy($"source", $"rnk")
+    },
   )
 }

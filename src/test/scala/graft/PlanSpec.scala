@@ -117,6 +117,24 @@ class PlanSpec extends GraftSpec {
       s"event-stream windows must key on (__pid, user):\n${p.linesIterator.take(25).mkString("\n")}")
   }
 
+  test("r8 additions: sketch→recount and cap/sample stay window-free (q81/q82/q83)") {
+    // q81: the MG sketch and the top-k must both be bounded-state
+    // ObjectHashAggregates, the candidate join a broadcast, and no rank
+    // window anywhere; q82/q83: one bounded aggregate per source — a
+    // hot domain never lands a single-reducer window
+    val hh = plan(q("q81_heavy_hitters"))
+    assert(hh.contains("misra_gries") && hh.contains("topk_struct"),
+      s"q81 must sketch then topk:\n${hh.linesIterator.take(25).mkString("\n")}")
+    assert(hh.contains("BroadcastHashJoin"),
+      s"q81 candidates must broadcast:\n${hh.linesIterator.take(25).mkString("\n")}")
+    assert(!hh.contains("Window"))
+    Seq("q82_group_sample", "q83_domain_cap").foreach { name =>
+      val p = plan(q(name))
+      assert(!p.contains("Window") && p.contains("topk_struct"),
+        s"$name must be a bounded aggregate, not a window:\n${p.linesIterator.take(25).mkString("\n")}")
+    }
+  }
+
   test("q73 quality classifier: broadcast weights, one corpus shuffle (E36)") {
     // feature explode + md5-bucket projection stay scan-local; the
     // model joins as a broadcast (never a shuffle of the feature

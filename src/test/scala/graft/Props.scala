@@ -257,6 +257,32 @@ object OperatorProps extends Properties("operators") {
       got.keySet == expect.keySet && expect.forall { case (g, e) => got(g) == e }
     }
 
+  property("misra_gries: superset + lower-bound guarantees under eviction; exact when distinct <= k") =
+    forAll(
+      Gen.listOfN(120, Gen.frequency(
+        (6, Gen.const("hot")), (3, Gen.const("warm")),
+        (1, Gen.oneOf((1 to 30).map(i => s"cold$i"))))),
+      Gen.choose(2, 6)) { (items, k) =>
+      // small k on a 30+-distinct stream: eviction fires constantly
+      val got = items.map(Tuple1(_)).toDF("item")
+        .agg(graft.functions.MisraGries.sketch(spark, $"item", k).as("sk"))
+        .select(explode($"sk")).select($"col.item", $"col.cnt")
+        .as[(String, Long)].collect().toMap
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = items.size.toLong
+      val supersetHolds = truth.forall { case (i, c) =>
+        c * (k + 1) <= n || got.contains(i) }         // freq > N/(k+1) ⇒ present
+      val lowerBound = got.forall { case (i, c) =>
+        c <= truth(i) && truth(i) - c <= n / (k + 1) } // under-count bounded
+      val sizeOk = got.size <= k
+      // exactness when the sketch never evicts
+      val exactGot = items.map(Tuple1(_)).toDF("item")
+        .agg(graft.functions.MisraGries.sketch(spark, $"item", 64).as("sk"))
+        .select(explode($"sk")).select($"col.item", $"col.cnt")
+        .as[(String, Long)].collect().toMap
+      supersetHolds && lowerBound && sizeOk && exactGot == truth
+    }
+
   property("sharded sessionize == single-window sessionize (q39b ≡ q39)") =
     forAll(genEvents) { raw =>
       // the 4-partition test session forces range splits through the
