@@ -107,9 +107,13 @@ object ScaleBench {
         s"unknown op name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     }
     // prior measurements to carry through on a subset run, keyed by scale
+    // prior measurements are ALWAYS loaded: op-subset runs carry them
+    // for the other ops (below), and scale-subset runs re-emit them for
+    // the scales this run doesn't execute (a "1,10"-only exact-ops
+    // refresh must not drop the recorded 50×/100× lines — it did once,
+    // r8, recovered from the run logs)
     val prior: Map[Int, Map[String, Double]] =
-      if (onlyOps.isEmpty) Map.empty
-      else scala.util.Try {
+      scala.util.Try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("PERF_SCALING.json")), "UTF-8")
         val entry = """\{"scale":(\d+),"docs":\d+,"queries":\{([^}]*)\}\}""".r
@@ -162,8 +166,20 @@ object ScaleBench {
       line
     }
 
+    // re-emit the recorded lines of any scale this run did NOT execute,
+    // so a scale-subset run never truncates the curve file
+    val keptPrior: Seq[(Int, String)] = scala.util.Try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("PERF_SCALING.json")), "UTF-8")
+      """\{"scale":(\d+),"docs":\d+,"queries":\{[^}]*\}\}""".r
+        .findAllMatchIn(txt)
+        .map(m => m.group(1).toInt -> m.group(0)).toSeq
+        .filterNot { case (s, _) => scales.contains(s) }
+    }.getOrElse(Seq.empty)
+    val allLines = (keptPrior ++ scales.zip(perScale))
+      .sortBy(_._1).map(_._2)
     val w = new java.io.PrintWriter("PERF_SCALING.json", "UTF-8")
-    try w.println(perScale.mkString("[", ",\n", "]")) finally w.close()
+    try w.println(allLines.mkString("[", ",\n", "]")) finally w.close()
     spark.stop()
   }
 }
