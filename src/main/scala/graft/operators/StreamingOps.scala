@@ -370,5 +370,77 @@ object StreamingOps {
           pmod(col("doc_id"), lit(2L)).cast("long").as("first_batch"))
         .orderBy(col("fp"))
     },
+
+    /** Streaming gap-sessionization (E16's continuous form — see
+      * [[Streams.streamingSessionize]]): the event stream splits at
+      * the midpoint timestamp into two REAL micro-batches, so sessions
+      * spanning the boundary exercise the cross-batch keyed-state
+      * continuation. A session emits when its user's next session
+      * opens; each user's final session stays open in state, so the
+      * oracle is the batch q39 sessionization minus every user's last
+      * session — byte-identical on everything emitted, including the
+      * exact-cents totals. */
+    QueryDef.sql(
+      "st_sessionize",
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         CASE WHEN LAG(ts) OVER w IS NULL
+        |                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+        |              ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, ts, value,
+        |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM flagged
+        |), agg AS (
+        |  SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |         COUNT(*) AS n_events,
+        |         epoch_ms(MIN(ts)) AS start_ms,
+        |         epoch_ms(MAX(ts)) AS end_ms,
+        |         CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) / 100.0 AS DOUBLE) AS total_value
+        |  FROM sessions
+        |  GROUP BY user_id, session_seq
+        |)
+        |SELECT user_id, session_seq, n_events, start_ms, end_ms, total_value
+        |FROM (SELECT *, MAX(session_seq) OVER (PARTITION BY user_id) AS mx FROM agg)
+        |WHERE session_seq < mx
+        |ORDER BY user_id, session_seq""".stripMargin) { (s, d) =>
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .as[Streams.SessionEvent]
+      // midpoint split: batch 1 strictly earlier than batch 2, so
+      // per-user event order across batches matches event time (the
+      // arrival contract; untrusted feeds add a watermark)
+      val (lo, hi) = ev.agg(
+        min(unix_millis(col("ts"))), max(unix_millis(col("ts"))))
+        .as[(Long, Long)].head()
+      val cutoff = lo + (hi - lo) / 2
+      def batch(p: Int): Seq[Streams.SessionEvent] =
+        ev.filter(if (p == 0) unix_millis(col("ts")) < cutoff
+                  else unix_millis(col("ts")) >= cutoff)
+          .collect().toSeq
+      val mem = MemoryStream[Streams.SessionEvent]
+      withStreamingHarness(s,
+        Map("spark.sql.shuffle.partitions" -> "2",
+          "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")) { ck =>
+        val q = Streams.streamingSessionize(mem.toDS()).toDF()
+          .writeStream.format("memory").queryName("st_sessionize_sink")
+          .option("checkpointLocation", ck)
+          .outputMode("append").start()
+        try {
+          mem.addData(batch(0)); q.processAllAvailable()
+          mem.addData(batch(1)); q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table("st_sessionize_sink")
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          col("start_ms"), col("end_ms"), col("total_value"))
+        .orderBy(col("user_id"), col("session_seq"))
+    },
   )
 }

@@ -171,6 +171,74 @@ object Streams {
       }
   }
 
+  /** A clickstream event flowing into the streaming sessionizer. */
+  final case class SessionEvent(
+      user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** Per-user open-session state of [[streamingSessionize]]. */
+  final case class OpenSession(
+      session_seq: Long, start_ms: Long, last_ms: Long,
+      n_events: Long, cents: Long)
+
+  /** A finished session — emitted once its user's NEXT session opens. */
+  final case class ClosedSession(
+      user_id: Long, session_seq: Long, n_events: Long,
+      start_ms: Long, end_ms: Long, total_value: Double)
+
+  /** Streaming gap-based sessionization (E16's continuous form): the
+    * per-user keyed state holds ONE open session (seq, bounds, count,
+    * exact cents sum); an event within `gapMinutes` of the open
+    * session's last event extends it, a later event closes it and
+    * opens the next, and the CLOSED session is emitted downstream
+    * (append mode). Identical session boundaries, numbering, and
+    * totals to the batch q39 window — restated incrementally — except
+    * that each user's final session stays open in state awaiting more
+    * events (the inherent streaming difference; the gate's oracle
+    * drops exactly those). Within a micro-batch events are processed
+    * in (ts, event_id) order, so a replayed batch emits identically.
+    * State is O(#active users) regardless of stream length — the
+    * windowed-batch restatement would re-sort the full history every
+    * run. Money rule: the value total accumulates as exact long cents.
+    *
+    * Intra-session late data (an event older than the open session's
+    * last but within the gap) folds into the open session exactly;
+    * CROSS-session late data (older than a session already closed)
+    * would start a spurious session — bound it with a watermark on the
+    * feed when arrival order is untrusted. */
+  def streamingSessionize(
+      events: Dataset[SessionEvent], gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            var open = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              val cents = math.round(e.value * 100)   // positive 2-dec values: == half-up
+              open = open match {
+                case Some(s) if t - s.last_ms <= gapMs =>
+                  Some(s.copy(last_ms = math.max(s.last_ms, t),
+                    n_events = s.n_events + 1, cents = s.cents + cents))
+                case Some(s) =>
+                  closed += ClosedSession(uid, s.session_seq, s.n_events,
+                    s.start_ms, s.last_ms, s.cents / 100.0)
+                  Some(OpenSession(s.session_seq + 1, t, t, 1L, cents))
+                case None =>
+                  Some(OpenSession(1L, t, t, 1L, cents))
+              }
+            }
+            open.foreach(state.update)
+            closed.iterator
+          }
+      }
+  }
+
   /** Watermarked tumbling-window aggregation over the GPS/event stream —
     * the bounded-state extension SURVEY §2.11 flags (the reference has
     * no late-data policy; the watermark caps state for exactly that

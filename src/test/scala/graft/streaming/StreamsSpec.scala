@@ -97,6 +97,41 @@ class StreamsSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionize: cross-batch continuation, gap close, exact cents") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.SessionEvent]
+    def ev(u: Long, id: Long, t: String, v: Double) =
+      Streams.SessionEvent(u, id, ts(t), v)
+    val q = Streams.streamingSessionize(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 opens session 1 (2 events); user 2 opens session 1
+      mem.addData(
+        ev(1, 1, "2025-01-01 10:00:00", 1.10),
+        ev(1, 2, "2025-01-01 10:10:00", 2.05),
+        ev(2, 3, "2025-01-01 09:00:00", 5.00))
+      q.processAllAvailable()
+      assert(spark.table("sess_stream").count() === 0) // nothing closed yet
+      // batch 2: user 1 CONTINUES session 1 across the batch boundary
+      // (10:25 is within 30 min of 10:10), then a >30-min gap closes it
+      mem.addData(
+        ev(1, 4, "2025-01-01 10:25:00", 0.85),
+        ev(1, 5, "2025-01-01 11:30:00", 9.99))
+      q.processAllAvailable()
+      val closed = spark.table("sess_stream").collect()
+      assert(closed.length === 1)
+      val r = closed.head
+      assert(r.getAs[Long]("user_id") === 1L)
+      assert(r.getAs[Long]("session_seq") === 1L)
+      assert(r.getAs[Long]("n_events") === 3L)       // 2 from batch 1 + 1 continued
+      assert(r.getAs[Long]("start_ms") === ts("2025-01-01 10:00:00").getTime)
+      assert(r.getAs[Long]("end_ms") === ts("2025-01-01 10:25:00").getTime)
+      assert(r.getAs[Double]("total_value") === 4.00) // 1.10+2.05+0.85 exact cents
+      // user 2's only session and user 1's session 2 stay open in state
+    } finally q.stop()
+  }
+
   test("R2 ETA: distance/speed arithmetic and timestamp advance") {
     val dest = Seq((10L, 1.0, 0.0)).toDF("route_id", "dest_lat", "dest_lon")
     val gps = Seq(Streams.GpsEvent(1L, 10L, 0.0, 0.0, 111.0, ts("2025-01-01 10:00:00"))).toDF()
