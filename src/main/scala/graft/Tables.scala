@@ -50,7 +50,25 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** `embeddings.embedding` must reach the vector kernels as
+    * `array<float>` (FloatVecDot's input contract). The driver has
+    * only ever shipped float32, but a regeneration to float64 would —
+    * like the events ns→µs drift that broke round 7 — silently change
+    * the physical schema; normalize on load so the whole sim/ surface
+    * keeps working either way. */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val raw = apply(s, d, "embeddings")
+    raw.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => raw
+      case ArrayType(_, _) =>
+        raw.withColumn("embedding", col("embedding").cast("array<float>"))
+      case other => throw new IllegalStateException(
+        s"embeddings.embedding: unexpected type $other")
+    }
+  }
 }
 
 /** One verifiable operator: a Spark implementation plus (optionally) the
