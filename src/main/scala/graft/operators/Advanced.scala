@@ -460,5 +460,46 @@ object Advanced {
         .agg(concat_ws(",", sort_array(collect_list($"n_name"))).as("nations"))
         .orderBy($"n_regionkey")
     },
+
+    /** One-pass table statistics (the ANALYZE / metastore-stats
+      * primitive every CBO and data-skipping layer feeds on): per
+      * column, row count, null count, EXACT distinct count, and
+      * min/max — computed in ONE aggregate over one scan, then
+      * unpivoted with `stack`. The multi-column exact NDV plans as a
+      * single Expand (one pass over k× the rows for k columns) — the
+      * exactness gate; at 100 TB swap `countDistinct` for
+      * `approx_count_distinct` (HLL — q02b's shape) and the Expand
+      * disappears while the pass count stays one. String-cast min/max
+      * keeps one uniform schema across column types (the columns
+      * chosen are integer/string, where both engines' casts agree
+      * byte-for-byte). */
+    QueryDef.sql(
+      "q84_table_stats", {
+        def one(c: String) =
+          s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+             |       CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |       CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |       CAST(MIN($c) AS VARCHAR) AS min_val,
+             |       CAST(MAX($c) AS VARCHAR) AS max_val
+             |FROM lineitem""".stripMargin
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+          .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      }) { (s, d) =>
+      val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+        Seq(
+          sum(col(c).isNull.cast("long")).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          min(col(c)).cast("string").as(s"mn_$c"),
+          max(col(c)).cast("string").as(s"mx_$c"))
+      }
+      val stacked = cols.map(c =>
+        s"'$c', n_rows, nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+      Tables.lineitem(s, d)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${cols.size}, $stacked) AS " +
+          "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)"))
+        .orderBy($"col_name")
+    },
   )
 }
