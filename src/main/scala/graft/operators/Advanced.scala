@@ -109,6 +109,37 @@ object Advanced {
         |GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin
 
+  /** 16-bit Morton interleave of two already-normalized [0, 65535]
+    * key columns — 32 shift/mask/or terms, all inside whole-stage
+    * codegen. */
+  def zValue16(p: Column, q: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(p, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(q, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Per-z-bucket extent table for q85 — see the gate's scaladoc. The
+    * key extents come from one 1-row aggregate broadcast (never a
+    * driver collect), normalization/interleave are exact integer
+    * column expressions, and the bucket extents are a plain
+    * partial-combining aggregate over 64 groups. */
+  def zOrderExtents(df: org.apache.spark.sql.DataFrame,
+                    pCol: String, qCol: String): org.apache.spark.sql.DataFrame = {
+    val ext = df.agg(
+      min(col(pCol)).as("mnp"), max(col(pCol)).as("mxp"),
+      min(col(qCol)).as("mns"), max(col(qCol)).as("mxs"))
+    val norm = df.crossJoin(broadcast(ext))
+      .select(
+        expr(s"(($pCol - mnp) * 65535) DIV GREATEST(mxp - mnp, 1)").as("p16"),
+        expr(s"(($qCol - mns) * 65535) DIV GREATEST(mxs - mns, 1)").as("s16"))
+    norm
+      .withColumn("bucket", shiftright(zValue16($"p16", $"s16"), 26))
+      .groupBy($"bucket".cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min($"p16").cast("long").as("min_p16"), max($"p16").cast("long").as("max_p16"),
+        min($"s16").cast("long").as("min_s16"), max($"s16").cast("long").as("max_s16"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     /** Gap-based sessionization (30-min inactivity): the classic
@@ -499,6 +530,72 @@ object Advanced {
         .agg(aggs.head, aggs.tail: _*)
         .select(expr(s"stack(${cols.size}, $stacked) AS " +
           "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)"))
+        .orderBy($"col_name")
+    },
+
+    /** Z-order (Morton) clustering (E46/q85) — the multi-dimensional
+      * data-layout primitive behind Delta/Iceberg `OPTIMIZE ZORDER BY`:
+      * interleave the bits of two normalized join/filter keys so that
+      * range-partitioning on the single z-value localizes BOTH
+      * dimensions at once, making file-level min/max skipping effective
+      * for predicates on either key (a plain sort localizes only its
+      * leading key). Everything is exact integer arithmetic — 16-bit
+      * min/max normalization per key (`DIV`, never float), 32 shift/
+      * mask/or terms for the interleave, 64 z-range buckets — so the
+      * per-bucket extent table (what a table format persists as
+      * file-footer stats) is hash-exact cross-engine. AdvancedSpec
+      * asserts the layout property: per-bucket extents shrink in BOTH
+      * dimensions vs the single-key sort's secondary-key blowup. */
+    QueryDef.sql(
+      "q85_zorder_layout", {
+        def z(p: String, q: String) = (0 until 16).map(i =>
+          s"((((($p) >> $i) & 1) << ${2 * i}) | (((($q) >> $i) & 1) << ${2 * i + 1}))")
+          .mkString(" | ")
+        s"""WITH ext AS (
+           |  SELECT MIN(l_partkey) AS mnp, MAX(l_partkey) AS mxp,
+           |         MIN(l_suppkey) AS mns, MAX(l_suppkey) AS mxs
+           |  FROM lineitem
+           |), norm AS (
+           |  SELECT ((l_partkey - mnp) * 65535) // GREATEST(mxp - mnp, 1) AS p16,
+           |         ((l_suppkey - mns) * 65535) // GREATEST(mxs - mns, 1) AS s16
+           |  FROM lineitem, ext
+           |), zed AS (
+           |  SELECT p16, s16, (${z("p16", "s16")}) >> 26 AS bucket
+           |  FROM norm
+           |)
+           |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_rows,
+           |       CAST(MIN(p16) AS BIGINT) AS min_p16, CAST(MAX(p16) AS BIGINT) AS max_p16,
+           |       CAST(MIN(s16) AS BIGINT) AS min_s16, CAST(MAX(s16) AS BIGINT) AS max_s16
+           |FROM zed
+           |GROUP BY bucket
+           |ORDER BY bucket""".stripMargin
+      }) { (s, d) =>
+      zOrderExtents(Tables.lineitem(s, d), "l_partkey", "l_suppkey")
+        .orderBy($"bucket")
+    },
+
+    /** The 100 TB spelling of q84: identical stats pass with
+      * `approx_count_distinct` (HyperLogLog++, rsd 1%) for the NDV —
+      * the Expand disappears (PlanSpec asserts it), so the scan is
+      * processed exactly once at input width regardless of how many
+      * columns are profiled. Rows-only (HLL estimates are
+      * sketch-specific); AdvancedSpec pins the estimates within the
+      * configured rsd against q84's exact counts. */
+    QueryDef.rowsOnly("q84b_table_stats_approx") { (s, d) =>
+      val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+        Seq(
+          sum(col(c).isNull.cast("long")).as(s"nn_$c"),
+          approx_count_distinct(col(c), 0.01).as(s"nd_$c"),
+          min(col(c)).cast("string").as(s"mn_$c"),
+          max(col(c)).cast("string").as(s"mx_$c"))
+      }
+      val stacked = cols.map(c =>
+        s"'$c', n_rows, nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+      Tables.lineitem(s, d)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${cols.size}, $stacked) AS " +
+          "(col_name, n_rows, n_nulls, n_distinct_approx, min_val, max_val)"))
         .orderBy($"col_name")
     },
   )

@@ -135,6 +135,14 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("q84 stats: exact NDV costs one Expand; the approx twin runs Expand-free (E45)") {
+    assert(plan(q("q84_table_stats")).contains("Expand"),
+      "exact multi-column NDV should plan the (documented) single Expand")
+    val ap = plan(q("q84b_table_stats_approx"))
+    assert(!ap.contains("Expand"),
+      s"approx stats must profile all columns in one un-expanded pass:\n${ap.linesIterator.take(20).mkString("\n")}")
+  }
+
   test("q73 quality classifier: broadcast weights, one corpus shuffle (E36)") {
     // feature explode + md5-bucket projection stay scan-local; the
     // model joins as a broadcast (never a shuffle of the feature
