@@ -23,8 +23,8 @@ class AdvancedSpec extends GraftSpec {
       assert(a.getAs[String]("max_val") === e.getAs[String]("max_val"))
       val nd = e.getAs[Long]("n_distinct").toDouble
       val est = a.getAs[Long]("n_distinct_approx").toDouble
-      // HLL++ rsd 1%; allow 5 sigma plus integer slack on tiny counts
-      assert(math.abs(est - nd) <= math.max(2.0, nd * 0.05),
+      // HLL++ rsd 2%; allow 4 sigma plus integer slack on tiny counts
+      assert(math.abs(est - nd) <= math.max(2.0, nd * 0.08),
         s"$c: approx NDV $est too far from exact $nd")
     }
   }
