@@ -546,5 +546,21 @@ object SimilarityOps {
         .filter($"probe_id" < 20)
         .orderBy($"probe_id", $"rnk")
     },
+
+    /** Mutual-kNN graph (E49): the full-corpus k-NN sweep (every
+      * vector a probe — the ANN *join*, not the 20-probe serving
+      * gate) symmetrized to reciprocal edges with per-endpoint
+      * degrees — the input graph for agglomerative clustering /
+      * NN-descent-style dedup. Candidate generation is the IVF bucket
+      * equi-join under the corpus-adaptive √n quantizer, so the sweep
+      * is O(n^1.5) like q67, never the n² pair space. IVF-specific
+      * edge set ⇒ rows-only; VectorsSpec pins [[Vectors.mutualKnn]]'s
+      * reciprocity/degree contract on exact edges. */
+    QueryDef.rowsOnly("q88_mutual_knn") { (s, d) =>
+      val ivf = adaptiveIvfModel(s, d)
+      val knn = Vectors.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 3, nprobe = IvfNprobe, iters = IvfIters, pretrained = Some(ivf))
+      Vectors.mutualKnn(knn).orderBy($"id_a", $"id_b")
+    },
   )
 }

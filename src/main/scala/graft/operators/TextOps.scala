@@ -21,7 +21,31 @@ object TextOps {
     * documents in content-hash order (md5 fingerprint, doc_id
     * tie-break). Emits `(doc_id, source, n_tokens, sample_rank,
     * kept)`; the budget rule is exact integer arithmetic
-    * ((num·total) DIV den).
+    * ((num·total) DIV den). The prefix machinery is
+    * [[greedyHashPrefix]]; OperatorProps pins the whole pipeline to a
+    * naive single-threaded reference. */
+  def mixtureSample(docs: DataFrame, num: Int = 2, den: Int = 5): DataFrame = {
+    val toks = docTokens(docs)
+    val budgets = toks.groupBy($"source")
+      .agg(expr(s"(sum(n_tokens) * $num) DIV $den").as("__budget"))
+    greedyHashPrefix(toks, budgets)
+  }
+
+  /** `(doc_id, source, n_tokens, fp)` — the shared scan head of the
+    * corpus-budgeting family (q69/q86/q87): whitespace token mass plus
+    * the canonical content fingerprint that defines the deterministic
+    * sampling order. */
+  private def docTokens(docs: DataFrame): DataFrame = docs
+    .select($"doc_id", $"source",
+      tokenCount($"text").cast("long").as("n_tokens"),
+      fingerprint($"text").as("fp"))
+
+  /** The budgeted greedy-prefix core shared by q69 (ratio budgets) and
+    * q87 (temperature budgets): per source, keep documents in
+    * (fp, doc_id) order until the source's token budget is exhausted.
+    *
+    * `budgets` is a per-source frame `(source, __budget)` — always
+    * model-sized (one row per source), so it broadcasts.
     *
     * The per-source running totals ride the same two-stage distributed
     * prefix sum as [[Relational.surrogateKeyScalable]]: range
@@ -31,11 +55,7 @@ object TextOps {
     * output is invariant to where the range bounds fall because
     * (fp, doc_id) totally orders each source; OperatorProps pins the
     * whole pipeline to a naive single-threaded reference. */
-  def mixtureSample(docs: DataFrame, num: Int = 2, den: Int = 5): DataFrame = {
-    val toks = docs
-      .select($"doc_id", $"source",
-        tokenCount($"text").cast("long").as("n_tokens"),
-        fingerprint($"text").as("fp"))
+  private def greedyHashPrefix(toks: DataFrame, budgets: DataFrame): DataFrame = {
     val local = toks.repartitionByRange($"source", $"fp", $"doc_id")
       .withColumn("__pid", spark_partition_id())
     val w = Window.partitionBy($"__pid", $"source").orderBy($"fp", $"doc_id")
@@ -49,13 +69,90 @@ object TextOps {
       .agg(count(lit(1)).as("__cnt"), sum($"n_tokens").as("__tsum"))
       .withColumn("__roff", coalesce(sum($"__cnt").over(wOff), lit(0L)))
       .withColumn("__coff", coalesce(sum($"__tsum").over(wOff), lit(0L)))
-      .withColumn("__budget",
-        expr(s"(sum(__tsum) OVER (PARTITION BY source) * $num) DIV $den"))
+      .join(budgets, Seq("source"))
       .select($"__pid", $"source", $"__roff", $"__coff", $"__budget")
     ranked.join(broadcast(offsets), Seq("__pid", "source"))
       .select($"doc_id", $"source", $"n_tokens".cast("int").as("n_tokens"),
         ($"__roff" + $"__lrn").cast("long").as("sample_rank"),
         (($"__coff" + $"__lcum") <= $"__budget").as("kept"))
+  }
+
+  /** Token-balanced training-shard assignment (E47/q86): pack the
+    * corpus into fixed-token-budget output shards in deterministic
+    * content-hash order — the "write N-token pretraining shards" step
+    * between sampling and the file writer. Each document lands in the
+    * shard where its tokens START under greedy sequential packing:
+    * `shard_id = prev_cumsum DIV budget`, `shard_offset` its token
+    * offset within that shard. Unlike q69's per-source prefixes this
+    * is ONE global sequence — the order key (fp, doc_id) makes the
+    * layout reproducible under any partitioning and re-ingestion
+    * order, and downstream a `partitionBy(shard_id)` write yields
+    * shards of near-identical token mass (the property distributed
+    * training loaders need).
+    *
+    * Scale shape: the same two-stage prefix sum as
+    * [[greedyHashPrefix]] minus the source key — range repartition on
+    * (fp, doc_id), per-partition local window, then a broadcast
+    * offsets frame of exactly one row per partition (the only
+    * partition-count-sized state; never a global row window over the
+    * corpus). */
+  def trainingShards(docs: DataFrame, shardTokens: Long = 8192L): DataFrame = {
+    val toks = docTokens(docs)
+    val local = toks.repartitionByRange($"fp", $"doc_id")
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy($"__pid").orderBy($"fp", $"doc_id")
+    val ranked = local
+      .withColumn("__lcum", sum($"n_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wOff = Window.orderBy($"__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranked.groupBy($"__pid")
+      .agg(sum($"n_tokens").as("__tsum"))
+      .withColumn("__coff", coalesce(sum($"__tsum").over(wOff), lit(0L)))
+      .select($"__pid", $"__coff")
+    ranked.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("__prev", $"__coff" + $"__lcum" - $"n_tokens")
+      .select($"doc_id", $"source", $"fp",
+        $"n_tokens".cast("int").as("n_tokens"),
+        expr(s"__prev DIV ${shardTokens}L").cast("int").as("shard_id"),
+        expr(s"__prev - (__prev DIV ${shardTokens}L) * ${shardTokens}L")
+          .cast("int").as("shard_offset"))
+  }
+
+  /** Temperature-scaled mixture resampling (E48/q87): re-weight the
+    * per-source sampling budgets by `share^(1/T)` with T = 2 — the
+    * multilingual/multi-source temperature-sampling rule (XLM-R-style)
+    * that upsamples tail sources relative to their raw token share —
+    * then keep each source's greedy content-hash prefix under its
+    * re-weighted budget (the q69 machinery with learned budgets).
+    *
+    * Kept exactly engine-portable: raw weight
+    * `rw = round(sqrt(share) · 1e6)` is one IEEE quotient + one
+    * correctly-rounded sqrt + the integer-scaled round (halfway points
+    * exactly representable — the roundPortable argument), after which
+    * EVERYTHING is integer arithmetic: `norm = Σ rw` (order-free
+    * integer sum), global budget `G = total DIV 2`, per-source budget
+    * `(G · rw) DIV norm`. Per-source state is model-sized (one row per
+    * source) and rides broadcast joins; the corpus-scale work is the
+    * one token-count scan plus the prefix-sum pass. */
+  def temperatureRemix(docs: DataFrame): DataFrame = {
+    val toks = docTokens(docs)
+    val src = toks.groupBy($"source").agg(sum($"n_tokens").as("src_tokens"))
+    val tot = src.agg(sum($"src_tokens").as("total"))
+    val rw = src.crossJoin(broadcast(tot))
+      .withColumn("rw",
+        round(sqrt($"src_tokens".cast("double") / $"total") * lit(1e6), 0)
+          .cast("long"))
+    val norm = rw.agg(sum($"rw").as("norm"))
+    val b = rw.crossJoin(broadcast(norm))
+      .withColumn("token_budget", expr("((total DIV 2) * rw) DIV norm"))
+      .withColumn("temp_weight",
+        roundPortable($"rw".cast("double") / $"norm", 6).cast("double"))
+      .select($"source", $"src_tokens", $"temp_weight", $"token_budget")
+    greedyHashPrefix(toks, b.select($"source", $"token_budget".as("__budget")))
+      .join(broadcast(b), Seq("source"))
+      .select($"doc_id", $"source", $"n_tokens", $"sample_rank", $"kept",
+        $"src_tokens", $"temp_weight", $"token_budget")
   }
 
 
@@ -1475,6 +1572,75 @@ object TextOps {
           $"col.item".cast("long").as("doc_id"),
           $"col.score".cast("long").as("n_tokens"))
         .orderBy($"source", $"rnk")
+    },
+
+    /** Token-balanced training-shard assignment (E47) — greedy
+      * sequential pack of the whole corpus into 8192-token shards in
+      * content-hash order; see [[trainingShards]]. The oracle replays
+      * the identical integer cumsum/DIV formula over a single ordered
+      * window. */
+    QueryDef.sql(
+      "q86_training_shards",
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, fp, n_tokens,
+        |         SUM(n_tokens) OVER (ORDER BY fp, doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS prev
+        |  FROM t
+        |)
+        |SELECT doc_id, source, fp, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |       CAST(prev // 8192 AS INTEGER) AS shard_id,
+        |       CAST(prev - (prev // 8192) * 8192 AS INTEGER) AS shard_offset
+        |FROM c
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      trainingShards(Tables.documents(s, d)).orderBy($"doc_id")
+    },
+
+    /** Temperature-scaled mixture resampling (E48) — per-source
+      * budgets ∝ sqrt(token share), then the greedy content-hash
+      * prefix under those budgets; see [[temperatureRemix]]. */
+    QueryDef.sql(
+      "q87_temperature_remix",
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents
+        |), s AS (
+        |  SELECT source, SUM(n_tokens) AS src_tokens FROM t GROUP BY source
+        |), g AS (
+        |  SELECT SUM(src_tokens) AS total FROM s
+        |), r AS (
+        |  SELECT source, src_tokens, total,
+        |         CAST(ROUND(SQRT(CAST(src_tokens AS DOUBLE) / total) * 1e6, 0) AS BIGINT) AS rw
+        |  FROM s, g
+        |), n AS (
+        |  SELECT SUM(rw) AS norm FROM r
+        |), b AS (
+        |  SELECT source, src_tokens,
+        |         ((total // 2) * rw) // norm AS token_budget,
+        |         CAST(CAST(ROUND((CAST(rw AS DOUBLE) / norm) * 1e6, 0) AS BIGINT) / 1e6 AS DOUBLE) AS temp_weight
+        |  FROM r, n
+        |), c AS (
+        |  SELECT t.doc_id, t.source, t.n_tokens,
+        |         ROW_NUMBER() OVER (PARTITION BY t.source ORDER BY t.fp, t.doc_id) AS sample_rank,
+        |         SUM(t.n_tokens) OVER (PARTITION BY t.source ORDER BY t.fp, t.doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         b.token_budget, b.src_tokens, b.temp_weight
+        |  FROM t JOIN b USING (source)
+        |)
+        |SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |       CAST(sample_rank AS BIGINT) AS sample_rank,
+        |       cum <= token_budget AS kept,
+        |       CAST(src_tokens AS BIGINT) AS src_tokens, temp_weight,
+        |       CAST(token_budget AS BIGINT) AS token_budget
+        |FROM c
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      temperatureRemix(Tables.documents(s, d)).orderBy($"doc_id")
     },
   )
 }

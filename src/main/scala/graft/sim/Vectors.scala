@@ -393,6 +393,38 @@ object Vectors {
         graft.functions.Shims.roundPortable(col("cos"), 4).cast("double").as("cosine"))
   }
 
+  /** Mutual-kNN graph symmetrization: keep the undirected edge (a, b)
+    * only when b ∈ kNN(a) AND a ∈ kNN(b). The standard robustness
+    * filter between a raw kNN sweep and graph-based downstream work
+    * (agglomerative/spectral clustering, NN-descent dedup): one-sided
+    * hub edges — a tail vector whose "nearest" neighbors are merely
+    * the corpus's densest region — don't survive the reciprocity test.
+    *
+    * Input is any `(probe_id, rnk, neighbor_id, cosine)` kNN edge
+    * frame ([[bruteForceTopKKernel]]'s exact edges or [[ivfTopK]]'s
+    * approximate ones — the operator is agnostic, which is also how
+    * VectorsSpec pins it: feed exact edges, compare to a naive
+    * reciprocity reference). One self-equi-join on the reversed key
+    * pair — shuffle ∝ k·n edge rows, never a pair space — then one
+    * degree aggregation joined back per endpoint. */
+  def mutualKnn(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("probe_id"), col("neighbor_id"), col("cosine"))
+    val rev = e.select(col("neighbor_id").as("probe_id"),
+      col("probe_id").as("neighbor_id"))
+    val mutual = e.join(rev, Seq("probe_id", "neighbor_id"))
+      .filter(col("probe_id") < col("neighbor_id"))
+      .select(col("probe_id").as("id_a"), col("neighbor_id").as("id_b"),
+        col("cosine"))
+    val deg = mutual.select(col("id_a").as("id"))
+      .unionByName(mutual.select(col("id_b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).cast("int").as("deg"))
+    mutual
+      .join(deg.withColumnRenamed("id", "id_a").withColumnRenamed("deg", "deg_a"), Seq("id_a"))
+      .join(deg.withColumnRenamed("id", "id_b").withColumnRenamed("deg", "deg_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("cosine"),
+        col("deg_a"), col("deg_b"))
+  }
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1) for
     * (plane, dim), derived from xxhash64 — reproducible across runs and
     * cluster sizes, no driver-side RNG state to ship. */

@@ -143,6 +143,85 @@ object OperatorProps extends Properties("operators") {
       got == expect
     }
 
+  property("training shards == naive global greedy sequential pack") =
+    forAll(Gen.listOfN(20, genSourcedDoc), Gen.choose(5L, 40L)) { (rows, budget) =>
+      val docs = rows.zipWithIndex.map { case ((src, t), i) => (i.toLong, src, t) }
+      val got = operators.TextOps.trainingShards(
+          docs.toDF("doc_id", "source", "text"), budget)
+        .select($"doc_id", $"shard_id", $"shard_offset")
+        .as[(Long, Int, Int)].collect()
+        .map { case (d, s, o) => d -> ((s, o)) }.toMap
+      def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val ordered = docs.map { case (id, _, t) =>
+        val cf = graft.text.TextFunctions.canonicalForm(t)
+        (md5hex(cf), id, cf.split("\\s+").length.toLong)
+      }.sortBy { case (fp, id, _) => (fp, id) }
+      var cum = 0L
+      val expect = ordered.map { case (_, id, n) =>
+        val prev = cum; cum += n
+        id -> (((prev / budget).toInt, (prev % budget).toInt))
+      }.toMap
+      got == expect
+    }
+
+  property("temperature remix == naive sqrt-share budgets + greedy prefix") =
+    forAll(Gen.listOfN(24, genSourcedDoc)) { rows =>
+      val docs = rows.zipWithIndex.map { case ((src, t), i) => (i.toLong, src, t) }
+      val got = operators.TextOps.temperatureRemix(
+          docs.toDF("doc_id", "source", "text"))
+        .select($"doc_id", $"sample_rank", $"kept", $"token_budget")
+        .as[(Long, Long, Boolean, Long)].collect()
+        .map { case (d, r, k, b) => d -> ((r, k, b)) }.toMap
+      def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val perDoc = docs.map { case (id, src, t) =>
+        val cf = graft.text.TextFunctions.canonicalForm(t)
+        (id, src, md5hex(cf), cf.split("\\s+").length.toLong)
+      }
+      val bySrc = perDoc.groupBy(_._2)
+      val srcTokens = bySrc.map { case (s, ds) => s -> ds.map(_._4).sum }
+      val total = srcTokens.values.sum
+      // mirror the operator's arithmetic exactly: one IEEE quotient,
+      // correctly-rounded sqrt, integer-scaled round; then pure integers
+      val rw = srcTokens.map { case (s, n) =>
+        s -> math.round(math.sqrt(n.toDouble / total) * 1e6) }
+      val norm = rw.values.sum
+      val budgets = rw.map { case (s, r) => s -> ((total / 2) * r) / norm }
+      val expect = bySrc.flatMap { case (src, ds) =>
+        val ordered = ds.map { case (id, _, fp, n) => (fp, id, n) }
+          .sortBy { case (fp, id, _) => (fp, id) }
+        var cum = 0L
+        ordered.zipWithIndex.map { case ((_, id, n), idx) =>
+          cum += n
+          id -> (((idx + 1).toLong, cum <= budgets(src), budgets(src)))
+        }
+      }
+      got == expect
+    }
+
+  private val genKnnEdges: Gen[List[(Long, Long, Double)]] =
+    Gen.listOfN(40, for {
+      a <- Gen.choose(0L, 9L)
+      b <- Gen.choose(0L, 9L)
+      c <- Gen.choose(0, 10000)
+    } yield (a, b, c / 1e4)).map(
+      _.filter(e => e._1 != e._2).distinctBy(e => (e._1, e._2)))
+
+  property("mutual-kNN == naive reciprocity + degree reference") =
+    forAll(genKnnEdges) { edges =>
+      val got = graft.sim.Vectors.mutualKnn(
+          edges.toDF("probe_id", "neighbor_id", "cosine"))
+        .as[(Long, Long, Double, Int, Int)].collect().toSet
+      val keySet = edges.map(e => (e._1, e._2)).toSet
+      val mutual = edges.filter { case (a, b, _) => a < b && keySet((b, a)) }
+      val deg = (mutual.map(_._1) ++ mutual.map(_._2))
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      val expect = mutual
+        .map { case (a, b, c) => (a, b, c, deg(a), deg(b)) }.toSet
+      got == expect
+    }
+
   private val genChunkDoc: Gen[String] = for {
     n  <- Gen.choose(1, 150)
     ws <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta"))
