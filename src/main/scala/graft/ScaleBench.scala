@@ -75,7 +75,12 @@ object ScaleBench {
     // r8: bounded-aggregate family — MG sketch→recount heavy hitters,
     // deterministic per-source sample, per-source cap; all designed
     // scan-linear with k-slot state
-    "q81_heavy_hitters", "q82_group_sample", "q83_domain_cap")
+    "q81_heavy_hitters", "q82_group_sample", "q83_domain_cap",
+    // r8: training-shard packing + temperature remix (both the
+    // two-stage prefix-sum shape, designed ~linear like q69) and the
+    // mutual-kNN graph (full-corpus IVF sweep + one edge self-join —
+    // designed O(n^1.5) like q67, NOT flat: every vector is a probe)
+    "q86_training_shards", "q87_temperature_remix", "q88_mutual_knn")
 
   /** Quadratic-by-contract entries, capped at 10×: the exact all-pairs
     * baselines (q33 n-gram Jaccard, q36 cosine pairs), and q49 whose

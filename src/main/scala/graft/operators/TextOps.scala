@@ -155,6 +155,36 @@ object TextOps {
         $"src_tokens", $"temp_weight", $"token_budget")
   }
 
+  /** Cross-split duplicate-leakage audit kernel (E50/q89): plant
+    * deterministic duplicates (doc_id ≡ 4 mod 5 takes its group
+    * head's text), assign each doc a split under the content-hash and
+    * id-hash policies, and count duplicate pairs per policy via the
+    * pair-free closed form — see the q89 entry scaladoc. */
+  def splitLeakage(docs: DataFrame): DataFrame = {
+    val base = docs.select($"doc_id", $"text")
+    val heads = base.select($"doc_id".as("hid"), $"text".as("htext"))
+    val planted = base.withColumn("hid", expr("(doc_id DIV 5) * 5"))
+      .join(heads, Seq("hid"), "left")
+      .select($"doc_id",
+        when($"doc_id" % 5 === 4 && $"htext".isNotNull, $"htext")
+          .otherwise($"text").as("text"))
+    def split(h: Column): Column = {
+      val b = hexBucket(h, 1)
+      when(b < 800, "train").when(b < 900, "validation").otherwise("test")
+    }
+    val assign = planted.select(
+      fingerprint($"text").as("fp"),
+      split(fingerprint($"text")).as("sc"),
+      split(md5($"doc_id".cast("string"))).as("si"))
+    def policyStats(splitCol: String, policy: String): DataFrame = assign
+      .groupBy($"fp", col(splitCol)).agg(count(lit(1)).as("c"))
+      .groupBy($"fp").agg(sum($"c").as("n"), sum($"c" * ($"c" - 1)).as("same2"))
+      .agg(expr("sum(n * (n - 1)) DIV 2").as("n_dup_pairs"),
+        expr("(sum(n * (n - 1)) - sum(same2)) DIV 2").as("n_cross_split_pairs"))
+      .select(lit(policy).as("policy"), $"n_dup_pairs", $"n_cross_split_pairs")
+    policyStats("sc", "content_hash").unionByName(policyStats("si", "id_hash"))
+  }
+
 
   /** Context-window chunking (E38/q75): split each document's token
     * stream into fixed-size training windows with overlap — the
@@ -1641,6 +1671,62 @@ object TextOps {
         |FROM c
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       temperatureRemix(Tables.documents(s, d)).orderBy($"doc_id")
+    },
+
+    /** Cross-split duplicate-leakage audit (E50/q89): count duplicate
+      * pairs that straddle train/validation/test under two split
+      * policies — the q59 CONTENT-hash split (provably leakage-safe:
+      * identical text ⇒ identical fingerprint ⇒ identical split, so
+      * its cross-split count is structurally 0) vs the naive id-hash
+      * split (duplicates scatter across splits ⇒ eval contamination).
+      * The corpus ships dup-free, so the gate PLANTS deterministic
+      * duplicates first (every doc_id ≡ 4 mod 5 takes its group head's
+      * text — the q70 plant-on-both-sides pattern), making the
+      * id-policy leak count non-vacuous.
+      *
+      * Scale shape: pairs are NEVER materialized — per-fingerprint
+      * split composition via two hash aggregations, then the closed
+      * form `cross = (n(n−1) − Σ c(c−1)) / 2`; a pathological
+      * boilerplate fingerprint costs one combiner row, not C(n,2)
+      * pairs. All arithmetic integer-exact. */
+    QueryDef.sql(
+      "q89_split_leakage", {
+        def nib(c: String, i: Int) =
+          s"(CASE WHEN ascii(substr($c, $i, 1)) >= 97 THEN ascii(substr($c, $i, 1)) - 87 ELSE ascii(substr($c, $i, 1)) - 48 END)"
+        def bucket(c: String) =
+          "(" + (1 until 5).map(nib(c, _)).reduce((a, b) => s"($a * 16 + $b)") + " % 1000)"
+        def split(c: String) =
+          s"(CASE WHEN ${bucket(c)} < 800 THEN 'train' WHEN ${bucket(c)} < 900 THEN 'validation' ELSE 'test' END)"
+        s"""WITH p AS (
+           |  SELECT b.doc_id,
+           |         CASE WHEN b.doc_id % 5 = 4 AND h.text IS NOT NULL THEN h.text ELSE b.text END AS text
+           |  FROM documents b LEFT JOIN documents h ON h.doc_id = (b.doc_id // 5) * 5
+           |), f AS (
+           |  SELECT doc_id,
+           |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           |         md5(CAST(doc_id AS VARCHAR)) AS idh
+           |  FROM p
+           |), a AS (
+           |  SELECT fp, ${split("fp")} AS sc, ${split("idh")} AS si FROM f
+           |), gc AS (SELECT fp, sc, COUNT(*) AS c FROM a GROUP BY fp, sc
+           |), tc AS (SELECT fp, SUM(c) AS n, SUM(c*(c-1)) AS same2 FROM gc GROUP BY fp
+           |), gi AS (SELECT fp, si, COUNT(*) AS c FROM a GROUP BY fp, si
+           |), ti AS (SELECT fp, SUM(c) AS n, SUM(c*(c-1)) AS same2 FROM gi GROUP BY fp
+           |)
+           |SELECT * FROM (
+           |  SELECT 'content_hash' AS policy,
+           |         CAST(SUM(n*(n-1)) // 2 AS BIGINT) AS n_dup_pairs,
+           |         CAST((SUM(n*(n-1)) - SUM(same2)) // 2 AS BIGINT) AS n_cross_split_pairs
+           |  FROM tc
+           |  UNION ALL
+           |  SELECT 'id_hash' AS policy,
+           |         CAST(SUM(n*(n-1)) // 2 AS BIGINT) AS n_dup_pairs,
+           |         CAST((SUM(n*(n-1)) - SUM(same2)) // 2 AS BIGINT) AS n_cross_split_pairs
+           |  FROM ti
+           |)
+           |ORDER BY policy""".stripMargin
+      }) { (s, d) =>
+      splitLeakage(Tables.documents(s, d)).orderBy($"policy")
     },
   )
 }

@@ -200,6 +200,41 @@ object OperatorProps extends Properties("operators") {
       got == expect
     }
 
+  property("split-leakage audit == naive planted-dup pair count; content-hash leaks 0") =
+    forAll(Gen.listOfN(25, genNoisyDoc)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = operators.TextOps.splitLeakage(docs.toDF("doc_id", "text"))
+        .as[(String, Long, Long)].collect()
+        .map { case (p, d, c) => p -> ((d, c)) }.toMap
+      def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def split(h: String) = {
+        val b = Integer.parseInt(h.substring(0, 4), 16) % 1000
+        if (b < 800) "train" else if (b < 900) "validation" else "test"
+      }
+      val byId = docs.toMap
+      val planted = docs.map { case (id, t) =>
+        val head = byId.get((id / 5) * 5)
+        (id, if (id % 5 == 4 && head.isDefined) head.get else t)
+      }
+      val withFp = planted.map { case (id, t) =>
+        (id, md5hex(graft.text.TextFunctions.canonicalForm(t))) }
+      def stats(splitOf: ((Long, String)) => String): (Long, Long) = {
+        val groups = withFp.groupBy(_._2).values
+        val pairs = groups.map(g => g.size.toLong * (g.size - 1) / 2).sum
+        val cross = groups.map { g =>
+          val n = g.size.toLong
+          val same = g.groupBy(splitOf).values
+            .map(s => s.size.toLong * (s.size - 1)).sum
+          (n * (n - 1) - same) / 2
+        }.sum
+        (pairs, cross)
+      }
+      got("content_hash") == stats { case (_, fp) => split(fp) } &&
+        got("id_hash") == stats { case (id, _) => split(md5hex(id.toString)) } &&
+        got("content_hash")._2 == 0L
+    }
+
   private val genKnnEdges: Gen[List[(Long, Long, Double)]] =
     Gen.listOfN(40, for {
       a <- Gen.choose(0L, 9L)
