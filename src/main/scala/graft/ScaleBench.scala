@@ -80,7 +80,10 @@ object ScaleBench {
     // two-stage prefix-sum shape, designed ~linear like q69) and the
     // mutual-kNN graph (full-corpus IVF sweep + one edge self-join —
     // designed O(n^1.5) like q67, NOT flat: every vector is a probe)
-    "q86_training_shards", "q87_temperature_remix", "q88_mutual_knn")
+    "q86_training_shards", "q87_temperature_remix", "q88_mutual_knn",
+    // the composed corpus→shards capstone: every stage linear
+    // (dedup agg + semi-join, remix, prefix-sum pack, manifest agg)
+    "q90_corpus_to_shards")
 
   /** Quadratic-by-contract entries, capped at 10×: the exact all-pairs
     * baselines (q33 n-gram Jaccard, q36 cosine pairs), and q49 whose

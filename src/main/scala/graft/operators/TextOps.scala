@@ -155,19 +155,31 @@ object TextOps {
         $"src_tokens", $"temp_weight", $"token_budget")
   }
 
-  /** Cross-split duplicate-leakage audit kernel (E50/q89): plant
-    * deterministic duplicates (doc_id ≡ 4 mod 5 takes its group
-    * head's text), assign each doc a split under the content-hash and
-    * id-hash policies, and count duplicate pairs per policy via the
-    * pair-free closed form — see the q89 entry scaladoc. */
-  def splitLeakage(docs: DataFrame): DataFrame = {
-    val base = docs.select($"doc_id", $"text")
+  /** Deterministic duplicate plant shared by the q89/q90 gates: every
+    * doc_id ≡ 4 (mod 5) takes its group head's text (head = doc_id
+    * rounded down to the multiple of 5; left join so a missing head
+    * leaves the doc unchanged). The corpus ships dup-free, so gates
+    * that exercise dedup semantics plant these reproducible duplicates
+    * on BOTH engines first — the q70 plant-on-both-sides pattern. */
+  def plantDupes(docs: DataFrame): DataFrame = {
+    val base = docs.select($"doc_id", $"source", $"text")
     val heads = base.select($"doc_id".as("hid"), $"text".as("htext"))
-    val planted = base.withColumn("hid", expr("(doc_id DIV 5) * 5"))
+    base.withColumn("hid", expr("(doc_id DIV 5) * 5"))
       .join(heads, Seq("hid"), "left")
-      .select($"doc_id",
+      .select($"doc_id", $"source",
         when($"doc_id" % 5 === 4 && $"htext".isNotNull, $"htext")
           .otherwise($"text").as("text"))
+  }
+
+  /** Cross-split duplicate-leakage audit kernel (E50/q89): plant
+    * deterministic duplicates ([[plantDupes]]), assign each doc a
+    * split under the content-hash and id-hash policies, and count
+    * duplicate pairs per policy via the pair-free closed form — see
+    * the q89 entry scaladoc. */
+  def splitLeakage(docs: DataFrame): DataFrame = {
+    val planted = plantDupes(
+      if (docs.columns.contains("source")) docs
+      else docs.withColumn("source", lit("s")))
     def split(h: Column): Column = {
       val b = hexBucket(h, 1)
       when(b < 800, "train").when(b < 900, "validation").otherwise("test")
@@ -183,6 +195,30 @@ object TextOps {
         expr("(sum(n * (n - 1)) - sum(same2)) DIV 2").as("n_cross_split_pairs"))
       .select(lit(policy).as("policy"), $"n_dup_pairs", $"n_cross_split_pairs")
     policyStats("sc", "content_hash").unionByName(policyStats("si", "id_hash"))
+  }
+
+  /** End-to-end corpus→shards pipeline (E51/q90): exact dedup →
+    * temperature-remixed per-source budgets → greedy prefix keep →
+    * token-balanced shard pack → per-shard manifest. The capstone
+    * composition of the r8 budgeting family: one plan from raw
+    * documents to the shard manifest a training loader consumes
+    * (shard_id, docs, token mass, source diversity).
+    *
+    * Every stage is the already-verified operator: [[graft.dedup.Dedup.exact]]
+    * (min-id per fingerprint, aggregate + semi-join), [[temperatureRemix]]
+    * (integer sqrt-share budgets), [[trainingShards]] (global two-stage
+    * prefix sum), then one hash aggregation to the manifest — no new
+    * shuffle shapes, so the composed plan inherits each stage's 100 TB
+    * posture. */
+  def corpusToShards(docs: DataFrame, shardTokens: Long = 4096L): DataFrame = {
+    val deduped = graft.dedup.Dedup.exact(docs, "doc_id", "text")
+    val keptIds = temperatureRemix(deduped).filter($"kept").select($"doc_id")
+    val keptDocs = deduped.join(keptIds, Seq("doc_id"), "left_semi")
+    trainingShards(keptDocs, shardTokens)
+      .groupBy($"shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").cast("long").as("n_tokens"),
+        countDistinct($"source").as("n_sources"))
   }
 
 
@@ -1727,6 +1763,64 @@ object TextOps {
            |ORDER BY policy""".stripMargin
       }) { (s, d) =>
       splitLeakage(Tables.documents(s, d)).orderBy($"policy")
+    },
+
+    /** End-to-end corpus→shards pipeline (E51) — see
+      * [[corpusToShards]]. The gate plants duplicates first
+      * ([[plantDupes]]) so the dedup stage is non-vacuous: 500 docs →
+      * 400 survivors → temperature-kept prefix → 4096-token shards.
+      * The oracle replays the full composition: min-id dedup CTE,
+      * sqrt-share integer budgets, per-source cumsum keep, global
+      * cumsum pack, manifest aggregation. */
+    QueryDef.sql(
+      "q90_corpus_to_shards",
+      """WITH p AS (
+        |  SELECT b.doc_id, b.source,
+        |         CASE WHEN b.doc_id % 5 = 4 AND h.text IS NOT NULL THEN h.text ELSE b.text END AS text
+        |  FROM documents b LEFT JOIN documents h ON h.doc_id = (b.doc_id // 5) * 5
+        |), k AS (
+        |  SELECT doc_id, source,
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |         CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM p
+        |), t AS (
+        |  SELECT k.doc_id, k.source, k.fp, k.n_tokens
+        |  FROM k JOIN (SELECT fp, MIN(doc_id) AS kid FROM k GROUP BY fp) m
+        |    ON k.fp = m.fp AND k.doc_id = m.kid
+        |), s AS (
+        |  SELECT source, SUM(n_tokens) AS src_tokens FROM t GROUP BY source
+        |), g AS (
+        |  SELECT SUM(src_tokens) AS total FROM s
+        |), r AS (
+        |  SELECT source, total,
+        |         CAST(ROUND(SQRT(CAST(src_tokens AS DOUBLE) / total) * 1e6, 0) AS BIGINT) AS rw
+        |  FROM s, g
+        |), n AS (
+        |  SELECT SUM(rw) AS norm FROM r
+        |), b AS (
+        |  SELECT source, ((total // 2) * rw) // norm AS budget FROM r, n
+        |), c AS (
+        |  SELECT t.doc_id, t.source, t.fp, t.n_tokens,
+        |         SUM(t.n_tokens) OVER (PARTITION BY t.source ORDER BY t.fp, t.doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         b.budget
+        |  FROM t JOIN b USING (source)
+        |), kept AS (
+        |  SELECT doc_id, source, fp, n_tokens FROM c WHERE cum <= budget
+        |), pk AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         SUM(n_tokens) OVER (ORDER BY fp, doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS prev
+        |  FROM kept
+        |)
+        |SELECT CAST(prev // 4096 AS INTEGER) AS shard_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM pk
+        |GROUP BY 1
+        |ORDER BY shard_id""".stripMargin) { (s, d) =>
+      corpusToShards(plantDupes(Tables.documents(s, d))).orderBy($"shard_id")
     },
   )
 }
