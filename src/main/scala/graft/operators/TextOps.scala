@@ -96,8 +96,10 @@ object TextOps {
     * offsets frame of exactly one row per partition (the only
     * partition-count-sized state; never a global row window over the
     * corpus). */
-  def trainingShards(docs: DataFrame, shardTokens: Long = 8192L): DataFrame = {
-    val toks = docTokens(docs)
+  def trainingShards(docs: DataFrame, shardTokens: Long = 8192L): DataFrame =
+    trainingShardsFromToks(docTokens(docs), shardTokens)
+
+  private def trainingShardsFromToks(toks: DataFrame, shardTokens: Long): DataFrame = {
     val local = toks.repartitionByRange($"fp", $"doc_id")
       .withColumn("__pid", spark_partition_id())
     val w = Window.partitionBy($"__pid").orderBy($"fp", $"doc_id")
@@ -135,8 +137,10 @@ object TextOps {
     * `(G · rw) DIV norm`. Per-source state is model-sized (one row per
     * source) and rides broadcast joins; the corpus-scale work is the
     * one token-count scan plus the prefix-sum pass. */
-  def temperatureRemix(docs: DataFrame): DataFrame = {
-    val toks = docTokens(docs)
+  def temperatureRemix(docs: DataFrame): DataFrame =
+    temperatureRemixFromToks(docTokens(docs))
+
+  private def temperatureRemixFromToks(toks: DataFrame): DataFrame = {
     val src = toks.groupBy($"source").agg(sum($"n_tokens").as("src_tokens"))
     val tot = src.agg(sum($"src_tokens").as("total"))
     val rw = src.crossJoin(broadcast(tot))
@@ -212,13 +216,24 @@ object TextOps {
     * posture. */
   def corpusToShards(docs: DataFrame, shardTokens: Long = 4096L): DataFrame = {
     val deduped = graft.dedup.Dedup.exact(docs, "doc_id", "text")
-    val keptIds = temperatureRemix(deduped).filter($"kept").select($"doc_id")
-    val keptDocs = deduped.join(keptIds, Seq("doc_id"), "left_semi")
-    trainingShards(keptDocs, shardTokens)
-      .groupBy($"shard_id")
-      .agg(count(lit(1)).as("n_docs"),
-        sum($"n_tokens").cast("long").as("n_tokens"),
-        countDistinct($"source").as("n_sources"))
+    // persisted: the tokenized dedup output feeds the remix's four
+    // model-sized aggregates, the prefix pass, and the pack — each
+    // materialization would otherwise re-run the plant join + dedup +
+    // tokenize subtree (~6 corpus scans measured before the cache).
+    // Same lifecycle as Vectors.semDedup: eager localCheckpoint of the
+    // manifest, then drop the cache before returning.
+    val toks = docTokens(deduped).persist()
+    try {
+      val keptIds = temperatureRemixFromToks(toks)
+        .filter($"kept").select($"doc_id")
+      val keptToks = toks.join(keptIds, Seq("doc_id"), "left_semi")
+      trainingShardsFromToks(keptToks, shardTokens)
+        .groupBy($"shard_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").cast("long").as("n_tokens"),
+          countDistinct($"source").as("n_sources"))
+        .localCheckpoint()
+    } finally toks.unpersist(blocking = false): Unit
   }
 
 
