@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{FloatVecDot, FnvHash64, MisraGries, TopKStruct}
+import graft.functions.{FloatVecDot, FnvHash64, MisraGries, NfcNormalize, TopKStruct}
 
 /** SparkSessionExtensions entry point: wires the engine's native
   * Catalyst expressions into any session built with
@@ -31,6 +31,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKStruct].getName, "topk_struct"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TopKStruct.fromExprs(exprs).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NfcNormalize(exprs.head)))
     ext.injectFunction((
       FunctionIdentifier("misra_gries"),
       new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),

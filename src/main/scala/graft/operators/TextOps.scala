@@ -1837,5 +1837,50 @@ object TextOps {
         |ORDER BY shard_id""".stripMargin) { (s, d) =>
       corpusToShards(plantDupes(Tables.documents(s, d))).orderBy($"shard_id")
     },
+
+    /** Unicode NFC normalization (E52/q91): canonical composition via
+      * the native [[graft.functions.NfcNormalize]] codegen expression —
+      * the normalize-before-fingerprint step every multilingual corpus
+      * needs (composed `é` and decomposed `e`+U+0301 render identically
+      * but md5 differently, silently defeating exact dedup). The ASCII
+      * corpus is NFC-trivial, so the gate plants a deterministic
+      * suffix per doc — decomposed (combining mark) on doc_id ≡ 0,2
+      * (mod 4), precomposed on 1,3 — exercising both the rewrite and
+      * the no-op path. Both engines apply the same Unicode
+      * canonical-composition tables (JDK `java.text.Normalizer` vs
+      * DuckDB `nfc_normalize`), so changed flags, codepoint counts,
+      * and the normalized md5 are hash-exact. */
+    QueryDef.sql(
+      "q91_unicode_nfc",
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         text || ' ' || (CASE CAST(doc_id % 4 AS INTEGER)
+        |            WHEN 0 THEN 'e' || chr(769)
+        |            WHEN 1 THEN chr(233)
+        |            WHEN 2 THEN 'o' || chr(770)
+        |            ELSE chr(244) END) AS raw
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       raw <> nfc_normalize(raw) AS changed,
+        |       CAST(length(raw) AS INTEGER) AS n_chars_raw,
+        |       CAST(length(nfc_normalize(raw)) AS INTEGER) AS n_chars_nfc,
+        |       md5(nfc_normalize(raw)) AS nfc_md5
+        |FROM p
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val comb = when(pmod($"doc_id", lit(4)) === 0, lit("e\u0301"))
+        .when(pmod($"doc_id", lit(4)) === 1, lit("\u00e9"))
+        .when(pmod($"doc_id", lit(4)) === 2, lit("o\u0302"))
+        .otherwise(lit("\u00f4"))
+      val raw = concat($"text", lit(" "), comb)
+      val nfc = graft.functions.NfcNormalize.column(s, raw)
+      Tables.documents(s, d).select(
+          $"doc_id",
+          (raw =!= nfc).as("changed"),
+          length(raw).cast("int").as("n_chars_raw"),
+          length(nfc).cast("int").as("n_chars_nfc"),
+          md5(nfc).as("nfc_md5"))
+        .orderBy($"doc_id")
+    },
   )
 }

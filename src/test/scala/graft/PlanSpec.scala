@@ -352,15 +352,17 @@ class PlanSpec extends GraftSpec {
     // proves config-based injection (no register() call in this test)
     val r = spark.sql(
       "SELECT fnv64('abc') AS h, fdot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
-        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").head()
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d, " +
+        "nfc('e\u0301') AS n").head()
     assert(r.getAs[Long]("h") === graft.functions.FnvHash64.hash("abc"))
     assert(r.getAs[Double]("d") === 11.0)
+    assert(r.getAs[String]("n") === "\u00e9")
   }
 
   test("fnv64 native expression: codegen'd, SQL-callable, matches the kernel hash") {
     FnvHash64.register(spark)
     import spark.implicits._
-    val df = Seq("hello world", "", "graft añejo ☕").toDF("s")
+    val df = Seq("hello world", "", "graft a\u00f1ejo ☕").toDF("s")
     df.createOrReplaceTempView("fnv_probe")
     val viaSql = spark.sql("SELECT s, fnv64(s) AS h FROM fnv_probe").collect()
     viaSql.foreach { r =>

@@ -257,6 +257,24 @@ object OperatorProps extends Properties("operators") {
       got == expect
     }
 
+  private val genUniString: Gen[String] = Gen.listOfN(12, Gen.oneOf(
+    "a", "e\u0301", "\u00e9", "o\u0302", "n\u0303", "\u00f1", " ", "Z",
+    "\u0308")).map(_.mkString)
+
+  property("nfc native expression == java.text.Normalizer NFC") =
+    forAll(Gen.listOfN(20, genUniString)) { ss =>
+      // the generator mixes decomposed pairs, precomposed chars, and a
+      // BARE combining mark (which NFC may attach to a preceding base
+      // char) — the population where a half-correct normalizer diverges
+      val got = ss.zipWithIndex.map { case (s, i) => (i, s) }
+        .toDF("i", "s")
+        .select($"i", graft.functions.NfcNormalize.column(spark, $"s").as("n"))
+        .as[(Int, String)].collect().sortBy(_._1).map(_._2).toSeq
+      val expect = ss.map(
+        java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFC))
+      got == expect
+    }
+
   private val genChunkDoc: Gen[String] = for {
     n  <- Gen.choose(1, 150)
     ws <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta"))
