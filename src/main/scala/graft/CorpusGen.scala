@@ -109,12 +109,44 @@ object CorpusGen {
       format_string("{\"k\":%d}", pmod(h(seed, 25, id), lit(100))).as("props"))
   }
 
+  /** Seeded relational slice for the graph/linkage curve (q94
+    * PageRank, q95 blocked record linkage): customer / supplier /
+    * orders / lineitem with the driver testdata's key and name shapes,
+    * restricted to the columns those operators read (parquet column
+    * pruning makes unread columns timing-irrelevant anyway).
+    * Cardinality ratios follow the driver data (customers = orders/10,
+    * suppliers = customers/15, lineitems = 4·orders), so the purchase
+    * graph's edge count grows linearly with scale like a real
+    * order-flow graph. */
+  def relational(spark: SparkSession, dir: String, nOrders: Long,
+                 seed: Long = 7L): Unit = {
+    val id = col("id")
+    val nCust = math.max(10L, nOrders / 10)
+    val nSupp = math.max(5L, nCust / 15)
+    spark.range(nCust).select(
+      id.as("c_custkey"),
+      format_string("Customer#%09d", id).as("c_name"))
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    spark.range(nSupp).select(
+      id.as("s_suppkey"),
+      format_string("Supplier#%09d", id).as("s_name"))
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    spark.range(nOrders).select(
+      id.as("o_orderkey"),
+      pmod(h(seed, 30, id), lit(nCust)).as("o_custkey"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    spark.range(nOrders * 4).select(
+      (id / 4).cast("long").as("l_orderkey"),
+      pmod(h(seed, 31, id), lit(nSupp)).as("l_suppkey"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+  }
+
   /** Write a corpus dir compatible with [[Tables]] (documents.parquet /
-    * embeddings.parquet / events.parquet), marker-guarded per table so
-    * repeated runs reuse what exists and adding a table only fills the
-    * gap. */
+    * embeddings.parquet / events.parquet / the relational slice),
+    * marker-guarded per table so repeated runs reuse what exists and
+    * adding a table only fills the gap. */
   def write(spark: SparkSession, dir: String, nDocs: Long, nVecs: Long,
-            nEvents: Long = 0L): Unit = {
+            nEvents: Long = 0L, nOrders: Long = 0L): Unit = {
     val marker = new java.io.File(dir, "_CORPUS_READY")
     if (!marker.exists()) {
       documents(spark, nDocs)
@@ -128,5 +160,8 @@ object CorpusGen {
     if (nEvents > 0 && !new java.io.File(dir, "events.parquet").exists())
       events(spark, nEvents)
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // relational slice joined in round 8 (q94/q95): same backfill rule
+    if (nOrders > 0 && !new java.io.File(dir, "orders.parquet").exists())
+      relational(spark, dir, nOrders)
   }
 }

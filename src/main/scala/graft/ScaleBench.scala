@@ -83,7 +83,16 @@ object ScaleBench {
     "q86_training_shards", "q87_temperature_remix", "q88_mutual_knn",
     // the composed corpus→shards capstone: every stage linear
     // (dedup agg + semi-join, remix, prefix-sum pack, manifest agg)
-    "q90_corpus_to_shards")
+    "q90_corpus_to_shards",
+    // r8 second wave: curriculum binning (one hash agg + broadcast
+    // value map — designed flat like q59), CDC snapshot diff (two
+    // max-struct aggs + one join), cumulative distinct users
+    // (first-touch rewrite — one agg, calendar-sized window),
+    // 3-iteration integer PageRank (per-iteration shuffle ∝ |E|),
+    // and blocked record linkage (two equi-joins, pair space never
+    // materialized)
+    "q92_curriculum_bins", "q93_snapshot_diff", "q96_cumulative_distinct",
+    "q94_pagerank", "q95_blocked_linkage")
 
   /** Quadratic-by-contract entries, capped at 10×: the exact all-pairs
     * baselines (q33 n-gram Jaccard, q36 cosine pairs), and q49 whose
@@ -149,7 +158,8 @@ object ScaleBench {
       val dir = new java.io.File(
         sys.props("user.dir"), s"target/corpus-x$scale").getAbsolutePath
       CorpusGen.write(spark, dir, nDocs = 5000L * scale,
-        nVecs = 2000L * scale, nEvents = 100000L * scale)
+        nVecs = 2000L * scale, nEvents = 100000L * scale,
+        nOrders = 15000L * scale)
 
       val names = scaleOps ++ (if (scale <= 10) exactOps else Nil)
       val times = names.map { name =>

@@ -580,6 +580,216 @@ object Advanced {
         .orderBy($"bucket")
     },
 
+    /** CDC snapshot diff (E54/q93) — the change-data-capture primitive
+      * behind incremental loads and table-format MERGE audits: compare
+      * each user's state (last event, by (ts, event_id)) at two
+      * point-in-time snapshots T1 = midpoint of the event-time range
+      * and T2 = end of range, and classify `insert` (absent at T1) /
+      * `update` (different last event) / `unchanged`. Snapshot state is
+      * one `max(struct(...))` hash aggregate per cutoff — never a
+      * per-user window — and the diff is a single full-outer join on
+      * the key, so the whole operator is two scan-shaped aggregates +
+      * one shuffle join regardless of history depth. Cutoffs are exact
+      * integer microseconds from a 1-row broadcast extent aggregate
+      * (never a driver collect). The struct comparator orders on
+      * (us, event_id) — event_id is unique, so the tail fields never
+      * tie-break and the pick is deterministic in both engines. */
+    QueryDef.sql(
+      "q93_snapshot_diff",
+      """WITH ext AS (
+        |  SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+        |), ev AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us FROM events
+        |), olds AS (
+        |  SELECT user_id, event_id, event_type, value FROM (
+        |    SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id
+        |                  ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM ev e, ext WHERE us <= lo + (hi - lo) // 2) WHERE rn = 1
+        |), news AS (
+        |  SELECT user_id, event_id, event_type, value FROM (
+        |    SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id
+        |                  ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM ev e, ext WHERE us <= hi) WHERE rn = 1
+        |)
+        |SELECT COALESCE(n.user_id, o.user_id) AS user_id,
+        |       CASE WHEN o.user_id IS NULL THEN 'insert'
+        |            WHEN o.event_id = n.event_id THEN 'unchanged'
+        |            ELSE 'update' END AS change_type,
+        |       o.event_id AS old_event_id, n.event_id AS new_event_id,
+        |       o.event_type AS old_type, n.event_type AS new_type,
+        |       o.value AS old_value, n.value AS new_value
+        |FROM news n FULL OUTER JOIN olds o USING (user_id)
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select($"user_id", $"event_id", $"event_type", $"value",
+          unix_micros($"ts").as("us"))
+      val ext = ev.agg(min($"us").as("lo"), max($"us").as("hi"))
+      def snapshot(cutoff: Column, prefix: String) = ev
+        .crossJoin(broadcast(ext))
+        .filter($"us" <= cutoff)
+        .groupBy($"user_id")
+        .agg(max(struct($"us", $"event_id", $"event_type", $"value")).as("st"))
+        .select($"user_id",
+          $"st.event_id".as(s"${prefix}_event_id"),
+          $"st.event_type".as(s"${prefix}_type"),
+          $"st.value".as(s"${prefix}_value"))
+      val olds = snapshot(expr("lo + (hi - lo) DIV 2"), "old")
+      val news = snapshot($"hi", "new")
+      news.join(olds, Seq("user_id"), "full_outer")
+        .select($"user_id",
+          when($"old_event_id".isNull, "insert")
+            .when($"old_event_id" === $"new_event_id", "unchanged")
+            .otherwise("update").as("change_type"),
+          $"old_event_id", $"new_event_id",
+          $"old_type", $"new_type", $"old_value", $"new_value")
+        .orderBy($"user_id")
+    },
+
+    /** PageRank (E55/q94), 3 power iterations in exact integer
+      * arithmetic, over the customer↔supplier purchase graph (distinct
+      * (o_custkey, l_suppkey) pairs, symmetrized; node id = 2·key for
+      * customers, 2·key+1 for suppliers). Ranks are scaled to 1e12 so
+      * every step — `rank DIV degree` contributions, the 0.85 damping
+      * via `85·q + (85·r) DIV 100` with (q, r) = divmod(sum, 100) — is
+      * integer-exact and therefore hash-identical cross-engine (float
+      * PageRank is accumulation-order-dependent and can never be).
+      *
+      * Scale shape: each iteration is one edges⋈ranks equi-join
+      * (shuffle ∝ |E|) + one sum aggregate (map-side combining) — the
+      * standard distributed PageRank; no driver state, no windows. The
+      * damping identity keeps the intermediate below 85·(Σranks DIV
+      * 100) ≈ 0.85·N·1e10, so long arithmetic holds to ~10⁸ nodes;
+      * beyond that the same plan runs with the sums cast to
+      * decimal(38,0) (both engines' 128-bit path). */
+    QueryDef.sql(
+      "q94_pagerank", {
+        def iter(prev: String, out: String) =
+          s""", ${out}c AS (
+             |  SELECT e.dst AS node, SUM(r.rank // r.deg) AS s
+             |  FROM $prev r JOIN edges e ON e.src = r.node GROUP BY 1
+             |), $out AS (
+             |  SELECT c.node, d.deg,
+             |         150000000000 + 85 * (c.s // 100) + (85 * (c.s % 100)) // 100 AS rank
+             |  FROM ${out}c c JOIN deg d ON d.node = c.node
+             |)""".stripMargin
+        s"""WITH e0 AS (
+           |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           |), edges AS (
+           |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+           |), deg AS (
+           |  SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1
+           |), r0 AS (
+           |  SELECT node, deg, CAST(1000000000000 AS BIGINT) AS rank FROM deg
+           |)${iter("r0", "r1")}${iter("r1", "r2")}${iter("r2", "r3")}
+           |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           |       CAST(node // 2 AS BIGINT) AS key,
+           |       CAST(rank AS BIGINT) AS rank_scaled
+           |FROM r3
+           |ORDER BY rank_scaled DESC, node_type, key""".stripMargin
+      }) { (s, d) =>
+      val e0 = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), $"l_orderkey" === $"o_orderkey")
+        .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst"))).distinct()
+      val deg = edges.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+      val r0 = deg.withColumn("rank", lit(1000000000000L))
+      // `Column./` promotes to double (unsafe past 2^53 of rank mass);
+      // every division below is integer `DIV`, exact at any scale
+      val r3 = (1 to 3).foldLeft(r0) { (r, _) =>
+        r.join(edges, r("node") === edges("src"))
+          .select($"dst".as("node"), expr("rank DIV deg").as("c"))
+          .groupBy($"node").agg(sum($"c").as("s"))
+          .join(deg, Seq("node"))
+          .withColumn("rank",
+            expr("150000000000 + 85 * (s DIV 100) + (85 * (s % 100)) DIV 100"))
+          .select($"node", $"deg", $"rank")
+      }
+      r3.select(
+        when($"node" % 2 === 0, "customer").otherwise("supplier").as("node_type"),
+        expr("node DIV 2").as("key"),
+        $"rank".as("rank_scaled"))
+        .orderBy($"rank_scaled".desc, $"node_type", $"key")
+    },
+
+    /** Blocked record linkage (E56/q95) — q51's promised scale shape,
+      * delivered: match customer against supplier identities whose
+      * 9-digit id strings are within edit distance 1, WITHOUT the
+      * cross product the oracle runs. For equal-length strings,
+      * distance ≤ 1 means 0 or 1 substitutions, so by pigeonhole the
+      * pair agrees exactly on the 5-char prefix or the 4-char suffix —
+      * each side emits one blocking key per half, candidates come from
+      * the two equi-joins (shuffle ∝ corpus, pair space never
+      * materialized), and `levenshtein` verifies inside the block.
+      * Pairs matching in both blocks (distance 0) dedup with one
+      * distinct. The oracle is the naive cross join — different plan,
+      * identical set, which is exactly the blocking-correctness
+      * guarantee. */
+    QueryDef.sql(
+      "q95_blocked_linkage",
+      """WITH c AS (
+        |  SELECT c_custkey, regexp_extract(c_name, '([0-9]+)$', 1) AS cd FROM customer
+        |), s AS (
+        |  SELECT s_suppkey, regexp_extract(s_name, '([0-9]+)$', 1) AS sd FROM supplier
+        |)
+        |SELECT c_custkey, s_suppkey, cd, sd,
+        |       CAST(levenshtein(cd, sd) AS INTEGER) AS dist
+        |FROM c CROSS JOIN s
+        |WHERE levenshtein(cd, sd) <= 1
+        |ORDER BY c_custkey, s_suppkey""".stripMargin) { (s, d) =>
+      val cust = Tables.customer(s, d)
+        .select($"c_custkey", regexp_extract($"c_name", "([0-9]+)$", 1).as("cd"))
+      val supp = Tables.supplier(s, d)
+        .select($"s_suppkey", regexp_extract($"s_name", "([0-9]+)$", 1).as("sd"))
+      def blocks(df: org.apache.spark.sql.DataFrame, idc: String, sc: String) = df
+        .select(col(idc), col(sc),
+          explode(array(
+            concat(lit("p:"), substring(col(sc), 1, 5)),
+            concat(lit("s:"), substring(col(sc), 6, 4)))).as("blk"))
+      blocks(cust, "c_custkey", "cd")
+        .join(blocks(supp, "s_suppkey", "sd"), Seq("blk"))
+        .withColumn("dist", levenshtein($"cd", $"sd"))
+        .filter($"dist" <= 1)
+        .select($"c_custkey", $"s_suppkey", $"cd", $"sd", $"dist".cast("int").as("dist"))
+        .distinct()
+        .orderBy($"c_custkey", $"s_suppkey")
+    },
+
+    /** Daily cumulative distinct users (E57/q96) — the "unique users
+      * to date" growth curve. The naive definition (COUNT(DISTINCT)
+      * over an expanding window — the oracle spells it as a date×events
+      * inequality join) re-scans the whole history per day; the Spark
+      * plan is the first-touch rewrite: min(day) per user (one hash
+      * aggregate over the corpus), count per first-day, then a running
+      * sum over the per-day frame — which is #days-sized, so the
+      * unpartitioned ordering window is bounded by the calendar, never
+      * by the corpus. Same numbers, one scan, no expanding rescan. */
+    QueryDef.sql(
+      "q96_cumulative_distinct",
+      """WITH d AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+        |), c AS (
+        |  SELECT d.day, COUNT(DISTINCT e.user_id) AS cum_users
+        |  FROM d JOIN events e ON CAST(e.ts AS DATE) <= d.day
+        |  GROUP BY d.day
+        |)
+        |SELECT day,
+        |       CAST(cum_users - COALESCE(LAG(cum_users) OVER (ORDER BY day), 0) AS BIGINT) AS new_users,
+        |       CAST(cum_users AS BIGINT) AS cum_users
+        |FROM c
+        |ORDER BY day""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(to_date($"ts").as("day"), $"user_id")
+      val newby = ev.groupBy($"user_id").agg(min($"day").as("day"))
+        .groupBy($"day").agg(count(lit(1)).as("new_users"))
+      val w = Window.orderBy($"day").rowsBetween(Window.unboundedPreceding, 0)
+      ev.select($"day").distinct()
+        .join(newby, Seq("day"), "left")
+        .withColumn("new_users", coalesce($"new_users", lit(0L)))
+        .withColumn("cum_users", sum($"new_users").over(w))
+        .orderBy($"day")
+    },
+
     /** The 100 TB spelling of q84: identical stats pass with
       * `approx_count_distinct` (HyperLogLog++, rsd 2% — 0.01 doubled
       * the per-row update cost for precision ANALYZE never needs) for

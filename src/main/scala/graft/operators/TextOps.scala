@@ -1882,5 +1882,49 @@ object TextOps {
           md5(nfc).as("nfc_md5"))
         .orderBy($"doc_id")
     },
+
+    /** Curriculum quantile binning (E53/q92) — assign every document a
+      * difficulty stage (1..4) by its cume_dist over token count: the
+      * equi-depth bucketing behind curriculum schedules, equi-depth
+      * histograms, and "train on the easy quartile first" splits.
+      * cume_dist is VALUE-based (fraction of rows ≤ v), so unlike
+      * rank/ntile it needs no per-row global ordering at all: aggregate
+      * counts per distinct value (one hash agg over the corpus), running
+      * sum over the distinct-value frame (bounded by the value domain —
+      * here ≤ 90 distinct token counts — never by the corpus), and
+      * broadcast the value→(cume, stage) map back onto the scan. The
+      * stage boundary is exact integer arithmetic ((4·cum + n − 1) DIV
+      * n = ⌈4·cum/n⌉); the oracle's float `CEIL(4 * CUME_DIST())`
+      * agrees because 4·cum/n sits ≥ 1/n away from any other integer,
+      * far outside double rounding error. */
+    QueryDef.sql(
+      "q92_curriculum_bins",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_tokens,
+        |       CAST(ROUND((CUME_DIST() OVER (ORDER BY n_tokens)) * 1e4, 0) AS BIGINT) / 1e4 AS cum_dist,
+        |       CAST(CEIL(4 * CUME_DIST() OVER (ORDER BY n_tokens)) AS INTEGER) AS stage
+        |FROM t
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", tokenCount($"text").cast("long").as("n_tokens"))
+      val counts = toks.groupBy($"n_tokens").agg(count(lit(1)).as("cnt"))
+      val wv = Window.orderBy($"n_tokens")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = toks.agg(count(lit(1)).as("n"))
+      val binned = counts
+        .withColumn("cum", sum($"cnt").over(wv))
+        .crossJoin(broadcast(tot))
+        .select($"n_tokens",
+          graft.functions.Shims.roundPortable(
+            $"cum".cast("double") / $"n", 4).as("cum_dist"),
+          expr("(4 * cum + n - 1) DIV n").cast("int").as("stage"))
+      toks.join(broadcast(binned), Seq("n_tokens"))
+        .select($"doc_id", $"n_tokens", $"cum_dist", $"stage")
+        .orderBy($"doc_id")
+    },
   )
 }

@@ -87,4 +87,129 @@ class AdvancedSpec extends GraftSpec {
       assert(got === want, s"n=$n")
     }
   }
+
+  test("q92 curriculum bins: distinct-value rewrite == definitional cume_dist window") {
+    val dir = sf("sf0.001")
+    val got = SparkEntry.queries("q92_curriculum_bins")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val w = Window.orderBy($"n_tokens")
+    val want = graft.Tables.documents(spark, dir)
+      .select($"doc_id",
+        graft.text.TextFunctions.tokenCount($"text").cast("long").as("n_tokens"))
+      .select($"doc_id", $"n_tokens",
+        roundPortable(cume_dist().over(w), 4).as("cd"),
+        ceil(cume_dist().over(w) * 4).cast("int").as("stage"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(got === want)
+    // stages are 1..4 and value-monotone
+    val byStage = got.groupBy(_._4)
+    assert(byStage.keySet.subsetOf(Set(1, 2, 3, 4)))
+    val maxTok = byStage.view.mapValues(_.map(_._2).max).toMap
+    assert(maxTok.toSeq.sortBy(_._1).map(_._2) ===
+      maxTok.toSeq.sortBy(_._1).map(_._2).sorted)
+  }
+
+  test("q93 snapshot diff: classification matches a naive per-user replay") {
+    val dir = sf("sf0.001")
+    val got = SparkEntry.queries("q93_snapshot_diff")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3)))
+      .toMap
+    val ev = graft.Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lo = ev.map(_._3).min; val hi = ev.map(_._3).max
+    val t1 = lo + (hi - lo) / 2
+    def lastAt(t: Long) = ev.filter(_._3 <= t).groupBy(_._1)
+      .view.mapValues(_.maxBy(e => (e._3, e._2))._2).toMap
+    val olds = lastAt(t1); val news = lastAt(hi)
+    assert(got.keySet === news.keySet)
+    news.foreach { case (u, ne) =>
+      val (ct, oe, gne) = got(u)
+      assert(gne === ne, s"user $u new event")
+      assert(oe === olds.get(u), s"user $u old event")
+      val expected = olds.get(u) match {
+        case None                 => "insert"
+        case Some(o) if o == ne   => "unchanged"
+        case _                    => "update"
+      }
+      assert(ct === expected, s"user $u change_type")
+    }
+    assert(got.values.exists(_._1 == "update"), "fixture should exercise updates")
+  }
+
+  test("q94 pagerank: distributed integer iterations == naive driver replay; mass conserved") {
+    val dir = sf("sf0.001")
+    val got = SparkEntry.queries("q94_pagerank")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val e0 = graft.Tables.orders(spark, dir)
+      .join(graft.Tables.lineitem(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = (e0 ++ e0.map(p => (p._2, p._1))).distinct
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rank = deg.keys.map(_ -> 1000000000000L).toMap
+    (1 to 3).foreach { _ =>
+      val s = edges.groupBy(_._2).view
+        .mapValues(_.map(e => rank(e._1) / deg(e._1)).sum).toMap
+      rank = s.map { case (n, v) =>
+        n -> (150000000000L + 85L * (v / 100) + 85L * (v % 100) / 100)
+      }
+    }
+    val want = rank.map { case (n, v) =>
+      ((if (n % 2 == 0) "customer" else "supplier", n / 2), v)
+    }
+    assert(got === want)
+    // damping floors only ever LEAK mass: total stays within N*1e12
+    // and above N*(0.15*1e12) + 0.85*(inflow floors)
+    val n = rank.size.toLong
+    val mass = rank.values.sum
+    assert(mass <= n * 1000000000000L)
+    assert(mass >= n * 999999000000L, s"mass leak too large: $mass vs n=$n")
+  }
+
+  test("q95 blocked linkage: blocking recovers EXACTLY the cross-join matches") {
+    val dir = sf("sf0.001")
+    val got = SparkEntry.queries("q95_blocked_linkage")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(4)))
+      .toSet
+    val cust = graft.Tables.customer(spark, dir)
+      .select($"c_custkey", regexp_extract($"c_name", "([0-9]+)$", 1).as("cd"))
+    val supp = graft.Tables.supplier(spark, dir)
+      .select($"s_suppkey", regexp_extract($"s_name", "([0-9]+)$", 1).as("sd"))
+    val want = cust.crossJoin(supp)
+      .withColumn("dist", levenshtein($"cd", $"sd"))
+      .filter($"dist" <= 1)
+      .select($"c_custkey", $"s_suppkey", $"dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    assert(got === want)
+    assert(got.nonEmpty && got.exists(_._3 == 1), "fixture should have dist-1 pairs")
+  }
+
+  test("q96 cumulative distinct: first-touch rewrite == naive expanding count") {
+    val dir = sf("sf0.001")
+    val got = SparkEntry.queries("q96_cumulative_distinct")(spark, dir)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    val ev = graft.Tables.events(spark, dir)
+      .select(to_date($"ts").as("day"), $"user_id")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+    val days = ev.map(_._1).distinct.sorted
+    var prev = 0L
+    val want = days.map { d =>
+      val cum = ev.filter(_._1 <= d).map(_._2).distinct.size.toLong
+      val row = (d, cum - prev, cum); prev = cum; row
+    }
+    assert(got.toSeq === want)
+    assert(got.map(_._3).toSeq === got.map(_._3).toSeq.sorted, "cum_users monotone")
+  }
 }
