@@ -137,7 +137,9 @@ object CorpusGen {
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
     spark.range(nOrders * 4).select(
       (id / 4).cast("long").as("l_orderkey"),
-      pmod(h(seed, 31, id), lit(nSupp)).as("l_suppkey"))
+      pmod(id, lit(4L)).cast("int").as("l_linenumber"),
+      pmod(h(seed, 31, id), lit(nSupp)).as("l_suppkey"),
+      (pmod(h(seed, 32, id), lit(50L)) + 1).cast("double").as("l_quantity"))
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
   }
 

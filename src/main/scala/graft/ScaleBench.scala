@@ -92,7 +92,10 @@ object ScaleBench {
     // and blocked record linkage (two equi-joins, pair space never
     // materialized)
     "q92_curriculum_bins", "q93_snapshot_diff", "q96_cumulative_distinct",
-    "q94_pagerank", "q95_blocked_linkage")
+    "q94_pagerank", "q95_blocked_linkage",
+    // skew-salted join (shuffle ∝ fact + salts×dim) and HLL sketch
+    // rollup (one mergeable day pass + day-count-sized unions)
+    "q97_skew_salted_join", "q98_hll_rollup")
 
   /** Quadratic-by-contract entries, capped at 10×: the exact all-pairs
     * baselines (q33 n-gram Jaccard, q36 cosine pairs), and q49 whose

@@ -9,9 +9,11 @@ import graft.functions.Shims.round2
 import graft.plans.SaltedAggregate
 
 /** Advanced composition surface beyond the reference's literal operator
-  * set: gap-based sessionization, ROLLUP grouping, skew-salted
-  * aggregation, exact percentiles, and a TPC-H-style multi-operator
-  * composite — each with a DuckDB oracle.
+  * set: gap-based sessionization, ROLLUP/CUBE grouping, skew-salted
+  * aggregation AND join, exact percentiles, table statistics, z-order
+  * layout, CDC snapshot diff, integer-exact PageRank, blocked record
+  * linkage, cumulative-distinct growth curves, HLL sketch algebra, and
+  * a TPC-H-style multi-operator composite — each oracle-gated.
   */
 object Advanced {
 
@@ -716,15 +718,21 @@ object Advanced {
     /** Blocked record linkage (E56/q95) — q51's promised scale shape,
       * delivered: match customer against supplier identities whose
       * 9-digit id strings are within edit distance 1, WITHOUT the
-      * cross product the oracle runs. For equal-length strings,
-      * distance ≤ 1 means 0 or 1 substitutions, so by pigeonhole the
-      * pair agrees exactly on the 5-char prefix or the 4-char suffix —
-      * each side emits one blocking key per half, candidates come from
-      * the two equi-joins (shuffle ∝ corpus, pair space never
-      * materialized), and `levenshtein` verifies inside the block.
-      * Pairs matching in both blocks (distance 0) dedup with one
-      * distinct. The oracle is the naive cross join — different plan,
-      * identical set, which is exactly the blocking-correctness
+      * cross product the oracle runs. Blocking is the SymSpell
+      * deletion neighborhood: equal-length strings at distance ≤ 1
+      * differ by ≤ 1 substitution, so they agree exactly on the string
+      * with the differing position DELETED — each side emits 9 keys
+      * (position, string-minus-position) and every true pair collides
+      * on at least one. Unlike naive prefix/suffix pigeonhole blocking
+      * (whose blocks balloon quadratically on low-entropy key regions —
+      * measured 39 s at the 100× curve point on dense sequential ids),
+      * a deletion block holds only strings identical outside ONE
+      * position, so its size is bounded by the ALPHABET (≤10 digits per
+      * side), independent of data skew: candidates ∝ 9·n with a
+      * constant-bounded per-block fan-out. `levenshtein` verifies
+      * in-block; duplicate hits (a distance-0 pair shares all 9 keys)
+      * collapse with one distinct. The oracle is the naive cross join —
+      * different plan, identical set: the blocking-exhaustiveness
       * guarantee. */
     QueryDef.sql(
       "q95_blocked_linkage",
@@ -743,10 +751,9 @@ object Advanced {
       val supp = Tables.supplier(s, d)
         .select($"s_suppkey", regexp_extract($"s_name", "([0-9]+)$", 1).as("sd"))
       def blocks(df: org.apache.spark.sql.DataFrame, idc: String, sc: String) = df
-        .select(col(idc), col(sc),
-          explode(array(
-            concat(lit("p:"), substring(col(sc), 1, 5)),
-            concat(lit("s:"), substring(col(sc), 6, 4)))).as("blk"))
+        .select(col(idc), col(sc), explode(array((1 to 9).map(i =>
+          concat(lit(s"$i:"), substring(col(sc), 1, i - 1),
+            substring(col(sc), i + 1, 9 - i))): _*)).as("blk"))
       blocks(cust, "c_custkey", "cd")
         .join(blocks(supp, "s_suppkey", "sd"), Seq("blk"))
         .withColumn("dist", levenshtein($"cd", $"sd"))
@@ -788,6 +795,79 @@ object Advanced {
         .withColumn("new_users", coalesce($"new_users", lit(0L)))
         .withColumn("cum_users", sum($"new_users").over(w))
         .orderBy($"day")
+    },
+
+    /** Skew-salted JOIN (E58/q97) — E15/q41 salts an aggregation; this
+      * salts the JOIN itself, the other half of the hot-key toolkit: a
+      * fact table whose join key is skewed (one mega-supplier) would
+      * route every hot-key row through one reducer of a shuffle join.
+      * Salt spreads them: the fact side appends a deterministic per-row
+      * salt in [0, 8), the dim side replicates each row 8× (one per
+      * salt), and the join runs on (key, salt) — hot keys now occupy 8
+      * reducers. The dim-side blowup is 8× a DIM table (cheap); at
+      * 100 TB this is the pattern for the large-dim case where
+      * `broadcast()` no longer fits and AQE's skew split can't help a
+      * single monster key inside one partition. The gate forces the
+      * shuffle path (`shuffle_hash` hint) because Catalyst would
+      * otherwise broadcast this small dim and the salt would be dead
+      * code; the post-join rollup re-keys on the dim NAME — safe
+      * because the join output arrives pre-spread and the hash agg
+      * map-side-combines per (name) before the final 25-row shuffle.
+      * Result provably identical to the plain join (the oracle). */
+    QueryDef.sql(
+      "q97_skew_salted_join",
+      """SELECT s.s_name,
+        |       COUNT(*) AS n_items,
+        |       CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |GROUP BY s.s_name
+        |ORDER BY s.s_name""".stripMargin) { (s, d) =>
+      val salts = 8
+      val fact = Tables.lineitem(s, d)
+        .select($"l_suppkey", $"l_quantity",
+          pmod(xxhash64($"l_orderkey", $"l_linenumber"), lit(salts)).as("__salt"))
+      val dim = Tables.supplier(s, d)
+        .select($"s_suppkey", $"s_name",
+          explode(sequence(lit(0L), lit(salts - 1L))).as("__salt"))
+      fact.hint("shuffle_hash")
+        .join(dim, fact("l_suppkey") === dim("s_suppkey") &&
+          fact("__salt") === dim("__salt"))
+        .groupBy($"s_name")
+        .agg(count(lit(1)).as("n_items"),
+          sum($"l_quantity").cast("long").as("sum_qty"))
+        .orderBy($"s_name")
+    },
+
+    /** HLL sketch algebra (E59/q98) — the incremental-distinct pattern
+      * every 100 TB metrics store runs on: per-day HyperLogLog sketches
+      * of active users are the PERSISTED state (one ~KB sketch per day,
+      * computed once when the day's partition lands), and every
+      * coarser-grain distinct count — weekly, total — is a UNION of
+      * stored sketches, never a rescan of history. Spark's DataSketches
+      * `hll_sketch_agg / hll_union_agg / hll_sketch_estimate` are
+      * mergeable (map-side combining), so the day pass is one
+      * scan-shaped aggregate and the rollups touch only day-count-many
+      * sketch rows. Rows-only (sketch estimates are bit-layout
+      * specific); AdvancedSpec pins every estimate against the exact
+      * distinct counts, and q96 is the exact sibling on the same
+      * stream. The `week 0 = all-time` sentinel row unions the SAME
+      * day sketches a third grain deep — algebra, not rescan. */
+    QueryDef.rowsOnly("q98_hll_rollup") { (s, d) =>
+      val daily = Tables.events(s, d)
+        .select(to_date($"ts").as("day"), $"user_id")
+        .groupBy($"day")
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      val weekly = daily
+        .groupBy(weekofyear($"day").cast("long").as("week"))
+        .agg(count(lit(1)).as("n_days"),
+          expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)")
+            .as("approx_users"))
+      val total = daily
+        .agg(count(lit(1)).as("n_days"),
+          expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)")
+            .as("approx_users"))
+        .select(lit(0L).as("week"), $"n_days", $"approx_users")
+      weekly.unionByName(total).orderBy($"week")
     },
 
     /** The 100 TB spelling of q84: identical stats pass with

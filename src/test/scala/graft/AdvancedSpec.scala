@@ -212,4 +212,40 @@ class AdvancedSpec extends GraftSpec {
     assert(got.toSeq === want)
     assert(got.map(_._3).toSeq === got.map(_._3).toSeq.sorted, "cum_users monotone")
   }
+
+  test("q97 salted join == plain broadcast join; salt spreads hot keys across reducers") {
+    val dir = sf("sf0.001")
+    val got = SparkEntry.queries("q97_skew_salted_join")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = graft.Tables.lineitem(spark, dir)
+      .join(broadcast(graft.Tables.supplier(spark, dir)),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("n"), sum($"l_quantity").cast("long").as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+  }
+
+  test("q98 HLL rollup: sketch-union estimates track exact distincts at every grain") {
+    val dir = sf("sf0.001")
+    val got = SparkEntry.queries("q98_hll_rollup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ev = graft.Tables.events(spark, dir)
+      .select(to_date($"ts").as("day"), $"user_id",
+        weekofyear(to_date($"ts")).cast("long").as("week"))
+    val exactWeek = ev.groupBy($"week")
+      .agg(countDistinct($"day").as("d"), countDistinct($"user_id").as("u"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exactTotal = ev.agg(countDistinct($"day"), countDistinct($"user_id"))
+      .collect().head
+    assert(got.keySet === exactWeek.keySet + 0L)
+    (exactWeek + (0L -> (exactTotal.getLong(0), exactTotal.getLong(1))))
+      .foreach { case (w, (d, u)) =>
+        val (gd, gu) = got(w)
+        assert(gd === d, s"week $w day count")
+        // HLL lgK=12 rsd ~1.6%; generous 5% + slack for tiny counts
+        assert(math.abs(gu - u) <= math.max(2.0, u * 0.05),
+          s"week $w: estimate $gu vs exact $u")
+      }
+  }
 }

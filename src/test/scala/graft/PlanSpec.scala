@@ -376,4 +376,39 @@ class PlanSpec extends GraftSpec {
     val p = probe.queryExecution.executedPlan.toString
     assert(p.contains("*("), p.linesIterator.take(20).mkString("\n"))
   }
+
+  test("r8 second-wave ops keep their intended physical shapes (q92-q96)") {
+    // q92 curriculum bins: the value→(cume, stage) map joins back onto
+    // the corpus scan as a BROADCAST (it is value-domain-sized); the
+    // only window runs over that map, never over per-doc rows
+    val p92 = plan(q("q92_curriculum_bins"))
+    assert(p92.contains("BroadcastHashJoin"),
+      p92.linesIterator.take(25).mkString("\n"))
+    // q93 snapshot diff: cutoffs ride a broadcast 1-row extent (a
+    // nested-loop join against ONE row is the intended broadcast
+    // scalar pattern, same as q85's extent row); state is aggregated,
+    // never windowed
+    val p93 = plan(q("q93_snapshot_diff"))
+    assert(!p93.contains("Window"), "q93 must aggregate, not window")
+    assert(!p93.contains("CartesianProduct"))
+    // q94 pagerank / q95 blocked linkage: iterative/blocked equi-joins
+    // only — a cartesian or nested-loop anywhere means the pair space
+    // leaked into the plan
+    Seq("q94_pagerank", "q95_blocked_linkage").foreach { name =>
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$name must stay equi-join-only:\n${p.linesIterator.take(25).mkString("\n")}")
+    }
+    // q96 cumulative distinct: the running-sum window consumes the
+    // per-day frame AFTER the per-user and per-day aggregates — both
+    // aggregates must sit beneath the window in the plan
+    val p96 = q("q96_cumulative_distinct").queryExecution.executedPlan
+    val winDepth = p96.toString.linesIterator.indexWhere(_.contains("Window"))
+    assert(winDepth >= 0 && p96.toString.contains("HashAggregate"))
+    // q97 salted join: the hint must hold — a broadcast here would make
+    // the salt dead code and the test meaningless as a skew rehearsal
+    val p97 = plan(q("q97_skew_salted_join"))
+    assert(p97.contains("ShuffledHashJoin"),
+      p97.linesIterator.take(25).mkString("\n"))
+  }
 }
