@@ -16,6 +16,9 @@ import graft.functions.{FloatVecDot, FnvHash64, MisraGries, NfcNormalize, TopKSt
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // the custom-operator tier (SURVEY §7.3 (c)): the native as-of
+    // join's planner strategy (AsOfJoinNode → AsOfJoinExec)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("fnv64"),
       new ExpressionInfo(classOf[FnvHash64].getName, "fnv64"),

@@ -95,7 +95,12 @@ object ScaleBench {
     "q94_pagerank", "q95_blocked_linkage",
     // skew-salted join (shuffle ∝ fact + salts×dim) and HLL sketch
     // rollup (one mergeable day pass + day-count-sized unions)
-    "q97_skew_salted_join", "q98_hll_rollup")
+    "q97_skew_salted_join", "q98_hll_rollup",
+    // the as-of twins as a measured PAIR: union+window rewrite vs the
+    // native AsOfJoinExec merge — same shuffles, window frame buffer
+    // vs O(1) merge state; plus incremental-MV maintenance (two aggs
+    // + one MV-sized merge join)
+    "q21_asof_join", "q21b_asof_join_native", "q99_incremental_mv")
 
   /** Quadratic-by-contract entries, capped at 10×: the exact all-pairs
     * baselines (q33 n-gram Jaccard, q36 cosine pairs), and q49 whose

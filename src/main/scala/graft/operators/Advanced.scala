@@ -870,6 +870,46 @@ object Advanced {
       weekly.unionByName(total).orderBy($"week")
     },
 
+    /** Incremental materialized-view maintenance (E60/q99) — the
+      * algebraic MV-refresh primitive behind every warehouse's
+      * incremental pipeline: a grouped aggregate MV (per (event_type,
+      * day): count + exact-cents sum) is maintained by aggregating ONLY
+      * the delta batch and merging it into the stored MV with one
+      * full-outer join + coalesced combines — history is never
+      * rescanned. The gate splits events at the extent midpoint
+      * (base ≤ T, delta > T), runs base-agg ⊕ delta-agg, and the
+      * oracle recomputes the aggregate over ALL events directly — the
+      * merge ≡ recompute equivalence IS the algebraic-maintenance
+      * correctness claim (sums/counts are abelian-group aggregates, so
+      * ⊕ is exact; avg/quantiles would need the sum/count decomposition
+      * this MV stores). Scale: delta agg ∝ new data, merge join ∝ MV
+      * size (group count), both map-side combining. */
+    QueryDef.sql(
+      "q99_incremental_mv",
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(ROUND(value * 1e2, 0) AS BIGINT)) AS BIGINT) / 1e2 AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY event_type, day""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select($"event_type", to_date($"ts").as("day"),
+          unix_micros($"ts").as("us"), cents($"value").as("c"))
+      val ext = ev.agg(min($"us").as("lo"), max($"us").as("hi"))
+      def agg(df: org.apache.spark.sql.DataFrame, n: String, t: String) = df
+        .groupBy($"event_type", $"day")
+        .agg(count(lit(1)).as(n), sum($"c").as(t))
+      val withCut = ev.crossJoin(broadcast(ext))
+      val base = agg(withCut.filter($"us" <= expr("lo + (hi - lo) DIV 2")), "n0", "c0")
+      val delta = agg(withCut.filter($"us" > expr("lo + (hi - lo) DIV 2")), "n1", "c1")
+      base.join(delta, Seq("event_type", "day"), "full_outer")
+        .select($"event_type", $"day",
+          (coalesce($"n0", lit(0L)) + coalesce($"n1", lit(0L))).as("n_events"),
+          ((coalesce($"c0", lit(0L)) + coalesce($"c1", lit(0L))) / 1e2)
+            .as("total_value"))
+        .orderBy($"event_type", $"day")
+    },
+
     /** The 100 TB spelling of q84: identical stats pass with
       * `approx_count_distinct` (HyperLogLog++, rsd 2% — 0.01 doubled
       * the per-row update cost for precision ANALYZE never needs) for

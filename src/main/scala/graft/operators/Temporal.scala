@@ -19,6 +19,18 @@ import graft.plans.{AsOfJoin, BandJoin}
   */
 object Temporal {
 
+  /** Shared by q21 (union+window rewrite) and q21b (native physical
+    * operator): both compute exactly this correlated-MAX restatement. */
+  private val asofOracle =
+    """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id,
+      |       epoch_ms(p.ts) AS purchase_ms,
+      |       epoch_ms((SELECT MAX(c.ts) FROM c
+      |                 WHERE c.user_id = p.user_id AND c.ts <= p.ts)) AS last_click_ms
+      |FROM events p
+      |WHERE p.event_type = 'purchase'
+      |ORDER BY p.event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     /** F14/F15 — calendar dimension derived from the data's own date
@@ -129,14 +141,7 @@ object Temporal {
       * oracle is the equivalent correlated MAX subquery. */
     QueryDef.sql(
       "q21_asof_join",
-      """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
-        |SELECT p.event_id, p.user_id,
-        |       epoch_ms(p.ts) AS purchase_ms,
-        |       epoch_ms((SELECT MAX(c.ts) FROM c
-        |                 WHERE c.user_id = p.user_id AND c.ts <= p.ts)) AS last_click_ms
-        |FROM events p
-        |WHERE p.event_type = 'purchase'
-        |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      asofOracle) { (s, d) =>
       val ev = Tables.events(s, d)
       val purchases = ev.filter($"event_type" === "purchase")
         .select($"event_id", $"user_id", $"ts")
@@ -144,6 +149,34 @@ object Temporal {
         .select($"user_id", $"ts".as("click_ts"), $"event_id".as("click_id"))
       AsOfJoin(purchases, clicks, Seq("user_id"), "ts", "click_ts",
         rightCols = Seq("click_ts"), tieBreak = Some("click_id"))
+        .select(
+          $"event_id", $"user_id",
+          unix_millis($"ts").as("purchase_ms"),
+          unix_millis($"click_ts").as("last_click_ms"))
+        .orderBy($"event_id")
+    },
+
+    /** J8, custom-operator tier — the SAME as-of semantics through the
+      * native [[graft.plans.AsOfJoinNode]] → [[graft.plans.AsOfJoinExec]]
+      * physical operator (LogicalPlan + Strategy + SparkPlan, SURVEY
+      * §7.3 (c)): both sides hash-clustered on user_id and sorted by
+      * (user, time[, id]), then a single-pass partition merge that
+      * buffers exactly ONE right row — where the union+window plan
+      * materializes each key's whole frame in the window buffer. Shares
+      * q21's oracle verbatim; PlanSpec asserts AsOfJoinExec plans with
+      * exchanges+sorts only, and the spec proves row equality with q21
+      * on the shipped data and on adversarial fixtures (null keys, null
+      * times, unmatched lefts, equal-timestamp ties). */
+    QueryDef.sql(
+      "q21b_asof_join_native",
+      asofOracle) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("click_ts"), $"event_id".as("click_id"))
+      graft.plans.AsOfJoinNative(purchases, clicks, Seq("user_id"),
+        "ts", "click_ts", tieBreak = Some("click_id"))
         .select(
           $"event_id", $"user_id",
           unix_millis($"ts").as("purchase_ms"),

@@ -1,0 +1,361 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, AttributeSet, BindReferences, Expression,
+  GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.functions.col
+
+/** Native point-in-time (as-of) join — the custom-operator tier of
+  * SURVEY §7.3 preference (c): a `LogicalPlan` node, a planner
+  * `Strategy`, and a physical `SparkPlan` that executes the as-of
+  * semantics DIRECTLY instead of rewriting them into built-ins.
+  *
+  * Semantics (identical to [[AsOfJoin]], the union+window rewrite, and
+  * to the reference's PIT key resolution,
+  * scripts/05_etl_pipeline/etl_pipeline.py:1144-1158): for each left
+  * row, attach the LATEST right row of the same key with
+  * `rightTime <= leftTime`; latest = greatest (rightTime, tieBreak...).
+  * Unmatched left rows get nulls (left-outer contract).
+  *
+  * Physical shape: both children hash-clustered on the key
+  * (`requiredChildDistribution` — EnsureRequirements inserts the
+  * exchanges and guarantees co-partitioning, exactly as for a
+  * sort-merge join) and sorted by (key, time[, tie]); `doExecute` then
+  * zips partitions with a single-pass merge that carries ONE buffered
+  * right row (the current key's latest-so-far) — O(1) state per
+  * partition, no window buffer at all. Cost profile: one shuffle +
+  * sort per side, like the union+window plan, minus the window
+  * operator's partition materialization — the per-key state the
+  * window must buffer (its whole frame) becomes a single row here.
+  *
+  * The merge advances the right pointer monotonically: right rows are
+  * consumed while (rkey, rtime) ≤ (lkey, ltime) in the merged order,
+  * recording the last same-key row seen — because both sides ascend,
+  * that row IS the as-of match. Null keys never match (SQL equi-join
+  * contract); null right times are skipped; a null left time matches
+  * nothing.
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTie: Seq[Expression]) extends BinaryNode {
+
+  require(leftKeys.length == rightKeys.length &&
+    leftKeys.zip(rightKeys).forall { case (a, b) => a.dataType == b.dataType } &&
+    leftTime.dataType == rightTime.dataType,
+    "as-of join: key/time types must match pairwise across sides")
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override lazy val references: AttributeSet =
+    AttributeSet(leftKeys ++ rightKeys ++ Seq(leftTime, rightTime) ++ rightTie)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy: AsOfJoinNode → AsOfJoinExec. Injected via
+  * `GraftExtensions` (injectPlannerStrategy) and idempotently through
+  * `spark.experimental.extraStrategies` by [[AsOfJoinNative.apply]],
+  * so the operator works in any session. */
+object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, tie) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTie: Seq[Expression]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) ++
+      (SortOrder(rightTime, Ascending) +: rightTie.map(SortOrder(_, Ascending))))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lKeyB = leftKeys.map(BindReferences.bindReference(_, left.output))
+    val rKeyB = rightKeys.map(BindReferences.bindReference(_, right.output))
+    val lTimeB = BindReferences.bindReference(leftTime, left.output)
+    val rTimeB = BindReferences.bindReference(rightTime, right.output)
+    val keyOrds = leftKeys.map(e => TypeUtils.getInterpretedOrdering(e.dataType))
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val nRight = right.output.length
+
+    // Primitive fast path: when every key/time is a direct column of a
+    // long-physical type (bigint / timestamp / timestamp_ntz — the
+    // overwhelmingly common as-of shape), compare raw longs via
+    // row.getLong instead of boxed InterpretedOrdering calls. Measured
+    // 1.95 s → 1.58 s on the 2M-row single-hot-key probe — the
+    // remaining gap to the codegen'd window plan (0.27 s) is the
+    // per-candidate UnsafeRow copy (every consumed same-key right row
+    // may be the final match, and sort/spill iterators reuse row
+    // buffers, so a pointer-shell shortcut would be unsound) plus
+    // non-codegen iteration. The generic iterator remains the fallback
+    // for computed keys or other types.
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    def longOrd(e: Expression): Int = e match {
+      case b: BoundReference if b.dataType == LongType ||
+        b.dataType == TimestampType || b.dataType == TimestampNTZType => b.ordinal
+      case _ => -1
+    }
+    val lOrds = (lKeyB :+ lTimeB).map(longOrd).toArray
+    val rOrds = (rKeyB :+ rTimeB).map(longOrd).toArray
+    val fastPath = (lOrds ++ rOrds).forall(_ >= 0)
+
+    if (fastPath) {
+      val nK = lKeyB.length
+      left.execute().zipPartitions(right.execute()) { (li, ri) =>
+        new Iterator[InternalRow] {
+          private val joined = new JoinedRow
+          private val nullRight = new GenericInternalRow(nRight)
+          private val lkv = new Array[Long](nK)
+          private val rkv = new Array[Long](nK)
+          private var rHead: InternalRow = _
+          private var lastMatch: InternalRow = _
+          private var lastBuf: org.apache.spark.sql.catalyst.expressions.UnsafeRow = _
+          private val lastKeys = new Array[Long](nK)
+          private var haveMatch = false
+
+          /** fills out with the row's key longs; false if any is null. */
+          private def fill(row: InternalRow, ords: Array[Int],
+              out: Array[Long]): Boolean = {
+            var i = 0
+            while (i < nK) {
+              if (row.isNullAt(ords(i))) return false
+              out(i) = row.getLong(ords(i)); i += 1
+            }
+            true
+          }
+          private def cmpRL(): Int = {      // right vs left over the slots
+            var i = 0
+            while (i < nK) {
+              val c = java.lang.Long.compare(rkv(i), lkv(i))
+              if (c != 0) return c
+              i += 1
+            }
+            0
+          }
+          private def recordMatch(row: InternalRow): Unit = {
+            row match {
+              case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+                if (lastBuf == null) {
+                  lastBuf = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(nRight)
+                  val seed = new Array[Byte](math.max(u.getSizeInBytes, 64))
+                  lastBuf.pointTo(seed, seed.length)
+                }
+                lastBuf.copyFrom(u)
+                lastMatch = lastBuf
+              case other => lastMatch = other.copy()
+            }
+            System.arraycopy(rkv, 0, lastKeys, 0, nK)
+            haveMatch = true
+          }
+          override def hasNext: Boolean = li.hasNext
+          override def next(): InternalRow = {
+            val l = li.next()
+            val lkOk = fill(l, lOrds, lkv)
+            val ltNull = l.isNullAt(lOrds(nK))
+            val lt = if (ltNull) 0L else l.getLong(lOrds(nK))
+            val lUsable = lkOk && !ltNull
+            var continue = true
+            while (continue) {
+              if (rHead == null && ri.hasNext) rHead = ri.next()
+              if (rHead == null) continue = false
+              else {
+                val rkOk = fill(rHead, rOrds, rkv)
+                val rtNull = rHead.isNullAt(rOrds(nK))
+                val rNull = !rkOk || rtNull
+                val ck = if (rNull) -1 else cmpRL()
+                if (rNull || ck < 0 ||
+                    (ck == 0 && lUsable && rHead.getLong(rOrds(nK)) <= lt)) {
+                  if (!rNull && ck == 0 && lUsable) recordMatch(rHead)
+                  rHead = null
+                } else continue = false
+              }
+            }
+            val matched = lUsable && haveMatch &&
+              java.util.Arrays.equals(lastKeys, lkv)
+            joined(l, if (matched) lastMatch else nullRight)
+          }
+        }
+      }
+    } else
+    left.execute().zipPartitions(right.execute()) { (li, ri) =>
+      new Iterator[InternalRow] {
+        private val joined = new JoinedRow
+        private val nullRight = new GenericInternalRow(nRight)
+        private val lKeyArr = lKeyB.toArray
+        private val rKeyArr = rKeyB.toArray
+        private val nKeys = lKeyArr.length
+        // reused per-row key value slots (never retained across rows)
+        private val lkv = new Array[Any](nKeys)
+        private val rkv = new Array[Any](nKeys)
+        private var rHead: InternalRow = _       // lookahead, not yet consumed
+        // latest same-key right row, held in a REUSED UnsafeRow copy
+        // buffer (UnsafeRow.copyFrom reuses its backing array) with its
+        // key values cached — re-extracted once per copy, so the merge
+        // does zero per-left-row allocation on the steady path
+        private var lastMatch: InternalRow = _
+        private var lastBuf: org.apache.spark.sql.catalyst.expressions.UnsafeRow = _
+        private val lastKeys = new Array[Any](nKeys)
+
+        /** right-vs-left lexicographic key compare over the reused slots. */
+        private def cmpKeysRL(r: Array[Any]): Int = {
+          var i = 0
+          while (i < nKeys) {
+            val c = keyOrds(i).compare(r(i), lkv(i))
+            if (c != 0) return c
+            i += 1
+          }
+          0
+        }
+        private def fill(es: Array[Expression], row: InternalRow,
+            out: Array[Any]): Boolean = {
+          var i = 0; var ok = true
+          while (i < nKeys) {
+            out(i) = es(i).eval(row)
+            if (out(i) == null) ok = false
+            i += 1
+          }
+          ok
+        }
+        private def recordMatch(row: InternalRow): Unit = {
+          row match {
+            case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+              if (lastBuf == null) {
+                // copyFrom REQUIRES an existing byte[]-backed buffer (it
+                // grows it as needed but dereferences the current one)
+                lastBuf = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(nRight)
+                val seed = new Array[Byte](math.max(u.getSizeInBytes, 64))
+                lastBuf.pointTo(seed, seed.length)
+              }
+              lastBuf.copyFrom(u)
+              lastMatch = lastBuf
+            case other => lastMatch = other.copy()
+          }
+          var i = 0
+          while (i < nKeys) { lastKeys(i) = rKeyArr(i).eval(lastMatch); i += 1 }
+        }
+
+        override def hasNext: Boolean = li.hasNext
+
+        override def next(): InternalRow = {
+          val l = li.next()
+          val lkOk = fill(lKeyArr, l, lkv)
+          val lt = lTimeB.eval(l)
+          val lUsable = lkOk && lt != null
+          // advance the right pointer through every row at or before
+          // (lkey, ltime) in merged order; record same-key candidates
+          var continue = true
+          while (continue) {
+            if (rHead == null && ri.hasNext) rHead = ri.next()
+            if (rHead == null) continue = false
+            else {
+              val rkOk = fill(rKeyArr, rHead, rkv)
+              val rt = rTimeB.eval(rHead)
+              val rNull = !rkOk || rt == null
+              val ck = if (rNull) -1 else cmpKeysRL(rkv)
+              if (rNull || ck < 0 ||
+                  (ck == 0 && lUsable && timeOrd.compare(rt, lt) <= 0)) {
+                if (!rNull && ck == 0 && lUsable) recordMatch(rHead)
+                rHead = null
+              } else continue = false
+            }
+          }
+          val matched = lUsable && lastMatch != null && {
+            var i = 0; var eq = true
+            while (eq && i < nKeys) {
+              eq = keyOrds(i).compare(lastKeys(i), lkv(i)) == 0 && lkv(i) != null
+              i += 1
+            }
+            eq
+          }
+          joined(l, if (matched) lastMatch else nullRight)
+        }
+      }
+    }
+  }
+}
+
+/** DataFrame-level builder (the user API of the native operator). */
+object AsOfJoinNative {
+
+  /** Left as-of join `left` to `right` on equal `keys` with
+    * `right(rightTime) <= left(leftTime)`, latest (rightTime, tieBreak)
+    * wins. Returns `left.*` plus the right columns (renamed by the
+    * caller beforehand; null when unmatched). Column-name contract
+    * mirrors [[AsOfJoin.apply]]. */
+  def apply(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tieBreak: Option[String] = None): DataFrame = {
+    val spark = left.sparkSession
+    // the strategy must be visible to THIS session's planner even when
+    // the session was built without GraftExtensions
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    // self-join safety: re-alias every right column so the two sides
+    // can never share attribute ids (each Alias mints a fresh ExprId)
+    val rightFresh = right.select(right.columns.map(c => col(c).as(c)): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rightFresh.queryExecution.analyzed
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"as-of join: column $name not found in ${plan.output.map(_.name)}"))
+    val node = AsOfJoinNode(
+      lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
+      attr(lPlan, leftTime), attr(rPlan, rightTime),
+      tieBreak.map(attr(rPlan, _)).toSeq)
+    org.apache.spark.sql.GraftSqlBridge.ofRows(spark, node)
+      // drop the right-side join keys (same names as left's) by
+      // position: keep left.* plus the non-key right columns
+      .toDF(left.columns ++ rightFresh.columns.map("__r_" + _): _*)
+      .select((left.columns.map(col) ++
+        rightFresh.columns.filterNot(keys.contains)
+          .map(c => col("__r_" + c).as(c))): _*)
+  }
+}

@@ -226,6 +226,32 @@ class AdvancedSpec extends GraftSpec {
     assert(got === want)
   }
 
+  test("q99 incremental MV: delta-merge == full recompute; both halves non-trivial") {
+    val dir = sf("sf0.001")
+    val got = SparkEntry.queries("q99_incremental_mv")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getDouble(3)))
+      .toSet
+    val ev = graft.Tables.events(spark, dir)
+    val want = ev
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round($"value" * 100, 0).cast("long")) / 1e2).as("t"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got === want)
+    // the gate's midpoint split must exercise BOTH the base MV and the
+    // delta batch, or the merge is vacuous
+    val ext = ev.agg(min(unix_micros($"ts")), max(unix_micros($"ts")))
+      .as[(Long, Long)].head()
+    val cut = ext._1 + (ext._2 - ext._1) / 2
+    val halves = ev.agg(
+      sum((unix_micros($"ts") <= cut).cast("long")),
+      sum((unix_micros($"ts") > cut).cast("long"))).as[(Long, Long)].head()
+    assert(halves._1 > 0 && halves._2 > 0)
+  }
+
   test("q98 HLL rollup: sketch-union estimates track exact distincts at every grain") {
     val dir = sf("sf0.001")
     val got = SparkEntry.queries("q98_hll_rollup")(spark, dir)

@@ -623,6 +623,43 @@ object OperatorProps extends Properties("operators") {
         }
       }
     }
+  // q95's blocking-exhaustiveness claim, on ARBITRARY digit strings:
+  // SymSpell deletion-neighborhood blocking (one key per deleted
+  // position) must recover EXACTLY the pairs the naive cross join
+  // finds at levenshtein ≤ 1 — including skewed distributions where
+  // many strings share long prefixe/suffix runs (the case that
+  // defeated pigeonhole half-blocking).
+  private val genDigits: Gen[List[String]] = Gen.listOfN(25,
+    Gen.oneOf(
+      Gen.choose(0, 30).map(n => f"$n%09d"),        // dense sequential-ish
+      Gen.choose(0, 999999999).map(n => f"$n%09d")) // sparse
+  )
+
+  property("deletion-neighborhood blocking == cross-join levenshtein<=1") =
+    forAll(genDigits, genDigits) { (as, bs) =>
+      val aDf = as.distinct.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("aid", "ad")
+      val bDf = bs.distinct.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("bid", "bd")
+      def blocks(df: org.apache.spark.sql.DataFrame, sc: String) = df
+        .select(df.columns.map(col) :+ explode(array((1 to 9).map(i =>
+          concat(lit(s"$i:"), substring(col(sc), 1, i - 1),
+            substring(col(sc), i + 1, 9 - i))): _*)).as("blk"): _*)
+      val got = blocks(aDf, "ad").join(blocks(bDf, "bd"), Seq("blk"))
+        .filter(levenshtein($"ad", $"bd") <= 1)
+        .select($"aid", $"bid").distinct()
+        .as[(Long, Long)].collect().toSet
+      val want = (for {
+        (a, i) <- as.distinct.zipWithIndex
+        (b, j) <- bs.distinct.zipWithIndex
+        if naiveLev1(a, b)
+      } yield (i.toLong, j.toLong)).toSet
+      got == want
+    }
+
+  /** equal-length distance ≤ 1 ⇔ hamming ≤ 1 (naive reference). */
+  private def naiveLev1(a: String, b: String): Boolean =
+    a.length == b.length && a.zip(b).count { case (x, y) => x != y } <= 1
 }
 
 /** SCD2 invariants under arbitrary batch sequences. */
@@ -666,4 +703,5 @@ object Scd2Props extends Properties("scd2") {
         curCount && noOverlap
       }
     }
+
 }

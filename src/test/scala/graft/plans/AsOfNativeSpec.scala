@@ -1,0 +1,84 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.GraftSpec
+
+/** The native as-of physical operator (AsOfJoinNode → AsOfJoinExec):
+  * result equality with the union+window rewrite on shipped data AND
+  * on adversarial fixtures, plan-shape proof, and a randomized
+  * cross-check against a naive per-row reference. */
+class AsOfNativeSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("native as-of == union+window as-of on the shipped events (q21 twin)") {
+    val dir = sf("sf0.001")
+    def rows(name: String) = graft.SparkEntry.queries(name)(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))).toSeq
+    assert(rows("q21b_asof_join_native") === rows("q21_asof_join"))
+  }
+
+  test("native as-of plans AsOfJoinExec with exchanges+sorts, no window, no nested loop") {
+    val dir = sf("sf0.001")
+    val p = graft.SparkEntry.queries("q21b_asof_join_native")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin ["), p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("Window") && !p.contains("BroadcastNestedLoop") &&
+      !p.contains("CartesianProduct"))
+    // both sides hash-cluster on the key and sort per the operator's
+    // requiredChildOrdering; pushdown + pruning survive the custom node
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size === 2, p)
+    assert(p.contains("PushedFilters: [IsNotNull(event_type)"))
+  }
+
+  test("adversarial semantics: null keys, null times, unmatched lefts, equal-ts ties") {
+    val left = Seq(
+      (Some(1L), Some(ts("2024-01-01 10:00:00"))), // plain match
+      (Some(1L), Some(ts("2024-01-01 08:00:00"))), // before any right → null
+      (Some(1L), None),                            // null left time → null
+      (None, Some(ts("2024-01-01 10:00:00"))),     // null left key → null
+      (Some(3L), Some(ts("2024-01-01 10:00:00"))) // key with no rights → null
+    ).toDF("k", "t")
+    val right = Seq(
+      (Some(1L), Some(ts("2024-01-01 09:00:00")), 1L, "a"),
+      (Some(1L), Some(ts("2024-01-01 09:00:00")), 2L, "b"), // tie → b
+      (None, Some(ts("2024-01-01 08:00:00")), 3L, "nullkey"),
+      (Some(2L), None, 4L, "nullts")
+    ).toDF("k", "rt", "seq", "v")
+    val out = AsOfJoinNative(left, right, Seq("k"), "t", "rt", Some("seq"))
+      .orderBy($"k", $"t")
+      .collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)).map(_.toString),
+        Option(r.getAs[String]("v"))))
+    // orderBy (k asc nulls first, t asc nulls first)
+    assert(out.map(_._3) === Seq(
+      None,        // null key
+      None,        // k=1, null time
+      None,        // k=1, 08:00
+      Some("b"),   // k=1, 10:00 — tie-break picks seq=2
+      None         // k=3 unmatched
+    ))
+  }
+
+  test("randomized: native as-of == naive per-row latest-right reference (multi-partition)") {
+    val rnd = new scala.util.Random(42)
+    val lrows = Seq.fill(400)((rnd.nextInt(12).toLong, rnd.nextInt(1000).toLong))
+      .zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+    val rrows = Seq.fill(300)((rnd.nextInt(12).toLong, rnd.nextInt(1000).toLong))
+      .zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+    val left = lrows.toDF("lid", "k", "t").repartition(7)
+    val right = rrows.toDF("rid", "k", "rt").repartition(3)
+    val got = AsOfJoinNative(left, right, Seq("k"), "t", "rt", Some("rid"))
+      .select($"lid", $"rid")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    val want = lrows.map { case (lid, k, t) =>
+      val cands = rrows.filter(r => r._2 == k && r._3 <= t)
+      lid -> (if (cands.isEmpty) None
+              else Some(cands.maxBy(r => (r._3, r._1))._1))
+    }.toMap
+    assert(got === want)
+  }
+}
