@@ -100,7 +100,9 @@ object ScaleBench {
     // native AsOfJoinExec merge — same shuffles, window frame buffer
     // vs O(1) merge state; plus incremental-MV maintenance (two aggs
     // + one MV-sized merge join)
-    "q21_asof_join", "q21b_asof_join_native", "q99_incremental_mv")
+    "q21_asof_join", "q21b_asof_join_native", "q99_incremental_mv",
+    // A-ES weighted sampling: projection + k-slot top-k per source
+    "q100_weighted_sample")
 
   /** Quadratic-by-contract entries, capped at 10×: the exact all-pairs
     * baselines (q33 n-gram Jaccard, q36 cosine pairs), and q49 whose

@@ -1926,5 +1926,42 @@ object TextOps {
         .select($"doc_id", $"n_tokens", $"cum_dist", $"stage")
         .orderBy($"doc_id")
     },
+
+    /** Deterministic weighted sampling (E61/q100) — the
+      * Efraimidis–Spirakis A-ES rule, the standard way to sample a
+      * corpus proportionally to per-doc weights (quality score, token
+      * mass) WITHOUT a global pass: each doc gets key = u^(1/w) with u
+      * a hash-derived uniform in (0, 1] (xxhash64 of doc_id — fully
+      * replayable, no RNG state), w = its token count; the top-k keys
+      * per source ARE a weighted-without-replacement sample. One
+      * codegen'd projection + the bounded TopKStruct aggregate per
+      * source — scan-shaped, k-slot state, no rank window. Rows-only:
+      * `pow` is correctly-rounded in neither engine's contract, so the
+      * keys aren't cross-engine hashable; OperatorProps pins the whole
+      * pipeline (hash → uniform → key → per-source top-k incl.
+      * tie-break) to a naive JVM reference, and q82 is the unweighted
+      * deterministic-sampling sibling. */
+    QueryDef.rowsOnly("q100_weighted_sample") { (s, d) =>
+      weightedSample(Tables.documents(s, d), s)
+        .orderBy($"source", $"rnk")
+    },
   )
+
+  /** q100's kernel, also property-pinned in OperatorProps: A-ES keys
+    * from a hash uniform, per-source bounded top-k. */
+  def weightedSample(docs: DataFrame, s: SparkSession, k: Int = 5): DataFrame = {
+    // u in (0, 1]: (h & Long.Max) + 1 over 2^63 — never 0, so the
+    // w-th root is well-defined for every row
+    val u = (xxhash64($"doc_id").bitwiseAND(lit(Long.MaxValue)).cast("double") +
+      1.0) / 9.223372036854776e18
+    val key = pow(u, lit(1.0) / tokenCount($"text").cast("double"))
+    docs
+      .select($"source", key.as("key"),
+        format_string("%018d", $"doc_id").as("item"))
+      .groupBy($"source")
+      .agg(graft.functions.TopKStruct.topk(s, $"key", $"item", k).as("top"))
+      .select($"source", posexplode($"top"))
+      .select($"source", ($"pos" + 1).cast("int").as("rnk"),
+        $"col.item".cast("long").as("doc_id"), $"col.score".as("key"))
+  }
 }

@@ -660,6 +660,27 @@ object OperatorProps extends Properties("operators") {
   /** equal-length distance ≤ 1 ⇔ hamming ≤ 1 (naive reference). */
   private def naiveLev1(a: String, b: String): Boolean =
     a.length == b.length && a.zip(b).count { case (x, y) => x != y } <= 1
+
+  property("weighted sample == naive A-ES (u^(1/w)) per-source top-k reference") =
+    forAll(Gen.listOfN(24, genSourcedDoc)) { rows =>
+      val docs = rows.zipWithIndex.map { case ((src, t), i) => (i.toLong, src, t) }
+      val got = operators.TextOps.weightedSample(
+          docs.toDF("doc_id", "source", "text"), spark, 3)
+        .select($"source", $"rnk", $"doc_id")
+        .as[(String, Int, Long)].collect().toSet
+      val expect = docs.groupBy(_._2).flatMap { case (src, ds) =>
+        val keyed = ds.map { case (id, _, t) =>
+          // exact replicas of the column pipeline: xxhash64 (seed 42)
+          // → uniform → u^(1/w) via the SAME JVM Math.pow
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L)
+          val u = ((h & Long.MaxValue).toDouble + 1.0) / 9.223372036854776e18
+          val w = t.trim.split("\\s+").length.toDouble
+          (math.pow(u, 1.0 / w), f"$id%018d", id)
+        }.sortBy { case (k, item, _) => (-k, item) }
+        keyed.take(3).zipWithIndex.map { case ((_, _, id), i) => (src, i + 1, id) }
+      }.toSet
+      got == expect
+    }
 }
 
 /** SCD2 invariants under arbitrary batch sequences. */
