@@ -23,60 +23,68 @@ object Advanced {
     * a user through one reducer — correct, and fine while per-user
     * volumes are bounded, but a hot key (a bot account, a load-test
     * user) serializes on a single task at corpus scale. This variant
-    * computes the identical result with the repo's two-stage prefix-sum
-    * pattern ([[Relational.surrogateKeyScalable]], q63, q69):
+    * computes the identical result by sharding each user's stream into
+    * DETERMINISTIC 6-hour event-time buckets:
     *
-    *  1. range-repartition on (user, ts, event_id) — a user's events
-    *     occupy a run of consecutive partitions, so hot users SPLIT
-    *     across tasks instead of converging on one;
-    *  2. per-(partition, user) local lag → session-start flags, with
-    *     the one cross-partition dependency (the previous partition's
-    *     last event time for the boundary user) resolved by a join
-    *     against a partition-count-sized boundary table;
-    *  3. per-(partition, user) flag totals → exclusive running offsets
-    *     (a window over ≤ #partitions rows per user, never over
-    *     events) — local cumulative flag + offset = the global
-    *     session_seq the single-window plan computes.
+    *  1. per-(user, bucket) local lag → session-start flags, with the
+    *     one cross-bucket dependency (the previous non-empty bucket's
+    *     last event time) resolved by a join against a
+    *     buckets-per-user-sized boundary table;
+    *  2. per-(user, bucket) flag totals → exclusive running offsets (a
+    *     window over ≤ #buckets rows per user, never over events) —
+    *     local cumulative flag + offset = the global session_seq the
+    *     single-window plan computes.
+    *
+    * The shard key is DERIVED FROM ROW DATA (`us DIV 6h`), never from
+    * `spark_partition_id()`: a first version used range-repartition +
+    * partition ids and CORRUPTED results at sf0.1 whenever Catalyst
+    * evaluated the exchange more than once (self-join deduplication
+    * gave the branches distinct attribute ids, exchange reuse missed,
+    * and each copy re-SAMPLED its range boundaries — partition ids are
+    * documented nondeterministic, so the (pid, user) merge join
+    * silently dropped half the events). A data-derived shard is
+    * consistent under ANY number of plan evaluations by construction.
+    * Skew unit: one (user, 6 h) cell — a bot's day splits across 4
+    * tasks instead of one reducer for its lifetime.
     *
     * Exact, so it shares q39's DuckDB oracle verbatim. */
   def sessionizeScalable(events: org.apache.spark.sql.DataFrame,
                          gapMinutes: Int = 30): org.apache.spark.sql.DataFrame = {
     val gapUs = gapMinutes * 60L * 1000000L
-    val local = events
-      .select($"user_id", $"event_id", $"ts", $"value")
-      .repartitionByRange($"user_id", $"ts", $"event_id")
-      .withColumn("__pid", spark_partition_id())
-    val wLocal = Window.partitionBy($"__pid", $"user_id")
-      .orderBy($"ts", $"event_id")
-    // per-(pid, user) last event time, shifted to the NEXT pid the
-    // user appears in: a partition-boundary row's lag is in another
-    // partition; this bounded table (≤ rows than (pid, user) pairs,
-    // ~#partitions + #users) carries it across
-    val bounds = local.groupBy($"__pid", $"user_id")
-      .agg(max($"ts").as("__last_ts"))
-      .withColumn("__prev_last_ts", lag($"__last_ts", 1).over(
-        Window.partitionBy($"user_id").orderBy($"__pid")))
-      .select($"__pid", $"user_id", $"__prev_last_ts")
-    val flagged = local
-      .join(bounds, Seq("__pid", "user_id"), "left")
-      .withColumn("__prev_ts",
-        coalesce(lag($"ts", 1).over(wLocal), $"__prev_last_ts"))
+    val bucketUs = 6L * 3600L * 1000000L
+    val ev = events
+      .select($"user_id", $"event_id", $"ts", $"value",
+        unix_micros($"ts").as("__us"))
+      .withColumn("__shard", expr(s"__us DIV ${bucketUs}L"))
+    val wLocal = Window.partitionBy($"user_id", $"__shard")
+      .orderBy($"__us", $"event_id")
+    // per-(user, bucket) last event time, shifted to the user's NEXT
+    // non-empty bucket: a bucket-boundary row's lag lives in another
+    // bucket; this bounded table (≤ #buckets rows per user) carries it
+    val bounds = ev.groupBy($"user_id", $"__shard")
+      .agg(max($"__us").as("__last_us"))
+      .withColumn("__prev_last_us", lag($"__last_us", 1).over(
+        Window.partitionBy($"user_id").orderBy($"__shard")))
+      .select($"user_id", $"__shard", $"__prev_last_us")
+    val flagged = ev
+      .join(bounds, Seq("user_id", "__shard"), "left")
+      .withColumn("__prev_us",
+        coalesce(lag($"__us", 1).over(wLocal), $"__prev_last_us"))
       .withColumn("__new_session",
-        when($"__prev_ts".isNull ||
-          unix_micros($"ts") - unix_micros($"__prev_ts") > gapUs, 1L)
+        when($"__prev_us".isNull || $"__us" - $"__prev_us" > gapUs, 1L)
           .otherwise(0L))
       .withColumn("__local_seq",
         sum($"__new_session").over(
           wLocal.rowsBetween(Window.unboundedPreceding, 0)))
-    // exclusive per-user running flag totals across partitions — the
-    // offset window runs over partition-count-sized data, not events
-    val offsets = flagged.groupBy($"__pid", $"user_id")
+    // exclusive per-user running flag totals across buckets — the
+    // offset window runs over bucket-count-sized data, not events
+    val offsets = flagged.groupBy($"user_id", $"__shard")
       .agg(sum($"__new_session").as("__flags"))
       .withColumn("__offset", coalesce(sum($"__flags").over(
-        Window.partitionBy($"user_id").orderBy($"__pid")
+        Window.partitionBy($"user_id").orderBy($"__shard")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select($"__pid", $"user_id", $"__offset")
-    flagged.join(offsets, Seq("__pid", "user_id"))
+      .select($"user_id", $"__shard", $"__offset")
+    flagged.join(offsets, Seq("user_id", "__shard"))
       .withColumn("session_seq", $"__offset" + $"__local_seq")
       .groupBy($"user_id", $"session_seq")
       .agg(

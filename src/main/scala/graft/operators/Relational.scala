@@ -39,7 +39,21 @@ object Relational {
     * cumulative sum). The global rank is invariant to where the range
     * bounds fall as long as `order` is a total order — pass a unique
     * tie-break column. Scales to any dim cardinality; the plain global
-    * window (one partition holding every row) is the thing this avoids. */
+    * window (one partition holding every row) is the thing this avoids.
+    *
+    * Evaluation-consistency note: this helper keeps
+    * `spark_partition_id()` because its order keys are ARBITRARY (no
+    * hashable prefix to derive a data-deterministic shard from, unlike
+    * greedyHashPrefix's fp or sessionizeScalable's event time). That is
+    * sound only while the range exchange is evaluated ONCE — here the
+    * offsets branch and the final join form a 2-copy symmetric plan
+    * that Catalyst's exchange reuse reliably dedups (hash-verified at
+    * sf0.01 AND sf0.1 through Verify's coalesce(1) path every round);
+    * q39b's 4-copy nested shape defeated reuse and corrupted results,
+    * which is why the OTHER prefix-sum operators moved to data-derived
+    * shards. Surrogate keys are a dimension-build primitive — if the
+    * caller's plan replicates the input subtree, localCheckpoint the
+    * (dimension-sized) input first. */
   def surrogateKeyScalable(df: DataFrame, order: Seq[Column], keyName: String): DataFrame = {
     val local = df.repartitionByRange(order: _*)
       .withColumn("__pid", spark_partition_id())

@@ -47,31 +47,36 @@ object TextOps {
     * `budgets` is a per-source frame `(source, __budget)` — always
     * model-sized (one row per source), so it broadcasts.
     *
-    * The per-source running totals ride the same two-stage distributed
-    * prefix sum as [[Relational.surrogateKeyScalable]]: range
-    * repartition on (source, fp, doc_id), a (partition, source)-keyed
-    * local window, then broadcast per-(partition, source) rank/token
-    * offsets — never a one-reducer-per-source global window. The
-    * output is invariant to where the range bounds fall because
-    * (fp, doc_id) totally orders each source; OperatorProps pins the
+    * The per-source running totals ride a two-stage distributed prefix
+    * sum over DETERMINISTIC shards: the shard key is the fp's leading
+    * 3 hex chars (4096 uniform buckets — a prefix of the order key, so
+    * per-source (shard, fp, doc_id) order ≡ (fp, doc_id) order), a
+    * (shard, source)-keyed local window, then broadcast
+    * per-(shard, source) rank/token offsets — never a
+    * one-reducer-per-source global window. The shard is derived from
+    * ROW DATA, never `spark_partition_id()`: partition ids are
+    * nondeterministic across plan-branch evaluations (range boundaries
+    * re-sample per exchange copy when reuse misses — the q39b sf0.1
+    * corruption), while a data-derived shard is consistent under any
+    * number of evaluations by construction. OperatorProps pins the
     * whole pipeline to a naive single-threaded reference. */
   private def greedyHashPrefix(toks: DataFrame, budgets: DataFrame): DataFrame = {
-    val local = toks.repartitionByRange($"source", $"fp", $"doc_id")
-      .withColumn("__pid", spark_partition_id())
-    val w = Window.partitionBy($"__pid", $"source").orderBy($"fp", $"doc_id")
+    val local = toks
+      .withColumn("__shard", expr("conv(substring(fp, 1, 3), 16, 10)").cast("long"))
+    val w = Window.partitionBy($"__shard", $"source").orderBy($"fp", $"doc_id")
     val ranked = local
       .withColumn("__lrn", row_number().over(w))
       .withColumn("__lcum", sum($"n_tokens")
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val wOff = Window.partitionBy($"source").orderBy($"__pid")
+    val wOff = Window.partitionBy($"source").orderBy($"__shard")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranked.groupBy($"__pid", $"source")
+    val offsets = ranked.groupBy($"__shard", $"source")
       .agg(count(lit(1)).as("__cnt"), sum($"n_tokens").as("__tsum"))
       .withColumn("__roff", coalesce(sum($"__cnt").over(wOff), lit(0L)))
       .withColumn("__coff", coalesce(sum($"__tsum").over(wOff), lit(0L)))
       .join(budgets, Seq("source"))
-      .select($"__pid", $"source", $"__roff", $"__coff", $"__budget")
-    ranked.join(broadcast(offsets), Seq("__pid", "source"))
+      .select($"__shard", $"source", $"__roff", $"__coff", $"__budget")
+    ranked.join(broadcast(offsets), Seq("__shard", "source"))
       .select($"doc_id", $"source", $"n_tokens".cast("int").as("n_tokens"),
         ($"__roff" + $"__lrn").cast("long").as("sample_rank"),
         (($"__coff" + $"__lcum") <= $"__budget").as("kept"))
@@ -100,19 +105,23 @@ object TextOps {
     trainingShardsFromToks(docTokens(docs), shardTokens)
 
   private def trainingShardsFromToks(toks: DataFrame, shardTokens: Long): DataFrame = {
-    val local = toks.repartitionByRange($"fp", $"doc_id")
-      .withColumn("__pid", spark_partition_id())
-    val w = Window.partitionBy($"__pid").orderBy($"fp", $"doc_id")
+    // deterministic data-derived shard (leading 3 hex chars of fp — a
+    // prefix of the order key), NOT spark_partition_id: see
+    // greedyHashPrefix's scaladoc for the evaluation-consistency bug
+    // partition ids caused at sf0.1
+    val local = toks
+      .withColumn("__shard", expr("conv(substring(fp, 1, 3), 16, 10)").cast("long"))
+    val w = Window.partitionBy($"__shard").orderBy($"fp", $"doc_id")
     val ranked = local
       .withColumn("__lcum", sum($"n_tokens")
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val wOff = Window.orderBy($"__pid")
+    val wOff = Window.orderBy($"__shard")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranked.groupBy($"__pid")
+    val offsets = ranked.groupBy($"__shard")
       .agg(sum($"n_tokens").as("__tsum"))
       .withColumn("__coff", coalesce(sum($"__tsum").over(wOff), lit(0L)))
-      .select($"__pid", $"__coff")
-    ranked.join(broadcast(offsets), Seq("__pid"))
+      .select($"__shard", $"__coff")
+    ranked.join(broadcast(offsets), Seq("__shard"))
       .withColumn("__prev", $"__coff" + $"__lcum" - $"n_tokens")
       .select($"doc_id", $"source", $"fp",
         $"n_tokens".cast("int").as("n_tokens"),

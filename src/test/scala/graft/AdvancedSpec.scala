@@ -88,6 +88,25 @@ class AdvancedSpec extends GraftSpec {
     }
   }
 
+  test("q39b survives multi-evaluation plans (the coalesce-write path that corrupted pid sharding)") {
+    // Regression: the first q39b used range-repartition +
+    // spark_partition_id; under Verify's coalesce(1).write the plan
+    // carried FOUR un-reused copies of the exchange, each re-sampling
+    // its range boundaries, and the (pid, user) merge silently dropped
+    // ~half the events at sf0.1. The deterministic time-bucket shard
+    // must produce identical results through that exact path.
+    val dir = sf("sf0.001")
+    val out = "/tmp/graft_q39b_coalesce_regression"
+    SparkEntry.queries("q39b_sessionize_sharded")(spark, dir)
+      .coalesce(1).write.mode("overwrite").parquet(out)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    val got = rows(spark.read.parquet(out))
+    val want = rows(SparkEntry.queries("q39_sessionize")(spark, dir))
+    assert(got === want)
+  }
+
   test("q92 curriculum bins: distinct-value rewrite == definitional cume_dist window") {
     val dir = sf("sf0.001")
     val got = SparkEntry.queries("q92_curriculum_bins")(spark, dir)

@@ -101,20 +101,19 @@ class PlanSpec extends GraftSpec {
       s"only the doc aggregate may shuffle the corpus:\n${p.linesIterator.take(25).mkString("\n")}")
   }
 
-  test("q39b sharded sessionize: range partition + (__pid,user) windows, no per-user-only window") {
-    // the event stream must range-partition first and every Window over
-    // it must key on (__pid, user_id) — a hashpartitioning(user_id)
+  test("q39b sharded sessionize: deterministic (user,__shard) windows, no per-user-only stream window") {
+    // every event-stream Window must key on (user_id, __shard) — the
+    // DETERMINISTIC time-bucket shard (a hashpartitioning(user_id)
     // window over the full stream would be the single-reducer-per-user
-    // shape q39b exists to avoid (the offset ladder's per-user window
-    // runs over partition-count-sized aggregates, which plan as
-    // hashpartitioning(user_id) AFTER the (__pid,user) aggregate — so
-    // the assertion checks order: the first event-stream window is
-    // (__pid, user)-keyed)
+    // shape q39b exists to avoid). No spark_partition_id may appear
+    // anywhere: partition ids are nondeterministic across plan-branch
+    // evaluations and corrupted results at sf0.1 (the coalesce-write
+    // regression in AdvancedSpec).
     val p = plan(q("q39b_sessionize_sharded")).toLowerCase
-    assert(p.contains("rangepartitioning"),
-      s"sharded sessionize must range-repartition the stream:\n${p.linesIterator.take(25).mkString("\n")}")
-    assert(p.contains("hashpartitioning(__pid"),
-      s"event-stream windows must key on (__pid, user):\n${p.linesIterator.take(25).mkString("\n")}")
+    assert(p.contains("hashpartitioning(user_id") && p.contains("__shard"),
+      s"event-stream windows must key on (user, __shard):\n${p.linesIterator.take(25).mkString("\n")}")
+    assert(!p.contains("spark_partition_id"),
+      "q39b must not depend on physical partition ids")
   }
 
   test("r8 additions: sketch→recount and cap/sample stay window-free (q81/q82/q83)") {
@@ -170,14 +169,16 @@ class PlanSpec extends GraftSpec {
 
   test("r7 corpus additions keep their intended physical shapes") {
     // q69 mixture sample: the per-source cumulative sum must ride the
-    // two-stage prefix-sum (range repartition + (__pid, source)-keyed
-    // local window) — a Window partitioned on source alone over the
-    // full data would serialize each source through one reducer
+    // two-stage prefix-sum over DETERMINISTIC fp-prefix shards — a
+    // Window partitioned on source alone over the full data would
+    // serialize each source through one reducer, and a
+    // spark_partition_id shard would be nondeterministic across
+    // plan-branch evaluations (the q39b sf0.1 corruption)
     val mix = plan(q("q69_mixture_sample")).toLowerCase
-    assert(mix.contains("rangepartitioning"),
-      "mixture sample must range-repartition before the local window")
-    assert(mix.contains("hashpartitioning(__pid"),
-      s"bulk window must key on (__pid, source):\n${mix.linesIterator.take(25).mkString("\n")}")
+    assert(mix.contains("hashpartitioning(__shard"),
+      s"bulk window must key on (__shard, source):\n${mix.linesIterator.take(25).mkString("\n")}")
+    assert(!mix.contains("spark_partition_id"),
+      "mixture sample must not depend on physical partition ids")
     // q70 PII redaction: a pure projection — no aggregate, no join;
     // the only Exchange is the output ORDER BY range partition
     val pii = plan(q("q70_pii_redact"))
@@ -410,5 +411,20 @@ class PlanSpec extends GraftSpec {
     val p97 = plan(q("q97_skew_salted_join"))
     assert(p97.contains("ShuffledHashJoin"),
       p97.linesIterator.take(25).mkString("\n"))
+    // q98 HLL rollup: the day pass must be a mergeable (ObjectHash)
+    // aggregate — sketch state combining map-side — and no Expand
+    // (the whole point vs a multi-grain COUNT DISTINCT)
+    val p98 = plan(q("q98_hll_rollup"))
+    assert(p98.contains("ObjectHashAggregate") && !p98.contains("Expand"),
+      p98.linesIterator.take(25).mkString("\n"))
+    // q99 incremental MV: aggregate-then-merge — the merge join sits
+    // ABOVE both grouped aggregates, and nothing windows
+    val p99 = plan(q("q99_incremental_mv"))
+    assert(!p99.contains("Window") && p99.contains("FullOuter"),
+      p99.linesIterator.take(25).mkString("\n"))
+    // q100 weighted sample: k-slot bounded aggregate, no rank window
+    val p100 = plan(q("q100_weighted_sample"))
+    assert(p100.contains("ObjectHashAggregate") && !p100.contains("Window"),
+      p100.linesIterator.take(25).mkString("\n"))
   }
 }
