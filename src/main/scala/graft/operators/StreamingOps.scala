@@ -131,6 +131,81 @@ object StreamingOps {
         .orderBy(col("vehicle_id"), col("ts_ms"))
     },
 
+    /** Streaming windowed top-k (E62) — the trending-items serving
+      * architecture: the STREAM maintains only the mergeable windowed
+      * counts (the same watermarked append-mode aggregation as
+      * st_windowed_late_counts, incremental state ∝ open windows ×
+      * keys), and the top-3-per-window rank runs AT READ over the
+      * emitted windows with the bounded [[graft.functions.TopKStruct]]
+      * aggregate — chained stateful aggregations are not expressible in
+      * one append-mode streaming query, and pre-aggregate-then-rank is
+      * how production leaderboards avoid needing them. Same genuine
+      * two-micro-batch late-data feed and watermark oracle as the
+      * counts gate, extended with the rank. */
+    QueryDef.sql(
+      "st_windowed_topk",
+      """WITH ev AS (
+        |  SELECT user_id AS key, epoch_us(ts) AS us, event_id
+        |  FROM events WHERE user_id % 5 = 0
+        |), a AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+        |b AS (SELECT * FROM ev WHERE event_id % 2 = 1),
+        |wma AS (SELECT (MAX(us) // 1000 - 600000) * 1000 AS wm FROM a),
+        |wmb AS (SELECT (MAX(us) // 1000 - 600000) * 1000 AS wm FROM ev),
+        |kept AS (
+        |  SELECT key, us FROM a
+        |  UNION ALL
+        |  SELECT key, us FROM b
+        |  WHERE us // 300000000 * 300000000 + 300000000 > (SELECT wm FROM wma)
+        |), agg AS (
+        |  SELECT us // 300000000 * 300000000 AS ws_us, key, COUNT(*) AS n
+        |  FROM kept GROUP BY 1, 2
+        |), keptw AS (
+        |  SELECT ws_us, key, n FROM agg
+        |  WHERE ws_us + 300000000 <= (SELECT wm FROM wmb)
+        |), r AS (
+        |  SELECT ws_us, key, n,
+        |         ROW_NUMBER() OVER (PARTITION BY ws_us ORDER BY n DESC, key) AS rnk
+        |  FROM keptw
+        |)
+        |SELECT ws_us // 1000 AS window_start_ms, CAST(rnk AS INTEGER) AS rnk,
+        |       key, n
+        |FROM r WHERE rnk <= 3
+        |ORDER BY window_start_ms, rnk""".stripMargin) { (s, d) =>
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ev = Tables.events(s, d)
+        .filter(pmod(col("user_id"), lit(5L)) === 0)
+        .select(col("user_id").as("key"), col("ts"),
+          round(col("value") * 100, 0).cast("long").as("value"),
+          pmod(col("event_id"), lit(2L)).as("par"))
+      def batch(par: Int) = ev.filter(col("par") === par).drop("par")
+        .as[Streams.CentEvent].collect().toSeq
+      val mem = MemoryStream[Streams.CentEvent]
+      withStreamingHarness(s,
+        Map("spark.sql.shuffle.partitions" -> "2")) { ck =>
+        val q = Streams.windowedEventCounts(mem.toDF(), "ts", "key")
+          .writeStream.format("memory").queryName("st_topk_sink")
+          .option("checkpointLocation", ck)
+          .outputMode("append").start()
+        try {
+          mem.addData(batch(0)); q.processAllAvailable()
+          mem.addData(batch(1)); q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table("st_topk_sink")
+        .select(unix_millis(col("window_start")).as("window_start_ms"),
+          format_string("%018d", col("key")).as("item"),
+          col("n").cast("double").as("sc"))
+        .groupBy(col("window_start_ms"))
+        .agg(graft.functions.TopKStruct.topk(s, col("sc"), col("item"), 3).as("top"))
+        .select(col("window_start_ms"), posexplode(col("top")))
+        .select(col("window_start_ms"), (col("pos") + 1).cast("int").as("rnk"),
+          col("col.item").cast("long").as("key"),
+          col("col.score").cast("long").as("n"))
+        .orderBy(col("window_start_ms"), col("rnk"))
+    },
+
     /** Watermarked tumbling-window aggregation driven END-TO-END through
       * Structured Streaming with two deterministic micro-batches and
       * genuinely LATE data: events split on event_id parity, so batch 2
