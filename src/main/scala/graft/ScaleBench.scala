@@ -101,6 +101,8 @@ object ScaleBench {
     // vs O(1) merge state; plus incremental-MV maintenance (two aggs
     // + one MV-sized merge join)
     "q21_asof_join", "q21b_asof_join_native", "q99_incremental_mv",
+    // SES forecast: daily agg + calendar-bounded per-user windows
+    "q101_exp_smoothing",
     // A-ES weighted sampling: projection + k-slot top-k per source
     "q100_weighted_sample")
 

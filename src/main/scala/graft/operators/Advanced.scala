@@ -918,6 +918,52 @@ object Advanced {
         .orderBy($"event_type", $"day")
     },
 
+    /** Exponential smoothing forecast (E63/q101) — the time-series
+      * primitive behind every ops dashboard's "expected next-day
+      * volume": simple exponential smoothing (s_t = α·x_t + (1−α)·s_{t−1})
+      * over each user's daily event counts; the SES one-step forecast
+      * IS the final level. α = 1/2 makes every smoothed value a DYADIC
+      * rational: coefficients are 2^-k (exact doubles via integer
+      * `1 << k`, never `pow`), terms span < 52 mantissa bits for a
+      * 30-day window, so every partial sum is exactly representable and
+      * the result is bit-identical in ANY summation order and engine —
+      * a transcendental α would force rows-only. Computed in CLOSED
+      * FORM (s_n = x_1·2^-(n-1) + Σ_{t≥2} x_t·2^-(n-t+1), proven ≡ the
+      * recurrence in OperatorProps) — one daily hash agg, per-user
+      * index/count windows over the calendar-bounded daily frame
+      * (≤ #days rows per user, never events), one summing agg. */
+    QueryDef.sql(
+      "q101_exp_smoothing",
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT user_id, x,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS i,
+        |         COUNT(*) OVER (PARTITION BY user_id) AS n,
+        |         MAX(day) OVER (PARTITION BY user_id) AS last_day
+        |  FROM daily
+        |)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_days, last_day,
+        |       SUM(x / CAST(1 << (CASE WHEN i = 1 THEN n - 1 ELSE n - i + 1 END) AS DOUBLE)) AS forecast
+        |FROM r
+        |GROUP BY user_id, n, last_day
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy($"user_id", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val wu = Window.partitionBy($"user_id")
+      val r = daily
+        .withColumn("i", row_number().over(wu.orderBy($"day")))
+        .withColumn("n", count(lit(1)).over(wu))
+        .withColumn("last_day", max($"day").over(wu))
+      r.withColumn("k",
+          when($"i" === 1, $"n" - 1).otherwise($"n" - $"i" + 1).cast("int"))
+        .groupBy($"user_id", $"n".cast("long").as("n_days"), $"last_day")
+        .agg(sum(expr("x / CAST(shiftleft(1L, k) AS DOUBLE)")).as("forecast"))
+        .orderBy($"user_id")
+    },
+
     /** The 100 TB spelling of q84: identical stats pass with
       * `approx_count_distinct` (HyperLogLog++, rsd 2% — 0.01 doubled
       * the per-row update cost for precision ANALYZE never needs) for

@@ -661,6 +661,23 @@ object OperatorProps extends Properties("operators") {
   private def naiveLev1(a: String, b: String): Boolean =
     a.length == b.length && a.zip(b).count { case (x, y) => x != y } <= 1
 
+  // q101's closed form (s_n = x_1·2^-(n-1) + Σ x_t·2^-(n-t+1)) must be
+  // BIT-identical to the defining recurrence s_t = x_t/2 + s_{t-1}/2 on
+  // arbitrary integer series — the dyadic-exactness claim that makes
+  // the oracle hash-checkable
+  property("exp smoothing closed form == the s/2 + x/2 recurrence, bit-exact") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, 5000L)).map(_.take(30))) { xs =>
+      val rec = xs.tail.foldLeft(xs.head.toDouble)((s, x) => x / 2.0 + s / 2.0)
+      val n = xs.length
+      val closed = xs.zipWithIndex.map { case (x, idx) =>
+        val i = idx + 1
+        val k = if (i == 1) n - 1 else n - i + 1
+        x / (1L << k).toDouble
+      }.sum
+      java.lang.Double.doubleToLongBits(rec) ==
+        java.lang.Double.doubleToLongBits(closed)
+    }
+
   property("weighted sample == naive A-ES (u^(1/w)) per-source top-k reference") =
     forAll(Gen.listOfN(24, genSourcedDoc)) { rows =>
       val docs = rows.zipWithIndex.map { case ((src, t), i) => (i.toLong, src, t) }
