@@ -17,8 +17,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     // the custom-operator tier (SURVEY §7.3 (c)): the native as-of
-    // join's planner strategy (AsOfJoinNode → AsOfJoinExec)
+    // join's planner strategy (AsOfJoinNode → AsOfJoinExec) and the
+    // optimizer rule that lets left-side filters push through the
+    // otherwise-opaque custom node (runs inside the operator-
+    // optimization fixed point, so built-in rules cascade the pushed
+    // filter down to the scan)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinFilterPushdown)
     ext.injectFunction((
       FunctionIdentifier("fnv64"),
       new ExpressionInfo(classOf[FnvHash64].getName, "fnv64"),

@@ -989,5 +989,130 @@ object Advanced {
           "(col_name, n_rows, n_nulls, n_distinct_approx, min_val, max_val)"))
         .orderBy($"col_name")
     },
+
+    /** OLS regression + Pearson correlation (E64/q102) — the
+      * `regr_slope/regr_intercept/corr` aggregate family (reference
+      * analytics compute per-route efficiency trends with exactly this
+      * shape, e.g. fuel-per-km in 02_queries_analysis.sql:96-113),
+      * made hash-exact: one pass accumulates the five integer moment
+      * sums (n, Σx, Σy, Σx², Σxy, Σy²) — x = quantity (integral
+      * long), y = exact price cents — then slope/intercept/r come from
+      * ONE fixed IEEE-754 expression order mirrored textually in the
+      * oracle, so no tolerance is needed. Σy² exceeds long range at
+      * fact scale and accumulates in decimal(38,0) (DuckDB: the
+      * native HUGEINT sum) — the same unbounded-accumulator pattern
+      * the 100 TB path needs, where EVERY moment sum graduates to
+      * decimal. Built-in `corr`/`regr_slope` float-accumulate in
+      * engine-specific order and could never hash-match. */
+    QueryDef.sql(
+      "q102_regression",
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |         CAST(l_quantity AS BIGINT) AS x,
+        |         CAST(ROUND(l_extendedprice*100,0) AS BIGINT) AS y
+        |  FROM lineitem
+        |), m AS (
+        |  SELECT l_returnflag,
+        |         COUNT(*) AS n_obs,
+        |         CAST(COUNT(*) AS DOUBLE) AS n,
+        |         CAST(SUM(x) AS DOUBLE) AS sx,
+        |         CAST(SUM(y) AS DOUBLE) AS sy,
+        |         CAST(SUM(x*x) AS DOUBLE) AS sxx,
+        |         CAST(SUM(x*y) AS DOUBLE) AS sxy,
+        |         CAST(SUM(y*y) AS DOUBLE) AS syy
+        |  FROM li GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, n_obs,
+        |       CAST(CAST(ROUND(((n*sxy - sx*sy) / (n*sxx - sx*sx)) * 1e6, 0) AS BIGINT) / 1e6 AS DOUBLE) AS slope_cents,
+        |       CAST(CAST(ROUND(((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n) * 1e4, 0) AS BIGINT) / 1e4 AS DOUBLE) AS intercept_cents,
+        |       CAST(CAST(ROUND(((n*sxy - sx*sy) / SQRT((n*sxx - sx*sx) * (n*syy - sy*sy))) * 1e6, 0) AS BIGINT) / 1e6 AS DOUBLE) AS corr_r
+        |FROM m ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).select(
+        $"l_returnflag",
+        $"l_quantity".cast("long").as("x"),
+        cents($"l_extendedprice").as("y"))
+      val m = li.groupBy($"l_returnflag").agg(
+          count(lit(1)).as("n_obs"),
+          sum($"x").as("sxl"),
+          sum($"y").as("syl"),
+          sum($"x" * $"x").as("sxxl"),
+          sum($"x" * $"y").as("sxyl"),
+          sum(($"y" * $"y").cast("decimal(38,0)")).as("syyd"))
+        .select($"l_returnflag", $"n_obs",
+          $"n_obs".cast("double").as("n"),
+          $"sxl".cast("double").as("sx"), $"syl".cast("double").as("sy"),
+          $"sxxl".cast("double").as("sxx"), $"sxyl".cast("double").as("sxy"),
+          $"syyd".cast("double").as("syy"))
+      val cov = $"n" * $"sxy" - $"sx" * $"sy"
+      val vx  = $"n" * $"sxx" - $"sx" * $"sx"
+      val vy  = $"n" * $"syy" - $"sy" * $"sy"
+      m.select($"l_returnflag", $"n_obs",
+          round2(cov / vx, 6).as("slope_cents"),
+          round2(($"sy" - (cov / vx) * $"sx") / $"n", 4).as("intercept_cents"),
+          round2(cov / sqrt(vx * vy), 6).as("corr_r"))
+        .orderBy($"l_returnflag")
+    },
+
+    /** Robust outlier detection via MAD (E65/q103) — the
+      * median-absolute-deviation robust z-score, the industry-standard
+      * replacement for q24's mean/stddev z-score when the signal has
+      * heavy tails (a single 2000-day late shipment would drag a mean
+      * but not a median). Three passes over the fact: exact median of
+      * ship delay per priority class, |delay − med|, exact median of
+      * that, then flag absdev > 3·MAD. Both join-backs broadcast a
+      * ≤ #groups-row table, so the plan is three scans + two broadcast
+      * joins — NO row-vs-row shuffle. Delays are integer days, so
+      * every median is integer or half-integer — exact in both
+      * engines with zero rounding (the only rounded output is the
+      * share ratio). At 100 TB the two exact `percentile`s (state ∝
+      * distinct delay values, here ≤ ~5000) flip to approx_percentile
+      * as in q42b. */
+    QueryDef.sql(
+      "q103_mad_outliers",
+      """WITH base AS (
+        |  SELECT o.o_orderpriority AS pri,
+        |         datediff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS delay
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |), meds AS (
+        |  SELECT pri, quantile_cont(delay, 0.5) AS med FROM base GROUP BY pri
+        |), dev AS (
+        |  SELECT b.pri, b.delay, m.med, ABS(b.delay - m.med) AS absdev
+        |  FROM base b JOIN meds m ON b.pri = m.pri
+        |), mads AS (
+        |  SELECT pri, quantile_cont(absdev, 0.5) AS mad FROM dev GROUP BY pri
+        |)
+        |SELECT d.pri AS o_orderpriority,
+        |       COUNT(*) AS n_rows,
+        |       CAST(MAX(d.med) AS DOUBLE) AS median_delay,
+        |       CAST(MAX(m.mad) AS DOUBLE) AS mad_delay,
+        |       CAST(SUM(CASE WHEN d.absdev > m.mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       CAST(CAST(ROUND((CAST(SUM(CASE WHEN d.absdev > m.mad * 3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)) * 1e6, 0) AS BIGINT) / 1e6 AS DOUBLE) AS outlier_share
+        |FROM dev d JOIN mads m ON d.pri = m.pri
+        |GROUP BY d.pri ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val base = Tables.lineitem(s, d).select($"l_orderkey", $"l_shipdate")
+        .join(Tables.orders(s, d)
+          .select($"o_orderkey", $"o_orderdate", $"o_orderpriority"),
+          $"l_orderkey" === $"o_orderkey")
+        .select($"o_orderpriority".as("pri"),
+          datediff(to_date($"l_shipdate"), to_date($"o_orderdate")).as("delay"))
+      val meds = base.groupBy($"pri")
+        .agg(expr("percentile(delay, 0.5)").as("med"))
+      val dev = base.join(broadcast(meds), Seq("pri"))
+        .withColumn("absdev", abs($"delay" - $"med"))
+      val mads = dev.groupBy($"pri")
+        .agg(expr("percentile(absdev, 0.5)").as("mad"))
+      dev.join(broadcast(mads), Seq("pri"))
+        .groupBy($"pri")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          max($"med").cast("double").as("median_delay"),
+          max($"mad").cast("double").as("mad_delay"),
+          sum(($"absdev" > $"mad" * 3).cast("long")).as("n_outliers"))
+        .withColumn("outlier_share",
+          round2($"n_outliers".cast("double") / $"n_rows", 6))
+        .select($"pri".as("o_orderpriority"), $"n_rows", $"median_delay",
+          $"mad_delay", $"n_outliers", $"outlier_share")
+        .orderBy($"o_orderpriority")
+    },
   )
 }

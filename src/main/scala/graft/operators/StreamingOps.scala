@@ -517,5 +517,51 @@ object StreamingOps {
           col("start_ms"), col("end_ms"), col("total_value"))
         .orderBy(col("user_id"), col("session_seq"))
     },
+
+    /** Stream-static dimension enrichment run END-TO-END through
+      * Structured Streaming (the sixth genuine harness): purchase
+      * events arrive as two deterministic micro-batches (event_id
+      * parity — stateless join, so the split is arbitrary; two batches
+      * prove the dim is re-resolved per batch) and each is broadcast
+      * LEFT-joined to the static customer dimension inside the running
+      * query ([[Streams.enrichWithDim]]). No state store, no
+      * watermark — the oracle is the plain batch join restated. */
+    QueryDef.sql(
+      "st_stream_static_enrich",
+      """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+        |       CAST(ROUND(e.value*100,0) AS BIGINT) AS value_cents
+        |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val facts = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          round(col("value") * 100, 0).cast("long").as("value_cents"))
+        .as[Streams.FactEvent]
+      def batch(p: Int): Seq[Streams.FactEvent] =
+        facts.filter(pmod(col("event_id"), lit(2L)) === p).collect().toSeq
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment"))
+      val mem = MemoryStream[Streams.FactEvent]
+      withStreamingHarness(s,
+        Map("spark.sql.shuffle.partitions" -> "2")) { ck =>
+        val q = Streams.enrichWithDim(mem.toDF(), dim, "user_id")
+          .writeStream.format("memory").queryName("st_enrich_sink")
+          .option("checkpointLocation", ck)
+          .outputMode("append").start()
+        try {
+          mem.addData(batch(0)); q.processAllAvailable()
+          mem.addData(batch(1)); q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table("st_enrich_sink")
+        .select(col("event_id"), col("user_id"), col("segment"),
+          col("value_cents"))
+        .orderBy(col("event_id"))
+    },
   )
 }

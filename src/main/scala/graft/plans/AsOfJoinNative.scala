@@ -80,6 +80,42 @@ object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   }
 }
 
+/** Optimizer rule — the `Rule[LogicalPlan]` tier of the custom-operator
+  * stack: a custom LogicalPlan node is OPAQUE to Catalyst's own
+  * PushDownPredicates, so `asOfJoin(...).filter(leftPred)` would
+  * otherwise evaluate the predicate AFTER both shuffles and the merge —
+  * at 100 TB that is the difference between scanning a pruned partition
+  * and shuffling the whole fact. This rule restores the pushdown for
+  * exactly the predicates the operator's contract makes safe: the as-of
+  * join emits EXACTLY ONE row per left row with the left columns
+  * unchanged (left-outer, no fan-out), so any deterministic conjunct
+  * referencing only left-side attributes commutes with the join.
+  * Right-side predicates do NOT (dropping candidate rows changes which
+  * right row is "latest") and stay above the node. Injected via
+  * `GraftExtensions` (injectOptimizerRule → the operator-optimization
+  * fixed point, so built-in rules then cascade the pushed filter into
+  * the parquet scan) and idempotently through
+  * `spark.experimental.extraOptimizations` by [[AsOfJoinNative.apply]]
+  * (there the scan-level pushdown still lands at physical planning —
+  * PhysicalOperation collects filters above the relation regardless). */
+object AsOfJoinFilterPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfJoinNode) =>
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(j.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(push.reduce(And), j.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 case class AsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan,
@@ -336,6 +372,9 @@ object AsOfJoinNative {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(AsOfJoinFilterPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsOfJoinFilterPushdown
     // self-join safety: re-alias every right column so the two sides
     // can never share attribute ids (each Alias mints a fresh ExprId)
     val rightFresh = right.select(right.columns.map(c => col(c).as(c)): _*)

@@ -137,6 +137,23 @@ object Streams {
   final case class LeftEvent(key: Long, l_ts: java.sql.Timestamp, l_id: Long)
   final case class RightEvent(key: Long, r_ts: java.sql.Timestamp, r_id: Long)
 
+  /** Feed shape of the stream-static enrichment gate. */
+  final case class FactEvent(event_id: Long, user_id: Long, value_cents: Long)
+
+  /** Stream-static dimension enrichment — the canonical streaming
+    * lookup join (every reference Lambda enriches its event with a
+    * DynamoDB dim row, 07_lambda_functions.py:38-40; this is the same
+    * shape engine-side). The dim is a STATIC DataFrame: Structured
+    * Streaming re-resolves it against each micro-batch, needs NO state
+    * store or watermark (stateless join), and `broadcast()` keeps it a
+    * map-side hash join — the plan every executor-count scales to, as
+    * long as the dim fits in memory; a fact-sized dim graduates to a
+    * stream-stream join with watermarks ([[streamIntervalJoin]]). Left
+    * join: facts with no dim row pass through with nulls rather than
+    * silently dropping. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming exact-dedup over a document ingest stream: first-seen
     * wins per canonical fingerprint (lower-cased, whitespace-collapsed
     * md5 — the same key as the batch `Dedup.exact` / q31). Keyed state

@@ -293,4 +293,69 @@ class AdvancedSpec extends GraftSpec {
           s"week $w: estimate $gu vs exact $u")
       }
   }
+
+  test("q102 regression: slope/intercept/corr match an exact-moment recomputation") {
+    val dir = sf("sf0.001")
+    // Spark round(double, 0) is shortest-decimal HALF_UP — mirror it
+    def rp(x: Double, k: Int): Double = {
+      val s = math.pow(10, k)
+      java.math.BigDecimal.valueOf(x * s)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue() / s
+    }
+    val raw = graft.Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_quantity".cast("long"),
+        round($"l_extendedprice" * 100, 0).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = SparkEntry.queries("q102_regression")(spark, dir).collect()
+    assert(got.map(_.getString(0)).toSeq === got.map(_.getString(0)).toSeq.sorted)
+    got.foreach { r =>
+      val xs = raw.filter(_._1 == r.getString(0))
+      val n = xs.length.toDouble
+      val sx = xs.map(_._2).sum.toDouble
+      val sy = xs.map(_._3).sum.toDouble
+      val sxx = xs.map(t => t._2 * t._2).sum.toDouble
+      val sxy = xs.map(t => t._2 * t._3).sum.toDouble
+      val syy = xs.map(t => BigInt(t._3) * t._3).sum.toDouble
+      val cov = n * sxy - sx * sy
+      val vx = n * sxx - sx * sx
+      val vy = n * syy - sy * sy
+      assert(r.getAs[Long]("n_obs") === xs.length.toLong)
+      assert(r.getAs[Double]("slope_cents") === rp(cov / vx, 6))
+      assert(r.getAs[Double]("intercept_cents") ===
+        rp((sy - (cov / vx) * sx) / n, 4))
+      val corr = r.getAs[Double]("corr_r")
+      assert(corr === rp(cov / math.sqrt(vx * vy), 6))
+      assert(corr >= -1.0 && corr <= 1.0)
+    }
+  }
+
+  test("q103 MAD outliers: flags exactly the rows beyond 3 MAD of the median") {
+    val dir = sf("sf0.001")
+    def med(v: Seq[Double]): Double = {
+      val s = v.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
+    val base = graft.Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_shipdate")
+      .join(graft.Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_orderdate", $"o_orderpriority"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderpriority",
+        datediff(to_date($"l_shipdate"), to_date($"o_orderdate")).as("delay"))
+      .collect().map(r => (r.getString(0), r.getInt(1).toDouble))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val got = SparkEntry.queries("q103_mad_outliers")(spark, dir).collect()
+    assert(got.map(_.getString(0)).toSet === base.keySet)
+    got.foreach { r =>
+      val delays = base(r.getString(0))
+      val m = med(delays)
+      val devs = delays.map(d => math.abs(d - m))
+      val mad = med(devs)
+      assert(r.getAs[Long]("n_rows") === delays.length.toLong)
+      assert(r.getAs[Double]("median_delay") === m)
+      assert(r.getAs[Double]("mad_delay") === mad)
+      assert(r.getAs[Long]("n_outliers") === devs.count(_ > 3 * mad).toLong)
+    }
+  }
 }

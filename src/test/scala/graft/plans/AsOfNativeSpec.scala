@@ -81,4 +81,44 @@ class AsOfNativeSpec extends GraftSpec {
     }.toMap
     assert(got === want)
   }
+
+  test("optimizer rule: left-side filter pushes through the custom node; right-side stays above") {
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val left = Seq((1L, 10L, 100L), (2L, 20L, 200L), (3L, 30L, 300L))
+      .toDF("k", "t", "lval")
+    val right = Seq((1L, 5L, "a"), (2L, 15L, "b"), (3L, 25L, "c"))
+      .toDF("k", "rt", "v")
+    val joined = AsOfJoinNative(left, right, Seq("k"), "t", "rt")
+
+    // left-side predicate: pushes BELOW the node — here all the way
+    // into the LocalRelation (built-in rules fold it at optimize
+    // time: 3 left rows become 2), with no Filter left anywhere above
+    val lf = joined.filter($"lval" > 150L)
+    val lPlan = lf.queryExecution.optimizedPlan
+    val node = lPlan.collectFirst { case j: AsOfJoinNode => j }
+    assert(node.isDefined, lPlan.toString)
+    assert(lPlan.collect { case f: Filter => f }.isEmpty, lPlan.toString)
+    val lRows = node.get.left.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.length
+    }
+    assert(lRows === Some(2), lPlan.toString)
+    assert(lf.collect().map(_.getAs[String]("v")).sorted.toSeq === Seq("b", "c"))
+
+    // right-side predicate: must NOT push (it would change which right
+    // row is latest) — the Filter stays above the node and the right
+    // LocalRelation keeps all 3 rows
+    val rf = joined.filter($"v" =!= "a")
+    val rPlan = rf.queryExecution.optimizedPlan
+    val rNode = rPlan.collectFirst { case j: AsOfJoinNode => j }
+    assert(rNode.isDefined, rPlan.toString)
+    assert(rNode.get.right.collectFirst {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.length
+    } === Some(3), rPlan.toString)
+    assert(rPlan.collect {
+      case f: Filter if f.condition.references.exists(_.name == "v") => f
+    }.nonEmpty, rPlan.toString)
+    assert(rf.collect().map(_.getAs[String]("v")).sorted.toSeq === Seq("b", "c"))
+  }
 }

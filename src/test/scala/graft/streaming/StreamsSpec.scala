@@ -267,6 +267,29 @@ class StreamsSpec extends GraftSpec {
       assert(kept === Seq(1L, 2L, 4L))
     } finally q.stop()
   }
+
+  test("stream-static enrich: dim joined per micro-batch, left semantics keep unmatched facts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "A"), (2L, "B")).toDF("user_id", "segment")
+    val mem = MemoryStream[Streams.FactEvent]
+    val q = Streams.enrichWithDim(mem.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_test_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq(Streams.FactEvent(10L, 1L, 100L)))
+      q.processAllAvailable()
+      // second batch proves the static side re-resolves per batch and
+      // that a keyless fact (user 9) survives the LEFT join as null
+      mem.addData(Seq(
+        Streams.FactEvent(11L, 2L, 200L), Streams.FactEvent(12L, 9L, 300L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("enrich_test_sink").orderBy(col("event_id"))
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("segment")))
+    assert(rows.toSeq === Seq((10L, "A"), (11L, "B"), (12L, null)))
+  }
 }
 
 class MultimodalSpec extends GraftSpec {
