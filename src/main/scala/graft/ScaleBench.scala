@@ -103,6 +103,11 @@ object ScaleBench {
     "q21_asof_join", "q21b_asof_join_native", "q99_incremental_mv",
     // SES forecast: daily agg + calendar-bounded per-user windows
     "q101_exp_smoothing",
+    // behavioral analytics (r8): funnel = 3 filtered aggs + 2
+    // user-keyed joins (no per-user sort), cohort retention = two
+    // aggs + one join with #days²-bounded output, transitions = the
+    // q39-shape lag window + type-count-sized share join
+    "q104_funnel", "q105_cohort_retention", "q106_event_transitions",
     // A-ES weighted sampling: projection + k-slot top-k per source
     "q100_weighted_sample")
 

@@ -338,5 +338,126 @@ object Temporal {
         .select($"vec_id", round2(least(dists: _*), 4).as("min_dist_km"))
         .orderBy($"vec_id")
     },
+
+    /** Ordered funnel analysis (E67/q104) — the product-analytics
+      * staple (ClickHouse `windowFunnel`, Amplitude funnels): how many
+      * users click, then view AFTER their first click, then purchase
+      * AFTER that view. Each step is one filtered hash agg (min µs per
+      * user) plus one user-keyed join against the previous step's
+      * user-count-sized table — NO per-user event sort, no window; the
+      * ordering constraint lives entirely in `us >= t_prev`. Integer
+      * µs throughout → hash-exact. At 100 TB each step table is
+      * user-count-sized (broadcastable while users ≪ events, AQE
+      * decides), and the event scans prune to one event_type each. */
+    QueryDef.sql(
+      "q104_funnel",
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |), t1 AS (
+        |  SELECT user_id, MIN(us) AS t FROM ev WHERE event_type = 'click' GROUP BY user_id
+        |), t2 AS (
+        |  SELECT e.user_id, MIN(e.us) AS t FROM ev e JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'view' AND e.us >= t1.t GROUP BY e.user_id
+        |), t3 AS (
+        |  SELECT e.user_id, MIN(e.us) AS t FROM ev e JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us >= t2.t GROUP BY e.user_id
+        |)
+        |SELECT * FROM (
+        |  SELECT 1 AS step, 'click' AS step_name, COUNT(*) AS n_users FROM t1
+        |  UNION ALL
+        |  SELECT 2, 'view', COUNT(*) FROM t2
+        |  UNION ALL
+        |  SELECT 3, 'purchase', COUNT(*) FROM t3
+        |) ORDER BY step""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      def step(tpe: String, prev: Option[DataFrame]): DataFrame = {
+        val typed = ev.filter($"event_type" === tpe)
+        val gated = prev match {
+          case None    => typed
+          case Some(p) => typed.join(p, Seq("user_id")).filter($"us" >= $"t").drop("t")
+        }
+        gated.groupBy($"user_id").agg(min($"us").as("t"))
+      }
+      val t1 = step("click", None)
+      val t2 = step("view", Some(t1))
+      val t3 = step("purchase", Some(t2))
+      Seq((t1, 1, "click"), (t2, 2, "view"), (t3, 3, "purchase"))
+        .map { case (df, i, nm) =>
+          df.agg(count(lit(1)).as("n_users"))
+            .select(lit(i).as("step"), lit(nm).as("step_name"), $"n_users")
+        }
+        .reduce(_.unionByName(_))
+        .orderBy($"step")
+    },
+
+    /** Cohort retention (E68/q105) — the growth-analytics triangle:
+      * cohort = each user's first active day; retention cell
+      * (cohort_day, day_offset) = distinct cohort users active that
+      * many days later. One first-touch agg (the q96 rewrite), one
+      * distinct-days pass, one user-keyed join, one count-distinct —
+      * all hash aggs, output bounded by #days² regardless of corpus
+      * size. Integer day arithmetic → hash-exact. */
+    QueryDef.sql(
+      "q105_cohort_retention",
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), first AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id
+        |)
+        |SELECT f.cohort_day,
+        |       datediff('day', f.cohort_day, a.day) AS day_offset,
+        |       COUNT(DISTINCT a.user_id) AS n_users
+        |FROM act a JOIN first f ON a.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin) { (s, d) =>
+      val act = Tables.events(s, d)
+        .select($"user_id", to_date($"ts").as("day")).distinct()
+      val first = act.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+      act.join(first, Seq("user_id"))
+        .groupBy($"cohort_day",
+          datediff($"day", $"cohort_day").as("day_offset"))
+        .agg(countDistinct($"user_id").as("n_users"))
+        .orderBy($"cohort_day", $"day_offset")
+    },
+
+    /** Event-transition matrix (E69/q106) — the behavioral Markov
+      * chain: per-user consecutive event-type bigrams, counted across
+      * users, with each transition's share of its origin row. The lag
+      * window partitions by user (the q39 gate shape — the hot-user
+      * scale path is q39b's deterministic time-bucket sharding, which
+      * applies verbatim since lag is exactly the cross-bucket boundary
+      * it resolves); the share join-back broadcasts a #types-row
+      * total table. (ts, event_id) ordering is total → deterministic,
+      * integer counts + one portable-rounded ratio → hash-exact. */
+    QueryDef.sql(
+      "q106_event_transitions",
+      """WITH lagged AS (
+        |  SELECT user_id, event_type AS to_type,
+        |         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+        |  FROM events
+        |), pairs AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n
+        |  FROM lagged WHERE from_type IS NOT NULL GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT from_type, SUM(n) AS t FROM pairs GROUP BY from_type
+        |)
+        |SELECT p.from_type, p.to_type, p.n,
+        |       CAST(CAST(ROUND((CAST(p.n AS DOUBLE) / t.t) * 1e6, 0) AS BIGINT) / 1e6 AS DOUBLE) AS share
+        |FROM pairs p JOIN tot t ON p.from_type = t.from_type
+        |ORDER BY p.from_type, p.to_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val pairs = Tables.events(s, d)
+        .select($"user_id", $"event_type".as("to_type"), $"ts", $"event_id")
+        .withColumn("from_type", lag($"to_type", 1).over(w))
+        .filter($"from_type".isNotNull)
+        .groupBy($"from_type", $"to_type")
+        .agg(count(lit(1)).as("n"))
+      val tot = pairs.groupBy($"from_type").agg(sum($"n").as("t"))
+      pairs.join(broadcast(tot), Seq("from_type"))
+        .select($"from_type", $"to_type", $"n",
+          round2($"n".cast("double") / $"t", 6).as("share"))
+        .orderBy($"from_type", $"to_type")
+    },
   )
 }

@@ -330,6 +330,33 @@ class AdvancedSpec extends GraftSpec {
     }
   }
 
+  test("q104/q105/q106 behavioral invariants: funnel monotone, cohort day-0 complete, shares sum to 1") {
+    val dir = sf("sf0.001")
+    // funnel: step counts can only shrink, and step 1 = distinct clickers
+    val funnel = SparkEntry.queries("q104_funnel")(spark, dir).collect()
+      .map(r => r.getAs[Int]("step") -> r.getAs[Long]("n_users")).toMap
+    assert(funnel(1) >= funnel(2) && funnel(2) >= funnel(3))
+    val clickers = graft.Tables.events(spark, dir)
+      .filter($"event_type" === "click").select($"user_id").distinct().count()
+    assert(funnel(1) === clickers)
+    // cohort: day-0 cells cover every user exactly once
+    val cohort = SparkEntry.queries("q105_cohort_retention")(spark, dir).collect()
+    val day0 = cohort.filter(_.getAs[Int]("day_offset") == 0)
+      .map(_.getAs[Long]("n_users")).sum
+    val users = graft.Tables.events(spark, dir)
+      .select($"user_id").distinct().count()
+    assert(day0 === users)
+    // transitions: per-origin shares sum to ~1 (rp6 rounding each term)
+    SparkEntry.queries("q106_event_transitions")(spark, dir).collect()
+      .groupBy(_.getAs[String]("from_type"))
+      .foreach { case (ft, rows) =>
+        val s = rows.map(_.getAs[Double]("share")).sum
+        assert(math.abs(s - 1.0) < 1e-4, s"$ft shares sum $s")
+        val n = rows.map(_.getAs[Long]("n")).sum
+        assert(n > 0)
+      }
+  }
+
   test("q103 MAD outliers: flags exactly the rows beyond 3 MAD of the median") {
     val dir = sf("sf0.001")
     def med(v: Seq[Double]): Double = {
