@@ -108,6 +108,9 @@ object ScaleBench {
     // aggs + one join with #days²-bounded output, transitions = the
     // q39-shape lag window + type-count-sized share join
     "q104_funnel", "q105_cohort_retention", "q106_event_transitions",
+    // TWAP (lag window + one agg) and the one-pass Welch A/B test —
+    // both scan-shaped by construction
+    "q107_twap", "q108_ab_test",
     // A-ES weighted sampling: projection + k-slot top-k per source
     "q100_weighted_sample")
 

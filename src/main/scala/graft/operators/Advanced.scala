@@ -1053,6 +1053,66 @@ object Advanced {
         .orderBy($"l_returnflag")
     },
 
+    /** A/B experiment statistics (E71/q108) — the two-sample Welch
+      * t-test every experimentation platform runs per metric: users
+      * split into deterministic variants (user_id parity — replayable,
+      * no RNG), per event_type the variant means are compared with the
+      * unequal-variance t statistic. ONE pass accumulates six integer
+      * sums (n/Σc/Σc² per variant via conditional aggregation — cents
+      * keep them exact); mean, variance, and t then evaluate in one
+      * fixed IEEE expression order mirrored textually in the oracle —
+      * hash-exact where a float-accumulating stddev_samp never could
+      * (q102's trick applied to inference). Scan-shaped: the whole
+      * test is one map-side-combined hash agg, any corpus size. */
+    QueryDef.sql(
+      "q108_ab_test",
+      """WITH ev AS (
+        |  SELECT event_type, user_id % 2 AS v, CAST(ROUND(value*100,0) AS BIGINT) AS c
+        |  FROM events
+        |), m AS (
+        |  SELECT event_type,
+        |         SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS na,
+        |         SUM(CASE WHEN v = 0 THEN c ELSE 0 END) AS sa,
+        |         SUM(CASE WHEN v = 0 THEN c*c ELSE 0 END) AS ssa,
+        |         SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS nb,
+        |         SUM(CASE WHEN v = 1 THEN c ELSE 0 END) AS sb,
+        |         SUM(CASE WHEN v = 1 THEN c*c ELSE 0 END) AS ssb
+        |  FROM ev GROUP BY event_type
+        |)
+        |SELECT event_type,
+        |       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |       CAST(CAST(ROUND((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 1e2) * 1e4, 0) AS BIGINT) / 1e4 AS DOUBLE) AS mean_a,
+        |       CAST(CAST(ROUND((CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 1e2) * 1e4, 0) AS BIGINT) / 1e4 AS DOUBLE) AS mean_b,
+        |       CAST(CAST(ROUND(((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / SQRT((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1e0) / CAST(na AS DOUBLE) + (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1e0) / CAST(nb AS DOUBLE))) * 1e6, 0) AS BIGINT) / 1e6 AS DOUBLE) AS t_stat
+        |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(
+        $"event_type",
+        pmod($"user_id", lit(2L)).as("v"),
+        cents($"value").as("c"))
+      val m = ev.groupBy($"event_type").agg(
+          sum(when($"v" === 0, 1L).otherwise(0L)).as("na"),
+          sum(when($"v" === 0, $"c").otherwise(0L)).as("sa"),
+          sum(when($"v" === 0, $"c" * $"c").otherwise(0L)).as("ssa"),
+          sum(when($"v" === 1, 1L).otherwise(0L)).as("nb"),
+          sum(when($"v" === 1, $"c").otherwise(0L)).as("sb"),
+          sum(when($"v" === 1, $"c" * $"c").otherwise(0L)).as("ssb"))
+        .select($"event_type", $"na", $"nb",
+          $"na".cast("double").as("nad"), $"sa".cast("double").as("sad"),
+          $"ssa".cast("double").as("ssad"),
+          $"nb".cast("double").as("nbd"), $"sb".cast("double").as("sbd"),
+          $"ssb".cast("double").as("ssbd"))
+      val meanA = $"sad" / $"nad"
+      val meanB = $"sbd" / $"nbd"
+      val varOverNA = ($"ssad" - $"sad" * $"sad" / $"nad") / ($"nad" - lit(1e0)) / $"nad"
+      val varOverNB = ($"ssbd" - $"sbd" * $"sbd" / $"nbd") / ($"nbd" - lit(1e0)) / $"nbd"
+      m.select($"event_type",
+          $"na".as("n_a"), $"nb".as("n_b"),
+          round2(meanA / lit(1e2), 4).as("mean_a"),
+          round2(meanB / lit(1e2), 4).as("mean_b"),
+          round2((meanA - meanB) / sqrt(varOverNA + varOverNB), 6).as("t_stat"))
+        .orderBy($"event_type")
+    },
+
     /** Robust outlier detection via MAD (E65/q103) — the
       * median-absolute-deviation robust z-score, the industry-standard
       * replacement for q24's mean/stddev z-score when the signal has

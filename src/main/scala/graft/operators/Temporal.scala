@@ -420,6 +420,63 @@ object Temporal {
         .orderBy($"cohort_day", $"day_offset")
     },
 
+    /** Time-weighted average (E70/q107) — TWAP, the temporal
+      * integration primitive (sensor means, position exposure, fleet
+      * utilization): per user, the trapezoidal integral of `value`
+      * over time divided by the covered span. Every accumulator is
+      * integer — area = Σ(prev_cents + cents)·Δµs (the ÷2 deferred to
+      * the final division), span = Σ Δµs — so the sums are exact in
+      * any order and the single double division at the end runs in one
+      * fixed IEEE order both engines share. Per-row products stay
+      * ≤ ~2e15 (2·10⁴ cents × month-of-µs); the long sums hold to
+      * ~10⁵ events/user·month — beyond that the accumulators graduate
+      * to decimal(38,0) exactly like q102's Σy². The lag window is the
+      * q39 gate shape (hot-user scale path = q39b's bucket sharding). */
+    QueryDef.sql(
+      "q107_twap",
+      """WITH lagged AS (
+        |  SELECT user_id,
+        |         CAST(ROUND(value*100,0) AS BIGINT) AS c,
+        |         LAG(CAST(ROUND(value*100,0) AS BIGINT)) OVER w AS prev_c,
+        |         epoch_us(ts) AS us,
+        |         LAG(epoch_us(ts)) OVER w AS prev_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), seg AS (
+        |  SELECT user_id, (prev_c + c) * (us - prev_us) AS area, us - prev_us AS dt
+        |  FROM lagged WHERE prev_us IS NOT NULL
+        |), agg AS (
+        |  SELECT user_id, COUNT(*) AS n_segments,
+        |         SUM(dt) AS span_us, SUM(area) AS area2
+        |  FROM seg GROUP BY user_id
+        |)
+        |SELECT user_id, CAST(n_segments AS BIGINT) AS n_segments,
+        |       CAST(span_us AS BIGINT) AS span_us,
+        |       CAST(CAST(ROUND((CAST(area2 AS DOUBLE) / (2e0 * CAST(span_us AS DOUBLE)) / 1e2) * 1e4, 0) AS BIGINT) / 1e4 AS DOUBLE) AS twap_value
+        |FROM agg WHERE span_us > 0
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val lagged = Tables.events(s, d)
+        .select($"user_id", $"ts", $"event_id",
+          cents($"value").as("c"), unix_micros($"ts").as("us"))
+        .withColumn("prev_c", lag($"c", 1).over(w))
+        .withColumn("prev_us", lag($"us", 1).over(w))
+        .filter($"prev_us".isNotNull)
+      lagged
+        .select($"user_id",
+          (($"prev_c" + $"c") * ($"us" - $"prev_us")).as("area"),
+          ($"us" - $"prev_us").as("dt"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_segments"),
+          sum($"dt").as("span_us"), sum($"area").as("area2"))
+        .filter($"span_us" > 0)
+        .select($"user_id", $"n_segments", $"span_us",
+          round2($"area2".cast("double") / (lit(2e0) * $"span_us".cast("double")) / lit(1e2), 4)
+            .as("twap_value"))
+        .orderBy($"user_id")
+    },
+
     /** Event-transition matrix (E69/q106) — the behavioral Markov
       * chain: per-user consecutive event-type bigrams, counted across
       * users, with each transition's share of its origin row. The lag

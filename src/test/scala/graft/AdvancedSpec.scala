@@ -357,6 +357,64 @@ class AdvancedSpec extends GraftSpec {
       }
   }
 
+  test("q107 TWAP: matches a driver-side trapezoidal recomputation") {
+    val dir = sf("sf0.001")
+    def rp(x: Double, k: Int): Double = {
+      val s = math.pow(10, k)
+      java.math.BigDecimal.valueOf(x * s)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue() / s
+    }
+    val ev = graft.Tables.events(spark, dir)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_id",
+        round($"value" * 100, 0).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(t => (t._2, t._3)).toSeq).toMap
+    val got = SparkEntry.queries("q107_twap")(spark, dir).collect()
+    got.foreach { r =>
+      val rows = ev(r.getLong(0))
+      val segs = rows.zip(rows.tail)
+      val span = segs.map { case (a, b) => b._2 - a._2 }.sum
+      val area2 = segs.map { case (a, b) => (a._4 + b._4) * (b._2 - a._2) }.sum
+      assert(r.getAs[Long]("n_segments") === segs.length.toLong)
+      assert(r.getAs[Long]("span_us") === span)
+      assert(r.getAs[Double]("twap_value") ===
+        rp(area2.toDouble / (2e0 * span.toDouble) / 1e2, 4))
+    }
+    // every user with ≥2 events and positive span appears
+    assert(got.length === ev.count { case (_, v) =>
+      v.length >= 2 && v.last._2 > v.head._2 })
+  }
+
+  test("q108 A/B test: t statistic matches an exact-moment Welch recomputation") {
+    val dir = sf("sf0.001")
+    def rp(x: Double, k: Int): Double = {
+      val s = math.pow(10, k)
+      java.math.BigDecimal.valueOf(x * s)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue() / s
+    }
+    val ev = graft.Tables.events(spark, dir)
+      .select($"event_type", pmod($"user_id", lit(2L)).as("v"),
+        round($"value" * 100, 0).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    SparkEntry.queries("q108_ab_test")(spark, dir).collect().foreach { r =>
+      val t = ev.filter(_._1 == r.getString(0))
+      val a = t.filter(_._2 == 0L).map(_._3)
+      val b = t.filter(_._2 == 1L).map(_._3)
+      val (na, sa, ssa) = (a.length.toDouble, a.sum.toDouble, a.map(x => x * x).sum.toDouble)
+      val (nb, sb, ssb) = (b.length.toDouble, b.sum.toDouble, b.map(x => x * x).sum.toDouble)
+      assert(r.getAs[Long]("n_a") === a.length.toLong)
+      assert(r.getAs[Long]("n_b") === b.length.toLong)
+      assert(r.getAs[Double]("mean_a") === rp(sa / na / 1e2, 4))
+      assert(r.getAs[Double]("mean_b") === rp(sb / nb / 1e2, 4))
+      val tStat = (sa / na - sb / nb) / math.sqrt(
+        (ssa - sa * sa / na) / (na - 1e0) / na +
+        (ssb - sb * sb / nb) / (nb - 1e0) / nb)
+      assert(r.getAs[Double]("t_stat") === rp(tStat, 6))
+    }
+  }
+
   test("q103 MAD outliers: flags exactly the rows beyond 3 MAD of the median") {
     val dir = sf("sf0.001")
     def med(v: Seq[Double]): Double = {
