@@ -111,6 +111,9 @@ object ScaleBench {
     // TWAP (lag window + one agg) and the one-pass Welch A/B test —
     // both scan-shaped by construction
     "q107_twap", "q108_ab_test",
+    // RANGE-frame rolling 7-day window over the daily pre-aggregate
+    // (frame ≤ #days rows per user — the q101 shape)
+    "q109_rolling_range",
     // A-ES weighted sampling: projection + k-slot top-k per source
     "q100_weighted_sample")
 

@@ -420,6 +420,48 @@ object Temporal {
         .orderBy($"cohort_day", $"day_offset")
     },
 
+    /** Rolling 7-day RANGE-frame window (E72/q109) — the trailing-
+      * window KPI every ops dashboard serves ("events/revenue, last 7
+      * days, per user, daily"): a VALUE-based window frame (`RANGE
+      * BETWEEN 6 PRECEDING AND CURRENT ROW` over the day number), the
+      * one frame type the rest of the window surface (W1–W4: rows
+      * frames, unbounded running totals, lag/lead) doesn't exercise —
+      * and the only correct one here, since a ROWS frame silently
+      * miscounts whenever a user has gap days. Runs on the DAILY
+      * pre-aggregate (one corpus hash agg; the window frame is ≤ #days
+      * rows per user, never events — the q101 shape). Integer counts
+      * and cents sums; the /1e2 money presentation is one shared IEEE
+      * division. */
+    QueryDef.sql(
+      "q109_rolling_range",
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_idx,
+        |         COUNT(*) AS n_events,
+        |         SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS c
+        |  FROM events GROUP BY 1, 2, 3
+        |)
+        |SELECT user_id, day, n_events,
+        |       CAST(SUM(n_events) OVER w AS BIGINT) AS roll7_events,
+        |       CAST(CAST(SUM(c) OVER w AS BIGINT) / 1e2 AS DOUBLE) AS roll7_value
+        |FROM daily
+        |WINDOW w AS (PARTITION BY user_id ORDER BY day_idx
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, day""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy($"user_id", to_date($"ts").as("day"),
+          datediff(to_date($"ts"), to_date(lit("1970-01-01"))).cast("long")
+            .as("day_idx"))
+        .agg(count(lit(1)).as("n_events"), sum(cents($"value")).as("c"))
+      val w = Window.partitionBy($"user_id").orderBy($"day_idx")
+        .rangeBetween(-6, 0)
+      daily.select($"user_id", $"day", $"n_events",
+          sum($"n_events").over(w).as("roll7_events"),
+          (sum($"c").over(w) / lit(1e2)).cast("double").as("roll7_value"))
+        .orderBy($"user_id", $"day")
+    },
+
     /** Time-weighted average (E70/q107) — TWAP, the temporal
       * integration primitive (sensor means, position exposure, fleet
       * utilization): per user, the trapezoidal integral of `value`
