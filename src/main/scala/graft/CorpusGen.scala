@@ -135,10 +135,12 @@ object CorpusGen {
       id.as("o_orderkey"),
       pmod(h(seed, 30, id), lit(nCust)).as("o_custkey"))
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val nParts = math.max(4L, nOrders / 8)
     spark.range(nOrders * 4).select(
       (id / 4).cast("long").as("l_orderkey"),
       pmod(id, lit(4L)).cast("int").as("l_linenumber"),
       pmod(h(seed, 31, id), lit(nSupp)).as("l_suppkey"),
+      pmod(h(seed, 33, id), lit(nParts)).as("l_partkey"),
       (pmod(h(seed, 32, id), lit(50L)) + 1).cast("double").as("l_quantity"))
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
   }
@@ -162,8 +164,12 @@ object CorpusGen {
     if (nEvents > 0 && !new java.io.File(dir, "events.parquet").exists())
       events(spark, nEvents)
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    // relational slice joined in round 8 (q94/q95): same backfill rule
-    if (nOrders > 0 && !new java.io.File(dir, "orders.parquet").exists())
+    // relational slice joined in round 8 (q94/q95): same backfill rule;
+    // l_partkey joined in the r8 third wave (q110) — a dir generated
+    // before it regenerates the slice (deterministic seed → identical
+    // rows, one new column)
+    if (nOrders > 0 && (!new java.io.File(dir, "orders.parquet").exists() ||
+        !spark.read.parquet(s"$dir/lineitem.parquet").columns.contains("l_partkey")))
       relational(spark, dir, nOrders)
   }
 }

@@ -114,6 +114,9 @@ object ScaleBench {
     // RANGE-frame rolling 7-day window over the daily pre-aggregate
     // (frame ≤ #days rows per user — the q101 shape)
     "q109_rolling_range",
+    // market-basket pairs (order-keyed self-join, shuffle ∝ Σ basket²,
+    // support prune) and the bag-semantics set ops (hash-agg planned)
+    "q110_market_basket", "q111_set_ops_bag",
     // A-ES weighted sampling: projection + k-slot top-k per source
     "q100_weighted_sample")
 

@@ -1059,6 +1059,61 @@ object Advanced {
         .orderBy($"l_returnflag")
     },
 
+    /** Market-basket association rules (E74/q110) — co-occurrence
+      * mining with support / confidence / lift, the classic affinity
+      * analysis (reference-domain reading: "parts ordered together"):
+      * distinct (order, part) items, pair candidates via an
+      * order-keyed self-join with `p1 < p2` (shuffle ∝ Σ basket² —
+      * basket size is BOUNDED by order shape, so the pair space never
+      * explodes the way a part-keyed blowup would), minimum-support
+      * prune, then the three ratio metrics from integer counts in one
+      * fixed IEEE order (rp6) against part-count and order-count
+      * tables (both broadcast). The a-priori support threshold is what
+      * makes this corpus-scalable: pairs below it die before any
+      * metric math. */
+    QueryDef.sql(
+      "q110_market_basket",
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |), n_ord AS (SELECT COUNT(DISTINCT o) AS n_orders FROM items),
+        |item_n AS (SELECT p, COUNT(*) AS n_item FROM items GROUP BY p),
+        |pairs AS (
+        |  SELECT a.p AS p1, b.p AS p2, COUNT(*) AS pair_n
+        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |)
+        |SELECT p1, p2, pair_n,
+        |       CAST(CAST(ROUND((CAST(pair_n AS DOUBLE) / n_orders) * 1e6, 0) AS BIGINT) / 1e6 AS DOUBLE) AS support,
+        |       CAST(CAST(ROUND((CAST(pair_n AS DOUBLE) / i1.n_item) * 1e6, 0) AS BIGINT) / 1e6 AS DOUBLE) AS conf_1_to_2,
+        |       CAST(CAST(ROUND((CAST(pair_n AS DOUBLE) / i2.n_item) * 1e6, 0) AS BIGINT) / 1e6 AS DOUBLE) AS conf_2_to_1,
+        |       CAST(CAST(ROUND(((CAST(pair_n AS DOUBLE) * n_orders) / (CAST(i1.n_item AS DOUBLE) * i2.n_item)) * 1e6, 0) AS BIGINT) / 1e6 AS DOUBLE) AS lift
+        |FROM pairs
+        |JOIN item_n i1 ON i1.p = pairs.p1
+        |JOIN item_n i2 ON i2.p = pairs.p2
+        |CROSS JOIN n_ord
+        |ORDER BY p1, p2""".stripMargin) { (s, d) =>
+      val items = Tables.lineitem(s, d)
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+      val nOrd = items.agg(countDistinct($"o").as("n_orders"))
+      val itemN = items.groupBy($"p").agg(count(lit(1)).as("n_item"))
+      val pairs = items.as("a")
+        .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+        .agg(count(lit(1)).as("pair_n"))
+        .filter($"pair_n" >= 2)
+      pairs
+        .join(broadcast(itemN.select($"p".as("p1"), $"n_item".as("n1"))), Seq("p1"))
+        .join(broadcast(itemN.select($"p".as("p2"), $"n_item".as("n2"))), Seq("p2"))
+        .crossJoin(broadcast(nOrd))
+        .select($"p1", $"p2", $"pair_n",
+          round2($"pair_n".cast("double") / $"n_orders", 6).as("support"),
+          round2($"pair_n".cast("double") / $"n1", 6).as("conf_1_to_2"),
+          round2($"pair_n".cast("double") / $"n2", 6).as("conf_2_to_1"),
+          round2(($"pair_n".cast("double") * $"n_orders") /
+            ($"n1".cast("double") * $"n2"), 6).as("lift"))
+        .orderBy($"p1", $"p2")
+    },
+
     /** A/B experiment statistics (E71/q108) — the two-sample Welch
       * t-test every experimentation platform runs per metric: users
       * split into deterministic variants (user_id parity — replayable,

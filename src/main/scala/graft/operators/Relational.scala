@@ -448,5 +448,44 @@ object Relational {
           (sum($"bal_cents") / 100.0).cast("double").as("total_balance"))
         .orderBy($"kind")
     },
+
+    /** Bag-semantics set operations (E73/q111) — INTERSECT ALL /
+      * EXCEPT ALL, completing §2.7 beyond the anti-join (distinct
+      * semantics) and unionByName gates: multiplicity-aware
+      * intersection and difference of the per-(user, day) click and
+      * view activity multisets. Spark plans both as a single
+      * count-per-row hash aggregation + generate (no sort, no
+      * nested loop); the gate summarizes each result (row + distinct
+      * counts) so the oracle stays order-insensitive while the bag
+      * cardinalities — the part plain INTERSECT/EXCEPT would lose —
+      * are exactly what's compared. */
+    QueryDef.sql(
+      "q111_set_ops_bag",
+      """WITH c AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'click'
+        |), v AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'view'
+        |), i AS (SELECT * FROM c INTERSECT ALL SELECT * FROM v),
+        |e AS (SELECT * FROM c EXCEPT ALL SELECT * FROM v)
+        |SELECT * FROM (
+        |  SELECT 'intersect_all' AS op, COUNT(*) AS n_rows,
+        |         COUNT(DISTINCT (user_id, day)) AS n_distinct
+        |  FROM i
+        |  UNION ALL
+        |  SELECT 'except_all', COUNT(*), COUNT(DISTINCT (user_id, day)) FROM e
+        |) ORDER BY op""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select($"event_type", $"user_id", to_date($"ts").as("day"))
+      def side(tpe: String) =
+        ev.filter($"event_type" === tpe).select($"user_id", $"day")
+      val (c, v) = (side("click"), side("view"))
+      def summarize(df: DataFrame, op: String) =
+        df.agg(count(lit(1)).as("n_rows"),
+            countDistinct($"user_id", $"day").as("n_distinct"))
+          .select(lit(op).as("op"), $"n_rows", $"n_distinct")
+      summarize(c.intersectAll(v), "intersect_all")
+        .unionByName(summarize(c.exceptAll(v), "except_all"))
+        .orderBy($"op")
+    },
   )
 }
