@@ -427,4 +427,38 @@ class PlanSpec extends GraftSpec {
     assert(p100.contains("ObjectHashAggregate") && !p100.contains("Window"),
       p100.linesIterator.take(25).mkString("\n"))
   }
+
+  test("r8 third-wave additions keep their intended physical shapes") {
+    // q102 regression / q108 A/B test: ONE hash-agg pass over the
+    // scan — no window, no join anywhere
+    Seq("q102_regression", "q108_ab_test").foreach { n =>
+      val p = plan(q(n))
+      assert(!p.contains("Window") && !p.contains("Join"),
+        s"$n:\n" + p.linesIterator.take(25).mkString("\n"))
+    }
+    // q103 MAD: histogram shape — the fact-sized join feeds ONE
+    // aggregation; medians/MAD/recount all run on broadcast join-backs
+    // of the tiny histogram (never a second fact scan)
+    val p103 = plan(q("q103_mad_outliers"))
+    assert("BroadcastHashJoin".r.findAllIn(p103).size >= 3,
+      p103.linesIterator.take(30).mkString("\n"))
+    // q104 funnel: NO window/sort-per-user anywhere — ordering lives in
+    // the us >= t_prev predicates
+    val p104 = plan(q("q104_funnel"))
+    assert(!p104.contains("Window"),
+      p104.linesIterator.take(25).mkString("\n"))
+    // q110 market basket: the count tables broadcast-hash join; no
+    // CartesianProduct (the only nested-loop allowed is the broadcast
+    // of the 1-row n_ord aggregate)
+    val p110 = plan(q("q110_market_basket"))
+    assert("BroadcastHashJoin".r.findAllIn(p110).size >= 2,
+      p110.linesIterator.take(30).mkString("\n"))
+    assert(!p110.contains("CartesianProduct"),
+      p110.linesIterator.take(30).mkString("\n"))
+    // q111 set ops: hash-agg planned (HashAggregate + Generate), no
+    // sort-merge machinery
+    val p111 = plan(q("q111_set_ops_bag"))
+    assert(p111.contains("Generate") && !p111.contains("SortMergeJoin"),
+      p111.linesIterator.take(30).mkString("\n"))
+  }
 }
