@@ -117,6 +117,8 @@ object ScaleBench {
     // market-basket pairs (order-keyed self-join, shuffle ∝ Σ basket²,
     // support prune) and the bag-semantics set ops (hash-agg planned)
     "q110_market_basket", "q111_set_ops_bag",
+    // seasonal-naive decomposition: two hash aggs + a 35-row broadcast
+    "q112_seasonal_decompose",
     // A-ES weighted sampling: projection + k-slot top-k per source
     "q100_weighted_sample")
 

@@ -462,6 +462,47 @@ object Temporal {
         .orderBy($"user_id", $"day")
     },
 
+    /** Seasonal decomposition, seasonal-naive (E75/q112) — the
+      * dashboard anomaly baseline: each event type's daily volume is
+      * decomposed into a day-of-week SEASONAL component (the mean of
+      * that weekday's daily counts) and a RESIDUAL (observed −
+      * expected); a traffic dip reads as anomalous only against its
+      * weekday's own baseline (Sunday lull ≠ incident). Exact: daily
+      * counts are integers, the weekday mean is one
+      * CAST(SUM)/COUNT division (the avgExact rule), the residual one
+      * subtraction — all in shared IEEE order, rp4. Two hash aggs +
+      * one broadcast join-back of the #types×7-row seasonal table;
+      * output ∝ #types × #days. */
+    QueryDef.sql(
+      "q112_seasonal_decompose",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         dayofweek(CAST(ts AS DATE)) AS dow, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2, 3
+        |), seasonal AS (
+        |  SELECT event_type, dow,
+        |         CAST(SUM(n) AS DOUBLE) / COUNT(*) AS expected
+        |  FROM daily GROUP BY 1, 2
+        |)
+        |SELECT d.event_type, d.day, CAST(d.dow AS INTEGER) AS dow, d.n,
+        |       CAST(CAST(ROUND(s.expected * 1e4, 0) AS BIGINT) / 1e4 AS DOUBLE) AS expected,
+        |       CAST(CAST(ROUND((d.n - s.expected) * 1e4, 0) AS BIGINT) / 1e4 AS DOUBLE) AS residual
+        |FROM daily d JOIN seasonal s
+        |  ON s.event_type = d.event_type AND s.dow = d.dow
+        |ORDER BY d.event_type, d.day""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("dow", pgDow(col("day")))
+      val seasonal = daily.groupBy($"event_type", $"dow")
+        .agg((sum($"n").cast("double") / count(lit(1))).as("expected"))
+      daily.join(broadcast(seasonal), Seq("event_type", "dow"))
+        .select($"event_type", $"day", $"dow".cast("int").as("dow"), $"n",
+          round2($"expected", 4).as("expected"),
+          round2($"n" - $"expected", 4).as("residual"))
+        .orderBy($"event_type", $"day")
+    },
+
     /** Time-weighted average (E70/q107) — TWAP, the temporal
       * integration primitive (sensor means, position exposure, fleet
       * utilization): per user, the trapezoidal integral of `value`
