@@ -119,6 +119,9 @@ object ScaleBench {
     "q110_market_basket", "q111_set_ops_bag",
     // seasonal-naive decomposition: two hash aggs + a 35-row broadcast
     "q112_seasonal_decompose",
+    // vector mean pooling + drift: one quantized-sums hash agg over the
+    // corpus; label-sized everything after
+    "q113_centroid_drift",
     // A-ES weighted sampling: projection + k-slot top-k per source
     "q100_weighted_sample")
 

@@ -562,5 +562,67 @@ object SimilarityOps {
         k = 3, nprobe = IvfNprobe, iters = IvfIters, pretrained = Some(ivf))
       Vectors.mutualKnn(knn).orderBy($"id_a", $"id_b")
     },
+
+    /** Per-group embedding centroid + drift (E76/q113) — vector MEAN
+      * POOLING, the one vector primitive the sim surface (dot, cosine,
+      * top-k, quantize) didn't yet gate, and the semantic-drift
+      * monitor built on it: each label's centroid cosine against the
+      * corpus centroid (a drifting source/class scores low). Float
+      * summation is order-dependent, so the components are QUANTIZED
+      * to integer micro-units first (the cents rule, applied to
+      * vectors) — the 64 per-dim sums are then exact in any partition
+      * order, the global sums RE-AGGREGATE from the per-label sums
+      * (never a second corpus pass), and centroid/cosine math runs in
+      * one fixed left-associative IEEE chain mirrored in the oracle.
+      * One map-side-combined hash agg over the corpus; everything
+      * downstream is #labels-sized. At 2k vectors the 64 interpreted
+      * element_at terms are irrelevant; the corpus-scale path is the
+      * same quantized sums inside a [[Vectors]] kernel. */
+    QueryDef.sql(
+      "q113_centroid_drift", {
+        def qTerm(i: Int) =
+          s"CAST(ROUND(CAST(embedding[$i] AS DOUBLE) * 1e6, 0) AS BIGINT)"
+        val sumTerms = (1 to DIM).map(i => s"SUM(${qTerm(i)}) AS s$i").mkString(", ")
+        val gsums = (1 to DIM).map(i => s"SUM(s$i) AS gs$i").mkString(", ")
+        def c(i: Int) = s"(CAST(s$i AS DOUBLE) / n_vec / 1e6)"
+        def g(i: Int) = s"(CAST(gs$i AS DOUBLE) / gn / 1e6)"
+        val dot = (1 to DIM).map(i => s"${c(i)} * ${g(i)}").mkString(" + ")
+        val nc = "sqrt(" + (1 to DIM).map(i => s"${c(i)} * ${c(i)}").mkString(" + ") + ")"
+        val ng = "sqrt(" + (1 to DIM).map(i => s"${g(i)} * ${g(i)}").mkString(" + ") + ")"
+        s"""WITH per AS (
+           |  SELECT label, COUNT(*) AS n_vec, $sumTerms
+           |  FROM embeddings GROUP BY label
+           |), corpus AS (
+           |  SELECT SUM(n_vec) AS gn, $gsums FROM per
+           |)
+           |SELECT label, CAST(n_vec AS BIGINT) AS n_vectors,
+           |       CAST(CAST(ROUND(($nc) * 1e6, 0) AS BIGINT) / 1e6 AS DOUBLE) AS centroid_norm,
+           |       CAST(CAST(ROUND((($dot) / ($nc * $ng)) * 1e6, 0) AS BIGINT) / 1e6 AS DOUBLE) AS cos_to_global
+           |FROM per CROSS JOIN corpus
+           |ORDER BY label""".stripMargin
+      }) { (s, d) =>
+      val qCols = (1 to DIM).map(i =>
+        round(element_at($"embedding", i).cast("double") * 1e6, 0)
+          .cast("long").as(s"q$i"))
+      val perAggs = count(lit(1)).as("n_vec") +:
+        (1 to DIM).map(i => sum(col(s"q$i")).as(s"s$i"))
+      val per = Tables.embeddings(s, d)
+        .select(($"label" +: qCols): _*)
+        .groupBy($"label")
+        .agg(perAggs.head, perAggs.tail: _*)
+      val gAggs = sum($"n_vec").as("gn") +:
+        (1 to DIM).map(i => sum(col(s"s$i")).as(s"gs$i"))
+      val glob = per.agg(gAggs.head, gAggs.tail: _*)
+      def c(i: Int): Column = col(s"s$i").cast("double") / $"n_vec" / lit(1e6)
+      def g(i: Int): Column = col(s"gs$i").cast("double") / $"gn" / lit(1e6)
+      val dot = (1 to DIM).map(i => c(i) * g(i)).reduce(_ + _)
+      val nc = sqrt((1 to DIM).map(i => c(i) * c(i)).reduce(_ + _))
+      val ng = sqrt((1 to DIM).map(i => g(i) * g(i)).reduce(_ + _))
+      per.crossJoin(broadcast(glob))
+        .select($"label", $"n_vec".as("n_vectors"),
+          round2(nc, 6).as("centroid_norm"),
+          round2(dot / (nc * ng), 6).as("cos_to_global"))
+        .orderBy($"label")
+    },
   )
 }
