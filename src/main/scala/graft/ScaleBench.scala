@@ -122,6 +122,9 @@ object ScaleBench {
     // vector mean pooling + drift: one quantized-sums hash agg over the
     // corpus; label-sized everything after
     "q113_centroid_drift",
+    // calendar gap fill: daily agg + sequence explode + frame-bounded
+    // IGNORE NULLS windows (≤ #days rows per user)
+    "q114_gap_fill",
     // A-ES weighted sampling: projection + k-slot top-k per source
     "q100_weighted_sample")
 

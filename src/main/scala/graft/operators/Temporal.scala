@@ -462,6 +462,74 @@ object Temporal {
         .orderBy($"user_id", $"day")
     },
 
+    /** Calendar gap filling with linear interpolation (E77/q114) —
+      * the time-series imputation primitive every daily-grain pipeline
+      * needs before modeling: densify each user's daily value series
+      * to the full calendar between their first and last active day
+      * (`sequence` + explode — generated rows, no calendar table
+      * join), then fill the gaps by linear interpolation between the
+      * bracketing observed days. The brackets come from frame-bounded
+      * `last/first IGNORE NULLS` windows (≤ #days rows per user — the
+      * q101 shape), NOT from a self-join. Exact: observed values are
+      * integer cents, day offsets integers; the interpolation
+      * `prev + (next − prev) · (Δ/span)` evaluates in one shared
+      * IEEE order, rp4. Observed rows pass through bit-unchanged
+      * (interpolation at Δ=0 is algebraically prev). */
+    QueryDef.sql(
+      "q114_gap_fill",
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS c
+        |  FROM events GROUP BY 1, 2
+        |), spans AS (
+        |  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+        |), cal AS (
+        |  SELECT s.user_id, CAST(u.day AS DATE) AS day
+        |  FROM spans s, UNNEST(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS u(day)
+        |), dense AS (
+        |  SELECT c.user_id, c.day, d.c,
+        |         LAST_VALUE(d.c IGNORE NULLS) OVER w AS prev_c,
+        |         LAST_VALUE(CASE WHEN d.c IS NOT NULL THEN c.day END IGNORE NULLS) OVER w AS prev_day,
+        |         FIRST_VALUE(d.c IGNORE NULLS) OVER wf AS next_c,
+        |         FIRST_VALUE(CASE WHEN d.c IS NOT NULL THEN c.day END IGNORE NULLS) OVER wf AS next_day
+        |  FROM cal c LEFT JOIN daily d ON d.user_id = c.user_id AND d.day = c.day
+        |  WINDOW w AS (PARTITION BY c.user_id ORDER BY c.day
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |       wf AS (PARTITION BY c.user_id ORDER BY c.day
+        |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT user_id, day, c IS NOT NULL AS observed,
+        |       CAST(CAST(ROUND(((CAST(prev_c AS DOUBLE) + (CAST(next_c AS DOUBLE) - CAST(prev_c AS DOUBLE)) * (CAST(day - prev_day AS BIGINT) / CAST(CASE WHEN next_day = prev_day THEN 1 ELSE next_day - prev_day END AS BIGINT))) / 1e2) * 1e4, 0) AS BIGINT) / 1e4 AS DOUBLE) AS value_filled
+        |FROM dense
+        |ORDER BY user_id, day""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy($"user_id", to_date($"ts").as("day"))
+        .agg(sum(cents($"value")).as("c"))
+      val cal = daily.groupBy($"user_id")
+        .agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select($"user_id",
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val wb = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wf = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(0, Window.unboundedFollowing)
+      val obsDay = when($"c".isNotNull, $"day")
+      val dense = cal.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("prev_c", last($"c", ignoreNulls = true).over(wb))
+        .withColumn("prev_day", last(obsDay, ignoreNulls = true).over(wb))
+        .withColumn("next_c", first($"c", ignoreNulls = true).over(wf))
+        .withColumn("next_day", first(obsDay, ignoreNulls = true).over(wf))
+      val span = when($"next_day" === $"prev_day", 1)
+        .otherwise(datediff($"next_day", $"prev_day"))
+      val interp = ($"prev_c".cast("double") +
+        ($"next_c".cast("double") - $"prev_c".cast("double")) *
+          (datediff($"day", $"prev_day").cast("long") / span.cast("long"))) / lit(1e2)
+      dense.select($"user_id", $"day", $"c".isNotNull.as("observed"),
+          round2(interp, 4).as("value_filled"))
+        .orderBy($"user_id", $"day")
+    },
+
     /** Seasonal decomposition, seasonal-naive (E75/q112) — the
       * dashboard anomaly baseline: each event type's daily volume is
       * decomposed into a day-of-week SEASONAL component (the mean of
