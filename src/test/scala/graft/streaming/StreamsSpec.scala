@@ -268,6 +268,44 @@ class StreamsSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming state survives a stop + restart from checkpoint (exact dedup)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // recovery needs a FAULT-TOLERANT sink (the memory sink refuses a
+    // used checkpoint) — a parquet file sink is the production shape
+    val base = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val (ck, out) = (s"$base/ck", s"$base/out")
+    val mem = MemoryStream[Streams.StreamDoc]
+    def start() = Streams.streamingExactDedup(mem.toDS()).toDF()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck).outputMode("append").start()
+    val q1 = start()
+    try {
+      mem.addData(Seq(
+        Streams.StreamDoc(1L, "alpha beta"), Streams.StreamDoc(2L, "gamma")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.read.parquet(out).count() === 2)
+    // a NEW query on the SAME checkpoint: the (fingerprint → doc_id)
+    // keyed state must reload from the state store, so a duplicate of
+    // a PRE-restart document is dropped — the operational recovery
+    // contract (planned maintenance, crash) of every stateful gate
+    val q2 = start()
+    try {
+      mem.addData(Seq(
+        Streams.StreamDoc(3L, "alpha beta"),   // dup of pre-restart doc 1
+        Streams.StreamDoc(4L, "delta")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val ids = spark.read.parquet(out)
+      .as[Streams.StreamDoc].collect().map(_.doc_id)
+    assert(ids.toSet === Set(1L, 2L, 4L), s"got ${ids.toSeq}")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(base))
+  }
+
   test("stream-static enrich: dim joined per micro-batch, left semantics keep unmatched facts") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
