@@ -125,6 +125,9 @@ object ScaleBench {
     // calendar gap fill: daily agg + sequence explode + frame-bounded
     // IGNORE NULLS windows (≤ #days rows per user)
     "q114_gap_fill",
+    // quantile normalization: per-source running-count windows + a
+    // histogram-sized global table exploded to exactly 1000 rows
+    "q115_quantile_normalize",
     // A-ES weighted sampling: projection + k-slot top-k per source
     "q100_weighted_sample")
 

@@ -1954,6 +1954,77 @@ object TextOps {
       weightedSample(Tables.documents(s, d), s)
         .orderBy($"source", $"rnk")
     },
+
+    /** Cross-source quantile normalization (E78/q115) — score
+      * calibration before mixing sources: a document's raw score
+      * (n_chars here) is replaced by the GLOBAL empirical quantile at
+      * the document's rank WITHIN ITS SOURCE, so "long for src3" and
+      * "long for src17" land on the same calibrated scale no matter
+      * how different the two length distributions are. ALL-INTEGER
+      * construction — no float quantile boundary can flip a bucket:
+      * per-source rank a = value-ranged running count (ties share a
+      * rank), permille k = ⌈1000·a/n_source⌉ as `(1000a + n−1) DIV n`,
+      * and the global permille table assigns each distinct value v the
+      * exact k-range `(1000·cum_prev) DIV N + 1 .. (1000·cum) DIV N`
+      * (cross-multiplied integer comparisons — never a division), so
+      * q_k = min v with 1000·cum ≥ k·N by construction. Scale shape:
+      * the per-source window is a running count; the global table is
+      * #distinct-values-sized → sequence-exploded to exactly 1000
+      * rows → broadcast equi-join on k. */
+    QueryDef.sql(
+      "q115_quantile_normalize",
+      """WITH ranked AS (
+        |  SELECT doc_id, source, n_chars,
+        |         COUNT(*) OVER (PARTITION BY source ORDER BY n_chars
+        |                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a,
+        |         COUNT(*) OVER (PARTITION BY source) AS n_src
+        |  FROM documents
+        |), keyed AS (
+        |  SELECT doc_id, source, n_chars,
+        |         (1000 * a + n_src - 1) // n_src AS k
+        |  FROM ranked
+        |), hist AS (
+        |  SELECT n_chars AS v, COUNT(*) AS cnt FROM documents GROUP BY n_chars
+        |), cum AS (
+        |  SELECT v, SUM(cnt) OVER (ORDER BY v) AS c,
+        |         COALESCE(SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cp,
+        |         SUM(cnt) OVER () AS n
+        |  FROM hist
+        |), permille AS (
+        |  SELECT u.k, cum.v
+        |  FROM cum, UNNEST(generate_series(CAST((1000 * cp) // n + 1 AS BIGINT), CAST((1000 * c) // n AS BIGINT))) AS u(k)
+        |  WHERE (1000 * c) // n >= (1000 * cp) // n + 1
+        |)
+        |SELECT kd.doc_id, kd.source, kd.n_chars, CAST(kd.k AS BIGINT) AS permille,
+        |       p.v AS n_chars_calibrated
+        |FROM keyed kd JOIN permille p ON p.k = kd.k
+        |ORDER BY kd.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select($"doc_id", $"source", $"n_chars")
+      val wRank = Window.partitionBy($"source").orderBy($"n_chars")
+        .rangeBetween(Window.unboundedPreceding, 0)
+      val keyed = docs
+        .withColumn("a", count(lit(1)).over(wRank))
+        .withColumn("n_src", count(lit(1)).over(Window.partitionBy($"source")))
+        .withColumn("k", expr("(1000 * a + n_src - 1) DIV n_src"))
+      val wCum = Window.orderBy($"v")
+      val cum = docs.groupBy($"n_chars".as("v")).agg(count(lit(1)).as("cnt"))
+        .withColumn("c", sum($"cnt").over(
+          wCum.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("cp", coalesce(sum($"cnt").over(
+          wCum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum($"cnt").over(
+          Window.partitionBy(lit(1))))
+      val permille = cum
+        .withColumn("k_lo", expr("(1000 * cp) DIV n + 1"))
+        .withColumn("k_hi", expr("(1000 * c) DIV n"))
+        .filter($"k_hi" >= $"k_lo")
+        .select(explode(expr("sequence(k_lo, k_hi)")).as("k"), $"v")
+      keyed.join(broadcast(permille), Seq("k"))
+        .select($"doc_id", $"source", $"n_chars",
+          $"k".cast("long").as("permille"),
+          $"v".as("n_chars_calibrated"))
+        .orderBy($"doc_id")
+    },
   )
 
   /** q100's kernel, also property-pinned in OperatorProps: A-ES keys
