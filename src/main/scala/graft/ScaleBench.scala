@@ -128,6 +128,8 @@ object ScaleBench {
     // quantile normalization: per-source running-count windows + a
     // histogram-sized global table exploded to exactly 1000 rows
     "q115_quantile_normalize",
+    // MMR diverse selection: k distributed scans, each map + top-1
+    "q116_mmr_select",
     // A-ES weighted sampling: projection + k-slot top-k per source
     "q100_weighted_sample")
 

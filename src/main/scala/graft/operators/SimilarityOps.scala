@@ -563,6 +563,17 @@ object SimilarityOps {
       Vectors.mutualKnn(knn).orderBy($"id_a", $"id_b")
     },
 
+    /** Greedy MMR selection (E79/q116) — diversity-aware exemplar
+      * picking: 8 vectors maximizing λ·(cosine to corpus centroid) −
+      * (1−λ)·(max cosine to already-selected), λ = 0.7. Greedy
+      * iteration is inherently sequential ⇒ rows-only; VectorsSpec
+      * replays the exact greedy naively on the driver and matches the
+      * full selection sequence, scores included. */
+    QueryDef.rowsOnly("q116_mmr_select") { (s, d) =>
+      Vectors.mmrSelect(Tables.embeddings(s, d), "vec_id", "embedding", k = 8)
+        .orderBy($"rnk")
+    },
+
     /** Per-group embedding centroid + drift (E76/q113) — vector MEAN
       * POOLING, the one vector primitive the sim surface (dot, cosine,
       * top-k, quantize) didn't yet gate, and the semantic-drift

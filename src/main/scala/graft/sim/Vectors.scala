@@ -747,4 +747,69 @@ object Vectors {
       }.toDF("probe_id", "neighbor_id", "adc")
     pqRerankTail(data, idCol, vecCol, adc, k, R)
   }
+
+  /** Greedy maximal-marginal-relevance selection (E79/q116) — the
+    * diversity-aware curation primitive (exemplar picking, DiverseEvol
+    * -style data pruning): pick k vectors maximizing
+    * `λ·relevance − (1−λ)·max-similarity-to-already-selected`, where
+    * relevance is cosine to the CORPUS CENTROID (central-but-mutually-
+    * diverse exemplars; the shipped embeddings are unit-norm, so a
+    * norm-based relevance would be degenerate). Determinism: the
+    * centroid comes from integer-quantized per-dim sums (partition-
+    * order exact, the q113 rule), each candidate's scores are computed
+    * in the fixed kernel fold order, and the per-round argmax
+    * tie-breaks on lowest id. Scale shape: k distributed scans, each
+    * one map + a global top-1 (TakeOrdered); driver state is the
+    * selected set — k vectors, model-sized. k ≪ corpus always (the
+    * operator's contract); an O(corpus) selection would compose
+    * semDedup + sampling instead. */
+  def mmrSelect(data: DataFrame, idCol: String, vecCol: String,
+                k: Int, lambda: Double = 0.7): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val base = data.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+    val dim = base.head()._2.length
+    val parts = base.mapPartitions { it =>
+      val sums = new Array[Long](dim); var n = 0L
+      it.foreach { case (_, v) =>
+        var i = 0
+        while (i < dim) { sums(i) += math.round(v(i).toDouble * 1e6); i += 1 }
+        n += 1
+      }
+      Iterator((sums, n))
+    }.collect()
+    val n = parts.map(_._2).sum
+    val centroid = Array.tabulate(dim)(i => parts.map(_._1(i)).sum.toDouble / n / 1e6)
+    val cNorm = math.sqrt(centroid.foldLeft(0.0)((s, x) => s + x * x))
+    val lam = lambda
+    var selected = Vector.empty[(Long, Array[Float], Double, Double, Double)]
+    for (_ <- 1 to k) {
+      val bc = spark.sparkContext.broadcast(
+        (selected.map(_._1).toSet, selected.map(_._2)))
+      val best = base.mapPartitions { it =>
+        val (ids, vecs) = bc.value
+        it.filter(r => !ids.contains(r._1)).map { case (id, v) =>
+          val rel = cosineTo(v, centroid, cNorm)
+          var ms = 0.0
+          var first = true
+          vecs.foreach { sv =>
+            val c = dotD(v, sv) / (normD(v) * normD(sv))
+            if (first || c > ms) { ms = c; first = false }
+          }
+          (id, v, rel, ms, lam * rel - (1 - lam) * ms)
+        }
+      }.toDF("id", "v", "rel", "max_sim", "mmr")
+        .orderBy(col("mmr").desc, col("id"))
+        .limit(1)
+        .as[(Long, Array[Float], Double, Double, Double)]
+        .head()
+      selected :+= best
+      bc.unpersist()
+    }
+    selected.zipWithIndex.map { case ((id, _, rel, ms, mmr), i) =>
+      (i + 1, id, roundPortableD(rel, 6), roundPortableD(ms, 6),
+        roundPortableD(mmr, 6))
+    }.toDF("rnk", "vec_id", "relevance", "max_sim_selected", "mmr_score")
+  }
 }

@@ -706,6 +706,57 @@ class VectorsSpec extends GraftSpec {
     assert(Vectors.ivfTopK(e, "vec_id", "embedding", k = 3)
       .filter($"probe_id" < 20).count() > 0)
   }
+
+  test("q116 MMR: distributed greedy == naive driver replay (sequence + scores)") {
+    val dir = sf("sf0.001")
+    val vecs = Tables.embeddings(spark, dir)
+      .select($"vec_id".cast("long"), $"embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val dim = vecs.head._2.length
+    val sums = new Array[Long](dim)
+    vecs.foreach { case (_, v) =>
+      var i = 0
+      while (i < dim) { sums(i) += math.round(v(i).toDouble * 1e6); i += 1 }
+    }
+    val centroid = Array.tabulate(dim)(i => sums(i).toDouble / vecs.length / 1e6)
+    val cNorm = math.sqrt(centroid.foldLeft(0.0)((s, x) => s + x * x))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def rel(v: Array[Float]): Double = {
+      var acc = 0.0; var n2 = 0.0; var i = 0
+      while (i < v.length) {
+        acc += v(i).toDouble * centroid(i); n2 += v(i).toDouble * v(i); i += 1
+      }
+      acc / (math.sqrt(n2) * cNorm)
+    }
+    def rp6(x: Double) = Vectors.roundPortableD(x, 6)
+    val lam = 0.7
+    var sel = Vector.empty[(Long, Array[Float])]
+    var expect = Vector.empty[(Int, Long, Double, Double, Double)]
+    for (r <- 1 to 8) {
+      val best = vecs.filter(v => !sel.exists(_._1 == v._1)).map { case (id, v) =>
+        val rl = rel(v)
+        var ms = 0.0; var first = true
+        sel.foreach { case (_, sv) =>
+          val c = dot(v, sv) / (math.sqrt(dot(v, v)) * math.sqrt(dot(sv, sv)))
+          if (first || c > ms) { ms = c; first = false }
+        }
+        (id, v, rl, ms, lam * rl - (1 - lam) * ms)
+      }.minBy { case (id, _, _, _, m) => (-m, id) }
+      sel :+= ((best._1, best._2))
+      expect :+= ((r, best._1, rp6(best._3), rp6(best._4), rp6(best._5)))
+    }
+    val got = SparkEntry.queries("q116_mmr_select")(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.toVector === expect)
+    // the similarity penalty is a valid cosine (may be negative —
+    // anti-correlated picks are the most diverse of all)
+    assert(got.drop(1).forall(t => t._4 >= -1.0 - 1e-9 && t._4 <= 1.0 + 1e-9))
+  }
 }
 
 /** Small helper to share q33's exact-pair logic with specs. */
