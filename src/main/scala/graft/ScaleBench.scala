@@ -130,6 +130,8 @@ object ScaleBench {
     "q115_quantile_normalize",
     // MMR diverse selection: k distributed scans, each map + top-1
     "q116_mmr_select",
+    // decile lift: user-grain agg + one user-count ntile window
+    "q117_decile_lift",
     // A-ES weighted sampling: projection + k-slot top-k per source
     "q100_weighted_sample")
 

@@ -1114,6 +1114,60 @@ object Advanced {
         .orderBy($"p1", $"p2")
     },
 
+    /** Decile lift table (E80/q117) — the model-evaluation staple for
+      * any propensity score: rank users by an activity score, cut into
+      * NTILE(10) deciles, and report each decile's response rate
+      * against the global rate (lift). Here score = total event count
+      * and response = "made a purchase" — the engine capability is the
+      * ranked-decile machinery, not the model. Exact: ntile over a
+      * TOTAL order (score desc, user_id) follows the SQL-standard
+      * larger-buckets-first rule in both engines; rates and lift are
+      * integer-count ratios in one shared IEEE order (rp6). The ntile
+      * window is user-grain (already aggregated), orders of magnitude
+      * below event grain; a fact-grain ranking would use the q115
+      * permille construction instead. */
+    QueryDef.sql(
+      "q117_decile_lift",
+      """WITH u AS (
+        |  SELECT user_id, COUNT(*) AS score,
+        |         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS responder
+        |  FROM events GROUP BY user_id
+        |), ranked AS (
+        |  SELECT score, responder,
+        |         NTILE(10) OVER (ORDER BY score DESC, user_id) AS decile
+        |  FROM u
+        |), tot AS (
+        |  SELECT CAST(SUM(responder) AS DOUBLE) / COUNT(*) AS base_rate FROM u
+        |)
+        |SELECT CAST(decile AS INTEGER) AS decile,
+        |       COUNT(*) AS n_users,
+        |       CAST(SUM(responder) AS BIGINT) AS n_responders,
+        |       CAST(CAST(ROUND((CAST(SUM(responder) AS DOUBLE) / COUNT(*)) * 1e6, 0) AS BIGINT) / 1e6 AS DOUBLE) AS response_rate,
+        |       CAST(CAST(ROUND(((CAST(SUM(responder) AS DOUBLE) / COUNT(*)) / (SELECT base_rate FROM tot)) * 1e6, 0) AS BIGINT) / 1e6 AS DOUBLE) AS lift
+        |FROM ranked
+        |GROUP BY decile ORDER BY decile""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val u = Tables.events(s, d)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("score"),
+          max(when($"event_type" === "purchase", 1L).otherwise(0L))
+            .as("responder"))
+      val ranked = u.withColumn("decile",
+        ntile(10).over(Window.orderBy($"score".desc, $"user_id")))
+      val tot = u.agg(
+        (sum($"responder").cast("double") / count(lit(1))).as("base_rate"))
+      ranked.groupBy($"decile")
+        .agg(count(lit(1)).as("n_users"),
+          sum($"responder").as("n_responders"))
+        .crossJoin(broadcast(tot))
+        .select($"decile".cast("int").as("decile"), $"n_users", $"n_responders",
+          round2($"n_responders".cast("double") / $"n_users", 6)
+            .as("response_rate"),
+          round2(($"n_responders".cast("double") / $"n_users") / $"base_rate", 6)
+            .as("lift"))
+        .orderBy($"decile")
+    },
+
     /** A/B experiment statistics (E71/q108) — the two-sample Welch
       * t-test every experimentation platform runs per metric: users
       * split into deterministic variants (user_id parity — replayable,
