@@ -1114,6 +1114,83 @@ object Advanced {
         .orderBy($"p1", $"p2")
     },
 
+    /** Trimmed + winsorized means (E81/q118) — the robust-mean pair
+      * that completes the q103 family: per priority class, the ship-
+      * delay mean with the extreme 5% of each tail DROPPED (trimmed)
+      * or CLAMPED to the tail-boundary order statistics (winsorized).
+      * Runs entirely on the q103 value histogram: tail cut ranks are
+      * integer `lo = (5n) DIV 100`, `hi = n − lo`; each histogram row
+      * contributes `v · overlap([cum−cnt+1, cum], [lo+1, hi])` to the
+      * interior sum (pure integer arithmetic), and the boundary order
+      * statistics are min-where-cum≥position lookups — ONE fact-sized
+      * pass, everything downstream ∝ distinct values, zero float until
+      * the final shared-order divisions (rp6). */
+    QueryDef.sql(
+      "q118_robust_means",
+      """WITH base AS (
+        |  SELECT o.o_orderpriority AS pri,
+        |         datediff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS delay
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |), hist AS (
+        |  SELECT pri, delay AS v, COUNT(*) AS cnt FROM base GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT pri, v, cnt,
+        |         SUM(cnt) OVER (PARTITION BY pri ORDER BY v) AS c,
+        |         SUM(cnt) OVER (PARTITION BY pri) AS n
+        |  FROM hist
+        |), bounds AS (
+        |  SELECT pri, MAX(n) AS n,
+        |         (5 * MAX(n)) // 100 AS lo,
+        |         MAX(n) - (5 * MAX(n)) // 100 AS hi
+        |  FROM cum GROUP BY pri
+        |), stats AS (
+        |  SELECT c.pri,
+        |         SUM(c.v * c.cnt) AS full_sum,
+        |         SUM(c.v * GREATEST(CAST(0 AS BIGINT),
+        |           LEAST(c.c, b.hi) - GREATEST(c.c - c.cnt + 1, b.lo + 1) + 1)) AS int_sum,
+        |         SUM(GREATEST(CAST(0 AS BIGINT),
+        |           LEAST(c.c, b.hi) - GREATEST(c.c - c.cnt + 1, b.lo + 1) + 1)) AS int_n,
+        |         MIN(CASE WHEN c.c >= b.lo + 1 THEN c.v END) AS v_lo,
+        |         MIN(CASE WHEN c.c >= b.hi THEN c.v END) AS v_hi
+        |  FROM cum c JOIN bounds b ON b.pri = c.pri
+        |  GROUP BY c.pri
+        |)
+        |SELECT s.pri AS o_orderpriority, CAST(b.n AS BIGINT) AS n_rows,
+        |       CAST(CAST(ROUND((CAST(s.full_sum AS DOUBLE) / b.n) * 1e6, 0) AS BIGINT) / 1e6 AS DOUBLE) AS mean_delay,
+        |       CAST(CAST(ROUND((CAST(s.int_sum AS DOUBLE) / s.int_n) * 1e6, 0) AS BIGINT) / 1e6 AS DOUBLE) AS trimmed_mean,
+        |       CAST(CAST(ROUND((CAST(s.int_sum + b.lo * s.v_lo + (b.n - b.hi) * s.v_hi AS DOUBLE) / b.n) * 1e6, 0) AS BIGINT) / 1e6 AS DOUBLE) AS winsorized_mean
+        |FROM stats s JOIN bounds b ON b.pri = s.pri
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val base = Tables.lineitem(s, d).select($"l_orderkey", $"l_shipdate")
+        .join(Tables.orders(s, d)
+          .select($"o_orderkey", $"o_orderdate", $"o_orderpriority"),
+          $"l_orderkey" === $"o_orderkey")
+        .select($"o_orderpriority".as("pri"),
+          datediff(to_date($"l_shipdate"), to_date($"o_orderdate")).as("delay"))
+      val cum = base.groupBy($"pri", $"delay".as("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("c", sum($"cnt").over(
+          Window.partitionBy($"pri").orderBy($"v")))
+        .withColumn("n", sum($"cnt").over(Window.partitionBy($"pri")))
+        .withColumn("lo", expr("(5 * n) DIV 100"))
+        .withColumn("hi", expr("n - (5 * n) DIV 100"))
+      val kept = greatest(lit(0L),
+        least($"c", $"hi") - greatest($"c" - $"cnt" + 1, $"lo" + 1) + 1)
+      val stats = cum.groupBy($"pri")
+        .agg(max($"n").as("n"), max($"lo").as("lo"), max($"hi").as("hi"),
+          sum($"v" * $"cnt").as("full_sum"),
+          sum($"v" * kept).as("int_sum"),
+          sum(kept).as("int_n"),
+          min(when($"c" >= $"lo" + 1, $"v")).as("v_lo"),
+          min(when($"c" >= $"hi", $"v")).as("v_hi"))
+      stats.select($"pri".as("o_orderpriority"), $"n".as("n_rows"),
+          round2($"full_sum".cast("double") / $"n", 6).as("mean_delay"),
+          round2($"int_sum".cast("double") / $"int_n", 6).as("trimmed_mean"),
+          round2(($"int_sum" + $"lo" * $"v_lo" + ($"n" - $"hi") * $"v_hi")
+            .cast("double") / $"n", 6).as("winsorized_mean"))
+        .orderBy($"o_orderpriority")
+    },
+
     /** Decile lift table (E80/q117) — the model-evaluation staple for
       * any propensity score: rank users by an activity score, cut into
       * NTILE(10) deciles, and report each decile's response rate

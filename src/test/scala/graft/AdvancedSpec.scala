@@ -415,6 +415,35 @@ class AdvancedSpec extends GraftSpec {
     }
   }
 
+  test("q118 robust means: histogram trim == naive sorted-tail computation") {
+    val dir = sf("sf0.001")
+    def rp(x: Double): Double =
+      java.math.BigDecimal.valueOf(x * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue() / 1e6
+    val base = graft.Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_shipdate")
+      .join(graft.Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_orderdate", $"o_orderpriority"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderpriority",
+        datediff(to_date($"l_shipdate"), to_date($"o_orderdate")).as("delay"))
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    SparkEntry.queries("q118_robust_means")(spark, dir).collect().foreach { r =>
+      val s = base(r.getString(0))
+      val n = s.length
+      val lo = 5 * n / 100
+      val hi = n - lo
+      val interior = s.slice(lo, hi) // ranks lo+1 .. hi
+      assert(r.getAs[Long]("n_rows") === n.toLong)
+      assert(r.getAs[Double]("mean_delay") === rp(s.sum.toDouble / n))
+      assert(r.getAs[Double]("trimmed_mean") ===
+        rp(interior.sum.toDouble / interior.length))
+      val wsum = interior.sum + lo * s(lo) + (n - hi) * s(hi - 1)
+      assert(r.getAs[Double]("winsorized_mean") === rp(wsum.toDouble / n))
+    }
+  }
+
   test("q103 MAD outliers: flags exactly the rows beyond 3 MAD of the median") {
     val dir = sf("sf0.001")
     def med(v: Seq[Double]): Double = {
