@@ -133,7 +133,11 @@ object ScaleBench {
     // decile lift: user-grain agg + one user-count ntile window
     "q117_decile_lift",
     // A-ES weighted sampling: projection + k-slot top-k per source
-    "q100_weighted_sample")
+    "q100_weighted_sample",
+    // r8 fourth wave: RFM (customer-grain quartile windows over one
+    // hash agg), source diversity (one corpus agg + #sources-row
+    // everything), CUSUM (daily agg + day-frame windows — q101 class)
+    "q119_rfm_segments", "q120_source_diversity", "q121_cusum_changepoint")
 
   /** Quadratic-by-contract entries, capped at 10×: the exact all-pairs
     * baselines (q33 n-gram Jaccard, q36 cosine pairs), and q49 whose

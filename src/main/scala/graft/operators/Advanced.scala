@@ -1394,5 +1394,186 @@ object Advanced {
           round2($"n_outliers".cast("double") / $"n_rows", 6).as("outlier_share"))
         .orderBy($"o_orderpriority")
     },
+
+    /** RFM customer segmentation (E82/q119) — the CRM staple: score
+      * every customer 1..4 on Recency (days since last order, relative
+      * to the corpus max order date), Frequency (order count), and
+      * Monetary (lifetime cents), then roll the scores into named
+      * segments. Scores use q92's boundary-safe quartile formula
+      * ⌈4·cume_dist⌉ — cume_dist is VALUE-based, so ties share a score
+      * no matter the physical row order, and the float `CEIL(4 *
+      * CUME_DIST())` agrees with the exact integer boundary because
+      * 4·cum/n sits ≥ 1/n from any other integer (q92's proof). The
+      * three quartile windows run at CUSTOMER grain — already one hash
+      * agg below fact grain (q117's posture); a fact-grain scoring
+      * would compose q92's distinct-value histogram construction
+      * instead of a window. Money stays exact integer cents; the only
+      * rounded output is the segment's mean recency (avgExact, rp4). */
+    QueryDef.sql(
+      "q119_rfm_segments",
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |         date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+        |                   (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)) AS recency_days,
+        |         COUNT(*) AS frequency,
+        |         SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS monetary_cents
+        |  FROM orders GROUP BY o_custkey
+        |), scored AS (
+        |  SELECT recency_days, frequency, monetary_cents,
+        |         CAST(CEIL(4 * CUME_DIST() OVER (ORDER BY recency_days DESC)) AS INTEGER) AS r_score,
+        |         CAST(CEIL(4 * CUME_DIST() OVER (ORDER BY frequency)) AS INTEGER) AS f_score,
+        |         CAST(CEIL(4 * CUME_DIST() OVER (ORDER BY monetary_cents)) AS INTEGER) AS m_score
+        |  FROM cust
+        |), labeled AS (
+        |  SELECT *,
+        |         CASE WHEN r_score = 4 AND f_score = 4 THEN 'champion'
+        |              WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+        |              WHEN m_score = 4 THEN 'big_spender'
+        |              WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+        |              WHEN r_score = 1 THEN 'lapsed'
+        |              ELSE 'regular' END AS segment
+        |  FROM scored
+        |)
+        |SELECT segment,
+        |       CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |       CAST(SUM(frequency) AS BIGINT) AS n_orders,
+        |       CAST(SUM(monetary_cents) AS BIGINT) AS monetary_cents,
+        |       CAST(ROUND((CAST(SUM(recency_days) AS DOUBLE) / COUNT(recency_days)) * 1e4, 0) AS BIGINT) / 1e4 AS avg_recency_days
+        |FROM labeled
+        |GROUP BY segment ORDER BY segment""".stripMargin) { (s, d) =>
+      val orders = Tables.orders(s, d)
+      val cust = orders.groupBy($"o_custkey")
+        .agg(max(to_date($"o_orderdate")).as("last_order"),
+          count(lit(1)).as("frequency"),
+          sum(cents($"o_totalprice")).as("monetary_cents"))
+      val asOf = cust.agg(max($"last_order").as("as_of"))
+      val rfm = cust.crossJoin(broadcast(asOf))
+        .select(datediff($"as_of", $"last_order").cast("long").as("recency_days"),
+          $"frequency", $"monetary_cents")
+      val scored = rfm
+        .withColumn("r_score",
+          ceil(cume_dist().over(Window.orderBy($"recency_days".desc)) * 4).cast("int"))
+        .withColumn("f_score",
+          ceil(cume_dist().over(Window.orderBy($"frequency")) * 4).cast("int"))
+        .withColumn("m_score",
+          ceil(cume_dist().over(Window.orderBy($"monetary_cents")) * 4).cast("int"))
+      val labeled = scored.withColumn("segment",
+        when($"r_score" === 4 && $"f_score" === 4, "champion")
+          .when($"r_score" >= 3 && $"f_score" >= 3, "loyal")
+          .when($"m_score" === 4, "big_spender")
+          .when($"r_score" <= 2 && $"f_score" >= 3, "at_risk")
+          .when($"r_score" === 1, "lapsed")
+          .otherwise("regular"))
+      labeled.groupBy($"segment")
+        .agg(count(lit(1)).as("n_customers"),
+          sum($"frequency").as("n_orders"),
+          sum($"monetary_cents").as("monetary_cents"),
+          round2(graft.functions.Shims.avgExact($"recency_days"), 4)
+            .as("avg_recency_days"))
+        .orderBy($"segment")
+    },
+
+    /** Corpus source-diversity indices (E83/q120) — the mixture-health
+      * report a pretraining curator reads before fixing per-source
+      * budgets (q87's input question): per-source mass concentration as
+      * the Simpson index Σ(mᵢ/T)², its inverse (the "effective number
+      * of sources"), and the Gini coefficient of mass across sources.
+      * ALL accumulation is exact integer arithmetic — Σmᵢ² in
+      * decimal(38,0) (the q102 Σy² pattern; DuckDB's HUGEINT is the
+      * same exactness), the Gini numerator 2·Σ rank·mᵢ − (n+1)·T in
+      * longs — so each index is ONE deterministic double division and
+      * no cross-group float summation order exists anywhere. Scale
+      * shape: one map-side-combined hash agg over the corpus, then
+      * everything (rank window included) runs on the #sources-row
+      * table. */
+    QueryDef.sql(
+      "q120_source_diversity",
+      """WITH src AS (
+        |  SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS mass
+        |  FROM documents GROUP BY source
+        |), ranked AS (
+        |  SELECT mass, ROW_NUMBER() OVER (ORDER BY mass, source) AS rk FROM src
+        |), tot AS (
+        |  SELECT COUNT(*) AS n_sources, SUM(n_docs) AS n_docs, SUM(mass) AS t,
+        |         SUM(CAST(mass AS HUGEINT) * mass) AS sq
+        |  FROM src
+        |), g AS (
+        |  SELECT SUM(rk * mass) AS wsum FROM ranked
+        |)
+        |SELECT CAST(n_sources AS BIGINT) AS n_sources,
+        |       CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(t AS BIGINT) AS total_mass,
+        |       CAST(ROUND((CAST(sq AS DOUBLE) / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE))) * 1e6, 0) AS BIGINT) / 1e6 AS simpson,
+        |       CAST(ROUND(((CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) / CAST(sq AS DOUBLE)) * 1e4, 0) AS BIGINT) / 1e4 AS effective_sources,
+        |       CAST(ROUND((CAST(2 * wsum - (n_sources + 1) * t AS DOUBLE) / CAST(n_sources * t AS DOUBLE)) * 1e6, 0) AS BIGINT) / 1e6 AS gini
+        |FROM tot, g""".stripMargin) { (s, d) =>
+      val src = Tables.documents(s, d).groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("mass"))
+      val tot = src.agg(
+        count(lit(1)).as("n_sources"),
+        sum($"n_docs").as("n_docs"),
+        sum($"mass").as("t"),
+        sum($"mass".cast("decimal(19,0)") * $"mass".cast("decimal(19,0)")).as("sq"))
+      val wsum = src
+        .withColumn("rk", row_number().over(Window.orderBy($"mass", $"source")))
+        .agg(sum($"rk" * $"mass").as("wsum"))
+      val td = $"t".cast("double")
+      broadcast(tot).crossJoin(broadcast(wsum))
+        .select($"n_sources", $"n_docs", $"t".as("total_mass"),
+          round2($"sq".cast("double") / (td * td), 6).as("simpson"),
+          round2((td * td) / $"sq".cast("double"), 4).as("effective_sources"),
+          round2((lit(2L) * $"wsum" - ($"n_sources" + 1) * $"t").cast("double")
+            / ($"n_sources" * $"t").cast("double"), 6).as("gini"))
+    },
+
+    /** CUSUM change-point detection (E84/q121) — the ops-monitoring
+      * primitive for "when did this metric's level actually shift"
+      * (complementing q112's seasonal read and q24's pointwise
+      * z-score): per event type, the one-sided cumulative sum of daily
+      * deviations from the series mean, flagged where it exceeds one
+      * mean-day of volume. ALL-INTEGER: with R_t the running count, T
+      * the series total, n the day count, the statistic n·CUSUM_t =
+      * n·R_t − t·T and the threshold CUSUM_t > T/n ⟺ n·R_t − t·T > T
+      * are exact longs (day counts ~1e12 × 365 days stay far under
+      * 2^63; past that the sums graduate to decimal(38,0) like q102's
+      * Σy²) — no float accumulation anywhere, so the flag set is
+      * bit-stable under any partitioning. Scale shape: one daily hash
+      * agg over the corpus; both windows run per type over the
+      * ≤ #days daily frame, never over events (the q101/q109 class). */
+    QueryDef.sql(
+      "q121_cusum_changepoint",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |), st AS (
+        |  SELECT event_type, COUNT(*) AS n_days, SUM(n_events) AS total
+        |  FROM daily GROUP BY event_type
+        |)
+        |SELECT d.event_type, d.day,
+        |       CAST(d.n_events AS BIGINT) AS n_events,
+        |       CAST(s.n_days * SUM(d.n_events) OVER w
+        |            - ROW_NUMBER() OVER w * s.total AS BIGINT) AS cusum_scaled,
+        |       CAST(CASE WHEN s.n_days * SUM(d.n_events) OVER w
+        |                      - ROW_NUMBER() OVER w * s.total > s.total
+        |                 THEN 1 ELSE 0 END AS INTEGER) AS flagged
+        |FROM daily d JOIN st s ON d.event_type = s.event_type
+        |WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY d.event_type, d.day""".stripMargin) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val st = daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"), sum($"n_events").as("total"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val stat = $"n_days" * sum($"n_events").over(w) -
+        row_number().over(Window.partitionBy($"event_type").orderBy($"day")) * $"total"
+      daily.join(broadcast(st), Seq("event_type"))
+        .select($"event_type", $"day", $"n_events",
+          stat.as("cusum_scaled"),
+          when(stat > $"total", 1).otherwise(0).cast("int").as("flagged"))
+        .orderBy($"event_type", $"day")
+    },
   )
 }

@@ -472,4 +472,64 @@ class AdvancedSpec extends GraftSpec {
       assert(r.getAs[Long]("n_outliers") === devs.count(_ > 3 * mad).toLong)
     }
   }
+
+  test("q119 RFM: segments partition every ordering customer; segment semantics hold") {
+    val dir = sf("sf0.001")
+    val nCust = graft.Tables.orders(spark, dir)
+      .select($"o_custkey").distinct().count()
+    val rows = SparkEntry.queries("q119_rfm_segments")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.values.map(_.getAs[Long]("n_customers")).sum === nCust)
+    // champions ordered more recently on average than lapsed customers
+    for (c <- rows.get("champion"); l <- rows.get("lapsed"))
+      assert(c.getAs[Double]("avg_recency_days") < l.getAs[Double]("avg_recency_days"))
+    // monetary is conserved: segment sums re-add to the corpus total
+    val totalCents = graft.Tables.orders(spark, dir)
+      .agg(sum(round($"o_totalprice" * 100, 0).cast("long"))).head.getLong(0)
+    assert(rows.values.map(_.getAs[Long]("monetary_cents")).sum === totalCents)
+  }
+
+  test("q120 diversity: indices match a naive per-source recomputation") {
+    val dir = sf("sf0.001")
+    def rp(x: Double, n: Int): Double =
+      math.round(x * math.pow(10, n)) / math.pow(10, n)
+    val masses = graft.Tables.documents(spark, dir)
+      .groupBy($"source").agg(sum($"n_chars").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(x => (x._2, x._1))
+    val n = masses.length
+    val t = masses.map(_._2).sum
+    val sq = masses.map(m => BigInt(m._2) * BigInt(m._2)).sum
+    val wsum = masses.zipWithIndex.map { case ((_, m), i) => (i + 1).toLong * m }.sum
+    val r = SparkEntry.queries("q120_source_diversity")(spark, dir).head()
+    assert(r.getAs[Long]("n_sources") === n.toLong)
+    assert(r.getAs[Long]("total_mass") === t)
+    assert(r.getAs[Double]("simpson") ===
+      rp(sq.toDouble / (t.toDouble * t.toDouble), 6))
+    assert(r.getAs[Double]("effective_sources") ===
+      rp(t.toDouble * t.toDouble / sq.toDouble, 4))
+    assert(r.getAs[Double]("gini") ===
+      rp((2L * wsum - (n + 1).toLong * t).toDouble / (n.toLong * t).toDouble, 6))
+    // sanity: a perfectly even mixture would have gini 0; shares sum to 1
+    assert(r.getAs[Double]("gini") >= 0.0 && r.getAs[Double]("gini") < 1.0)
+  }
+
+  test("q121 CUSUM: scaled statistic matches the naive recurrence; flag iff excess > one mean day") {
+    val dir = sf("sf0.001")
+    val got = SparkEntry.queries("q121_cusum_changepoint")(spark, dir).collect()
+    got.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_.getDate(1).toString)
+      val counts = ordered.map(_.getAs[Long]("n_events"))
+      val n = counts.length.toLong
+      val total = counts.sum
+      var run = 0L
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        run += counts(i)
+        val stat = n * run - (i + 1).toLong * total
+        assert(r.getAs[Long]("cusum_scaled") === stat)
+        assert(r.getAs[Int]("flagged") === (if (stat > total) 1 else 0))
+      }
+      // the statistic telescopes to zero at the series end
+      assert(n * run - n * total === 0L)
+    }
+  }
 }
