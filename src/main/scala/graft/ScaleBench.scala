@@ -137,7 +137,12 @@ object ScaleBench {
     // r8 fourth wave: RFM (customer-grain quartile windows over one
     // hash agg), source diversity (one corpus agg + #sources-row
     // everything), CUSUM (daily agg + day-frame windows — q101 class)
-    "q119_rfm_segments", "q120_source_diversity", "q121_cusum_changepoint")
+    "q119_rfm_segments", "q120_source_diversity", "q121_cusum_changepoint",
+    // last-touch attribution (the as-of cost profile: one key shuffle +
+    // sort per side), segmented inverted index (distinct pair shuffle +
+    // bounded segment agg), keyword retrieval (filtered tf agg +
+    // k-slot top-k — scan-shaped)
+    "q122_last_touch_attribution", "q123_inverted_index", "q124_keyword_search")
 
   /** Quadratic-by-contract entries, capped at 10×: the exact all-pairs
     * baselines (q33 n-gram Jaccard, q36 cosine pairs), and q49 whose

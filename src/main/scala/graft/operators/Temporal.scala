@@ -667,5 +667,59 @@ object Temporal {
           round2($"n".cast("double") / $"t", 6).as("share"))
         .orderBy($"from_type", $"to_type")
     },
+
+    /** Last-touch conversion attribution (E85/q122) — the marketing-
+      * analytics primitive: every purchase is credited to the user's
+      * most recent click if it happened within a 7-day window,
+      * otherwise counted as 'direct'. The lookup IS an as-of join —
+      * the same [[graft.plans.AsOfJoin]] operator that resolves SCD2
+      * point-in-time fact keys (J8) re-used on a second workload, with
+      * the attribution window applied as a post-filter (the latest
+      * click is the only candidate, so "outside the window" ⟺ "no
+      * click inside it"). Revenue stays exact integer cents; the
+      * window test is exact integer µs. Scale shape: one key-shuffle +
+      * sort of each side (the as-of cost profile, never a pair space)
+      * + one day-grain hash agg. */
+    QueryDef.sql(
+      "q122_last_touch_attribution",
+      """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, ts, CAST(ROUND(value*100,0) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'
+        |), a AS (
+        |  SELECT p.user_id, p.cents,
+        |         (SELECT MAX(c.ts) FROM c
+        |          WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_ts,
+        |         p.ts AS purchase_ts
+        |  FROM p
+        |)
+        |SELECT CASE WHEN click_ts IS NOT NULL
+        |                 AND epoch_us(purchase_ts) - epoch_us(click_ts) <= 604800000000
+        |            THEN strftime(CAST(click_ts AS DATE), '%Y-%m-%d')
+        |            ELSE 'direct' END AS attribution_day,
+        |       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        |FROM a
+        |GROUP BY 1 ORDER BY attribution_day""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", cents($"value").as("cents"))
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("click_ts"))
+      val horizonUs = 7L * 24 * 3600 * 1000000L
+      graft.plans.AsOfJoin(purchases, clicks, Seq("user_id"), "ts", "click_ts",
+          rightCols = Seq("click_ts"))
+        .withColumn("attribution_day",
+          when($"click_ts".isNotNull &&
+               unix_micros($"ts") - unix_micros($"click_ts") <= horizonUs,
+            date_format(to_date($"click_ts"), "yyyy-MM-dd"))
+            .otherwise("direct"))
+        .groupBy($"attribution_day")
+        .agg(count(lit(1)).as("n_purchases"),
+          countDistinct($"user_id").as("n_users"),
+          sum($"cents").as("revenue_cents"))
+        .orderBy($"attribution_day")
+    },
   )
 }

@@ -2025,6 +2025,105 @@ object TextOps {
           $"v".as("n_chars_calibrated"))
         .orderBy($"doc_id")
     },
+
+    /** Segmented inverted index (E86/q123) — the search-engine build
+      * primitive: token → sorted posting list of containing documents.
+      * Postings are sharded into fixed doc-id-range SEGMENTS (Lucene's
+      * layout), so no row ever holds an unbounded list: a stopword's
+      * postings split across ⌈corpus/200⌉ bounded segment rows instead
+      * of one corpus-sized cell — the same reason E21 chunks spans.
+      * Doc ids are zero-padded to 18 chars (the q82 trick) so string
+      * order == numeric order and the comma-joined list is hash-exact
+      * cross-engine. Scale shape: one distinct (token, doc) pass
+      * (shuffle ∝ corpus token occurrences), then a (token, segment)
+      * hash agg whose per-group state is ≤ segment width. */
+    QueryDef.sql(
+      "q123_inverted_index",
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        |), tok AS (
+        |  SELECT DISTINCT doc_id, toks[i] AS tok
+        |  FROM t, UNNEST(generate_series(1, len(toks))) AS g(i)
+        |), seg AS (
+        |  SELECT tok, doc_id // 200 AS segment,
+        |         lpad(CAST(doc_id AS VARCHAR), 18, '0') AS pid
+        |  FROM tok
+        |)
+        |SELECT tok, CAST(segment AS BIGINT) AS segment,
+        |       CAST(COUNT(*) AS BIGINT) AS seg_df,
+        |       string_agg(pid, ',' ORDER BY pid) AS postings
+        |FROM seg GROUP BY tok, segment
+        |ORDER BY tok, segment""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select($"doc_id", explode(tokens($"text")).as("tok"))
+        .distinct()
+        .select($"tok", expr("doc_id DIV 200").as("segment"),
+          format_string("%018d", $"doc_id").as("pid"))
+        .groupBy($"tok", $"segment")
+        .agg(count(lit(1)).as("seg_df"),
+          concat_ws(",", sort_array(collect_list($"pid"))).as("postings"))
+        .orderBy($"tok", $"segment")
+    },
+
+    /** Keyword top-k retrieval (E87/q124) — the query side of q123's
+      * index: score every document against a term set by
+      * tf × integer-scaled idf and return the 10 best. The idf weight
+      * is the EXACT integer `(1e6·N) DIV df` — deliberately log-free,
+      * so the whole score is exact integer arithmetic (`ln` is
+      * correctly-rounded in neither engine's contract; a BM25-style
+      * log idf would make scores engine-specific — same reasoning as
+      * q100's rows-only pow). Top-k via the bounded TopKStruct
+      * aggregate over zero-padded ids — k-slot state, map-side
+      * partials, no rank window (the q64 shape). Scale: tf is one
+      * hash agg over term-filtered postings (the IN-filter prunes at
+      * the scan), df/N are term-count-sized broadcasts; scores stay
+      * under 2^53 to ~1e9 docs × tf 1e3, then graduate to
+      * decimal(38,0). */
+    QueryDef.sql(
+      "q124_keyword_search",
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        |), tok AS (
+        |  SELECT doc_id, toks[i] AS tok
+        |  FROM t, UNNEST(generate_series(1, len(toks))) AS g(i)
+        |), tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+        |  WHERE tok IN ('spark', 'window', 'dup') GROUP BY doc_id, tok
+        |), df AS (
+        |  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+        |), w AS (
+        |  SELECT tok, (1000000 * (SELECT COUNT(*) FROM documents)) // df AS w FROM df
+        |), sc AS (
+        |  SELECT tf.doc_id, SUM(tf.tf * w.w) AS score
+        |  FROM tf JOIN w ON tf.tok = w.tok
+        |  GROUP BY tf.doc_id
+        |), ranked AS (
+        |  SELECT doc_id, score,
+        |         ROW_NUMBER() OVER (ORDER BY score DESC,
+        |                            lpad(CAST(doc_id AS VARCHAR), 18, '0')) AS rnk
+        |  FROM sc
+        |)
+        |SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, CAST(score AS BIGINT) AS score
+        |FROM ranked WHERE rnk <= 10 ORDER BY rnk""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val tf = docs.select($"doc_id", explode(tokens($"text")).as("tok"))
+        .filter($"tok".isin("spark", "window", "dup"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val w = df.crossJoin(broadcast(n))
+        .select($"tok", expr("(1000000 * n_docs) DIV df").as("w"))
+      tf.join(broadcast(w), Seq("tok"))
+        .groupBy($"doc_id").agg(sum($"tf" * $"w").as("score"))
+        .select($"score".cast("double").as("sc"),
+          format_string("%018d", $"doc_id").as("item"))
+        .agg(graft.functions.TopKStruct.topk(s, $"sc", $"item", 10).as("top"))
+        .select(posexplode($"top"))
+        .select(($"pos" + 1).cast("int").as("rnk"),
+          $"col.item".cast("long").as("doc_id"),
+          $"col.score".cast("long").as("score"))
+        .orderBy($"rnk")
+    },
   )
 
   /** q100's kernel, also property-pinned in OperatorProps: A-ES keys

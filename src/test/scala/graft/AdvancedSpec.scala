@@ -532,4 +532,81 @@ class AdvancedSpec extends GraftSpec {
       assert(n * run - n * total === 0L)
     }
   }
+
+  test("q122 attribution: matches a naive last-touch replay; purchases and revenue conserved") {
+    val dir = sf("sf0.001")
+    val ev = graft.Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"),
+        to_date($"ts").cast("string").as("day"),
+        round($"value" * 100, 0).cast("long").as("cents"))
+      .collect()
+    val clicks = ev.filter(_.getString(1) == "click")
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    val horizon = 7L * 24 * 3600 * 1000000L
+    val naive = ev.filter(_.getString(1) == "purchase").map { p =>
+      val cands = clicks.filter(c => c._1 == p.getLong(0) && c._2 <= p.getLong(2))
+      val day = if (cands.isEmpty) "direct" else {
+        val last = cands.maxBy(_._2)
+        if (p.getLong(2) - last._2 <= horizon) last._3 else "direct"
+      }
+      (day, p.getLong(0), p.getLong(4))
+    }
+    val got = SparkEntry.queries("q122_last_touch_attribution")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val expect = naive.groupBy(_._1)
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (day, rows) =>
+      assert(got(day).getAs[Long]("n_purchases") === rows.length.toLong)
+      assert(got(day).getAs[Long]("n_users") === rows.map(_._2).distinct.length.toLong)
+      assert(got(day).getAs[Long]("revenue_cents") === rows.map(_._3).sum)
+    }
+    assert(got.values.map(_.getAs[Long]("n_purchases")).sum === naive.length.toLong)
+  }
+
+  test("q123 inverted index: segments partition each token's exact containing-doc set") {
+    val dir = sf("sf0.001")
+    val docs = graft.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSet)
+    val got = SparkEntry.queries("q123_inverted_index")(spark, dir).collect()
+    val byTok = got.groupBy(_.getString(0))
+    val vocab = docs.flatMap(_._2).toSet
+    assert(byTok.keySet === vocab)
+    byTok.foreach { case (tok, segs) =>
+      val posted = segs.flatMap(_.getAs[String]("postings").split(",")).map(_.toLong)
+      assert(posted.toSet === docs.filter(_._2.contains(tok)).map(_._1).toSet)
+      segs.foreach { r =>
+        val ids = r.getAs[String]("postings").split(",").map(_.toLong)
+        assert(r.getAs[Long]("seg_df") === ids.length.toLong)
+        // every id in its declared 200-wide segment, list sorted
+        assert(ids.forall(id => id / 200 === r.getAs[Long]("segment")))
+        assert(ids.sameElements(ids.sorted))
+      }
+    }
+  }
+
+  test("q124 retrieval: top-10 matches a naive integer tf-idf scoring") {
+    val dir = sf("sf0.001")
+    val terms = Set("spark", "window", "dup")
+    val docs = graft.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    val n = docs.length.toLong
+    val tf = docs.map { case (id, toks) =>
+      id -> toks.filter(terms).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    }.filter(_._2.nonEmpty)
+    val df = terms.map(t => t -> tf.count(_._2.contains(t)).toLong)
+      .filter(_._2 > 0).toMap
+    val scores = tf.map { case (id, m) =>
+      id -> m.map { case (t, f) => f * ((1000000L * n) / df(t)) }.sum
+    }
+    val expect = scores.sortBy { case (id, sc) => (-sc, f"$id%018d") }.take(10)
+    val got = SparkEntry.queries("q124_keyword_search")(spark, dir).collect()
+    assert(got.length === expect.length)
+    got.zip(expect).zipWithIndex.foreach { case ((r, (id, sc)), i) =>
+      assert(r.getAs[Int]("rnk") === i + 1)
+      assert(r.getAs[Long]("doc_id") === id)
+      assert(r.getAs[Long]("score") === sc)
+    }
+  }
 }
