@@ -142,7 +142,13 @@ object ScaleBench {
     // sort per side), segmented inverted index (distinct pair shuffle +
     // bounded segment agg), keyword retrieval (filtered tf agg +
     // k-slot top-k — scan-shaped)
-    "q122_last_touch_attribution", "q123_inverted_index", "q124_keyword_search")
+    "q122_last_touch_attribution", "q123_inverted_index", "q124_keyword_search",
+    // SQ8 quantized ANN (same block-cogroup shape as the exact kernel,
+    // integer-MAC loop) + its ranking eval (probes×k join, corpus-free),
+    // degree-oriented triangle counting (wedge fan bounded by out-degree
+    // ≤ O(√E)), and the Benford audit (one conditional-sum scan)
+    "q125_ann_sq8", "q126_ranking_eval", "q127_triangle_count",
+    "q128_benford_audit")
 
   /** Quadratic-by-contract entries, capped at 10×: the exact all-pairs
     * baselines (q33 n-gram Jaccard, q36 cosine pairs), and q49 whose

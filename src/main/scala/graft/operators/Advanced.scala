@@ -1575,5 +1575,150 @@ object Advanced {
           when(stat > $"total", 1).otherwise(0).cast("int").as("flagged"))
         .orderBy($"event_type", $"day")
     },
+
+    /** Triangle counting + global clustering coefficient (E90/q127)
+      * over the part co-order graph — the graph-density primitive next
+      * to E20's components and E55's PageRank (community strength,
+      * motif features). The Spark plan uses DEGREE-ORDERED ORIENTATION
+      * — every edge points from the (degree, id)-smaller endpoint, a
+      * total order, so each triangle closes exactly once and the wedge
+      * fan-out per node is its OUT-degree, bounded by O(√E) instead of
+      * the raw degree (the hot-hub killer in naive wedge counting).
+      * The oracle counts the same triangles with the plain id-ordered
+      * closure — a genuinely different plan whose count equality IS
+      * the orientation-correctness claim (the q95/q96 pattern).
+      * Wedges/coefficient are exact integers + one rp6 division.
+      * Scale: edge building is the q110 basket self-join (shuffle ∝
+      * Σ basket²); counting is two equi-joins on the oriented edge
+      * list — never an unoriented wedge space. */
+    QueryDef.sql(
+      "q127_triangle_count",
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |), deg AS (
+        |  SELECT n, COUNT(*) AS dg
+        |  FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+        |  GROUP BY n
+        |), tri AS (
+        |  SELECT COUNT(*) AS t
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |       JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        |), agg AS (
+        |  SELECT COUNT(*) AS n_parts, SUM(dg) // 2 AS n_edges,
+        |         SUM(dg * (dg - 1)) // 2 AS wedges
+        |  FROM deg
+        |)
+        |SELECT CAST(n_parts AS BIGINT) AS n_parts,
+        |       CAST(n_edges AS BIGINT) AS n_edges,
+        |       CAST(wedges AS BIGINT) AS n_wedges,
+        |       CAST(t AS BIGINT) AS n_triangles,
+        |       CAST(ROUND((CAST(3 * t AS DOUBLE) / CAST(wedges AS DOUBLE)) * 1e6, 0) AS BIGINT) / 1e6 AS clustering_coeff
+        |FROM agg, tri""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      val e = li.as("a").join(li.as("b"),
+          $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+        .select($"a.pk".as("u"), $"b.pk".as("v")).distinct()
+      val deg = e.select($"u".as("n"))
+        .unionAll(e.select($"v".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("dg"))
+      // orient low (deg, id) -> high: a total order, so wedge a->b->c
+      // implies a < c in it and the closing edge can only be (a, c)
+      val ed = e
+        .join(deg.select($"n".as("u"), $"dg".as("du")), Seq("u"))
+        .join(deg.select($"n".as("v"), $"dg".as("dv")), Seq("v"))
+        .select(
+          when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u")
+            .otherwise($"v").as("s"),
+          when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v")
+            .otherwise($"u").as("t"))
+      val wedges = ed.as("e1").join(ed.as("e2"), $"e1.t" === $"e2.s")
+        .select($"e1.s".as("wa"), $"e2.t".as("wc"))
+      val tri = wedges.join(ed.as("e3"),
+          $"wa" === $"e3.s" && $"wc" === $"e3.t")
+        .agg(count(lit(1)).as("t"))
+      val agg = deg.agg(
+        count(lit(1)).as("n_parts"),
+        (sum($"dg") / 2).cast("long").as("n_edges"),
+        (sum($"dg" * ($"dg" - 1)) / 2).cast("long").as("wedges"))
+      broadcast(agg).crossJoin(broadcast(tri))
+        .select($"n_parts", $"n_edges", $"wedges".as("n_wedges"),
+          $"t".as("n_triangles"),
+          round2((lit(3) * $"t").cast("double") / $"wedges".cast("double"), 6)
+            .as("clustering_coeff"))
+    },
+
+    /** Benford first-digit audit (E91/q128) — the fraud/data-quality
+      * screen: the distribution of leading significant digits of order
+      * totals against Benford's law, with the χ² goodness-of-fit
+      * statistic. The leading digit is read from the INTEGER CENTS
+      * string (same mantissa as the price — no log10, which is
+      * correctly-rounded in neither engine); the nine Benford
+      * probabilities are shared decimal literals (both engines parse
+      * them to the identical double), and χ² evaluates in ONE fixed
+      * left-associative nine-term IEEE chain mirrored textually in the
+      * oracle (the q108 posture). Scan-shaped: one conditional-sum
+      * hash agg over orders; everything downstream is 9 rows. */
+    QueryDef.sql(
+      "q128_benford_audit", {
+        val ps = Advanced.benfordP
+        val ms = (1 to 9).map(i =>
+          s"SUM(CASE WHEN dg = '$i' THEN 1 ELSE 0 END) AS m$i").mkString(", ")
+        val chi = (1 to 9).map { i =>
+          val np = s"(CAST(n AS DOUBLE) * ${ps(i - 1)})"
+          s"(CAST(m$i AS DOUBLE) - $np) * (CAST(m$i AS DOUBLE) - $np) / $np"
+        }.mkString(" + ")
+        val digitRows = (1 to 9).map(i =>
+          s"SELECT $i AS digit, m$i AS n_obs, CAST(n AS BIGINT) AS n, chi2 FROM c")
+          .mkString(" UNION ALL ")
+        s"""WITH b AS (
+           |  SELECT substr(CAST(CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS VARCHAR), 1, 1) AS dg
+           |  FROM orders
+           |), c AS (
+           |  SELECT COUNT(*) AS n, $ms,
+           |         CAST(ROUND(($chi) * 1e6, 0) AS BIGINT) / 1e6 AS chi2
+           |  FROM b
+           |)
+           |SELECT CAST(digit AS INTEGER) AS digit,
+           |       CAST(n_obs AS BIGINT) AS n_obs,
+           |       CAST(ROUND((CAST(n_obs AS DOUBLE) / n) * 1e6, 0) AS BIGINT) / 1e6 AS obs_share,
+           |       CAST(chi2 AS DOUBLE) AS chi2
+           |FROM ($digitRows)
+           |ORDER BY digit""".stripMargin
+      }) { (s, d) =>
+      val ps = Advanced.benfordP
+      val b = Tables.orders(s, d)
+        .select(substring(cents($"o_totalprice").cast("string"), 1, 1).as("dg"))
+      val aggs = count(lit(1)).as("n") +:
+        (1 to 9).map(i =>
+          sum(when($"dg" === i.toString, 1L).otherwise(0L)).as(s"m$i"))
+      val c = b.agg(aggs.head, aggs.tail: _*)
+      val chi = (1 to 9).map { i =>
+        val np = $"n".cast("double") * lit(ps(i - 1).toDouble)
+        (col(s"m$i").cast("double") - np) * (col(s"m$i").cast("double") - np) / np
+      }.reduce(_ + _)
+      val withChi = c.withColumn("chi2", round2(chi, 6))
+      val digits = (1 to 9).map(i =>
+        withChi.select(lit(i).cast("int").as("digit"),
+          col(s"m$i").as("n_obs"), $"n", $"chi2"))
+        .reduce(_ unionAll _)
+      digits
+        .select($"digit", $"n_obs",
+          round2($"n_obs".cast("double") / $"n", 6).as("obs_share"),
+          $"chi2".cast("double").as("chi2"))
+        .orderBy($"digit")
+    },
   )
+
+  /** Benford first-digit probabilities log10(1 + 1/d), d = 1..9, as
+    * shared decimal literals: BOTH the Spark plan and the oracle SQL
+    * embed these exact strings, so the two engines parse the identical
+    * double and the χ² chain is bit-equal (no runtime log10 — it is
+    * correctly-rounded in neither engine's contract). */
+  private[operators] def benfordP: Seq[String] = Seq(
+    "0.3010299956639812", "0.17609125905568124", "0.12493873660829993",
+    "0.09691001300805642", "0.07918124604762482", "0.06694678963061322",
+    "0.05799194697768673", "0.05115252244738129", "0.04575749056067514")
 }

@@ -635,5 +635,39 @@ object SimilarityOps {
           round2(dot / (nc * ng), 6).as("cos_to_global"))
         .orderBy($"label")
     },
+
+    /** SQ8 scalar-quantized ANN (E88/q125) — the memory-side
+      * compression next to PQ (E19): per-vector affine int8 codes
+      * (4× smaller than float32), cosine computed via the integer-MAC
+      * affine identity, top-k through the same block-cogroup kernel as
+      * q37 (one shuffle, blocks×k rows per probe, no driver collect).
+      * Rows-only: the quantized score is quantizer-specific;
+      * VectorsSpec pins quantize→dot→rank to a naive JVM reference and
+      * measures recall ≥ 0.8 against the exact kernel; q126 carries
+      * the measured ranking-quality numbers as a gate. */
+    QueryDef.rowsOnly("q125_ann_sq8") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      Vectors.sq8TopK(e.filter($"vec_id" < 20), e, "vec_id", "embedding", 10)
+        .orderBy($"probe_id", $"rnk")
+    },
+
+    /** Ranking-quality evaluation (E89/q126) — the eval harness every
+      * ANN/retrieval deployment runs before swapping an index: per
+      * probe, recall@10 and MRR of the SQ8 ranking (q125) against the
+      * exact kernel's ground truth. MRR is ×2520 = lcm(1..10), so
+      * every reciprocal rank is an EXACT integer — no float reciprocal
+      * summation (the q108 exact-moments posture applied to IR
+      * metrics). One (probe, neighbor) equi-join + one probe-grain
+      * agg; eval volume ∝ probes×k, corpus-independent. Rows-only
+      * because the approximate side is quantizer-specific; VectorsSpec
+      * recomputes both metrics naively from the two rankings. */
+    QueryDef.rowsOnly("q126_ranking_eval") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val probes = e.filter($"vec_id" < 20)
+      val approx = Vectors.sq8TopK(probes, e, "vec_id", "embedding", 10)
+      val exact = Vectors.bruteForceTopKKernel(probes, e, "vec_id", "embedding", 10)
+      Vectors.rankingEval(approx, exact, 10)
+        .orderBy($"probe_id")
+    },
   )
 }

@@ -812,4 +812,133 @@ object Vectors {
         roundPortableD(mmr, 6))
     }.toDF("rnk", "vec_id", "relevance", "max_sim_selected", "mmr_score")
   }
+
+  // ---------------------------------------------------------------
+  // SQ8 scalar quantization — the memory-side compression next to PQ:
+  // each vector stores a per-vector (min, scale) pair + one int8 code
+  // per component (4×–8× smaller than float32), and the dot product
+  // runs in INTEGER arithmetic via the affine identity
+  //   dot(a, b) = aMin·bMin·D + aMin·bScale·ΣbCodes
+  //             + bMin·aScale·ΣaCodes + aScale·bScale·Σ aCodeᵢ·bCodeᵢ
+  // so the hot inner loop is an int MAC (SIMD-friendly at scale) and
+  // the per-vector code sums are precomputed once.
+  // ---------------------------------------------------------------
+
+  /** Per-vector SQ8 model: affine range + codes + code sum. */
+  private[graft] final case class Sq8(
+      min: Double, scale: Double, codes: Array[Int], sum: Long)
+
+  private[graft] def sq8Quantize(v: Array[Float]): Sq8 = {
+    var mn = Double.MaxValue; var mx = Double.MinValue
+    var i = 0
+    while (i < v.length) {
+      val x = v(i).toDouble
+      if (x < mn) mn = x
+      if (x > mx) mx = x
+      i += 1
+    }
+    val scale = if (mx > mn) (mx - mn) / 255.0 else 1.0
+    val codes = new Array[Int](v.length)
+    var sum = 0L
+    i = 0
+    while (i < v.length) {
+      val c = math.round((v(i).toDouble - mn) / scale).toInt
+      val cc = if (c < 0) 0 else if (c > 255) 255 else c
+      codes(i) = cc; sum += cc; i += 1
+    }
+    Sq8(mn, scale, codes, sum)
+  }
+
+  /** Reconstructed-space dot product via the affine identity — the
+    * only float work outside the integer MAC loop. */
+  private[graft] def sq8Dot(a: Sq8, b: Sq8): Double = {
+    var intDot = 0L
+    var i = 0
+    while (i < a.codes.length && i < b.codes.length) {
+      intDot += a.codes(i).toLong * b.codes(i); i += 1
+    }
+    val d = math.min(a.codes.length, b.codes.length).toDouble
+    a.min * b.min * d + a.min * b.scale * b.sum +
+      b.min * a.scale * a.sum + a.scale * b.scale * intDot
+  }
+
+  private[graft] def sq8Cosine(a: Sq8, b: Sq8): Double = {
+    val nn = math.sqrt(sq8Dot(a, a)) * math.sqrt(sq8Dot(b, b))
+    if (nn == 0.0) -2.0 else sq8Dot(a, b) / nn
+  }
+
+  /** ANN top-k over SQ8-quantized vectors — [[bruteForceTopKKernel]]'s
+    * block-cogroup shape (one shuffle, blocks×k rows per probe, no
+    * driver collect) with the scoring loop swapped to the integer-MAC
+    * quantized cosine. Same output contract and tie-break (qcos DESC,
+    * id ASC). The quantized score is deterministic (fixed fold order)
+    * but quantizer-specific — rows-only at the gate; VectorsSpec pins
+    * the whole pipeline to a naive JVM reference and measures recall
+    * against the exact kernel. */
+  def sq8TopK(
+      probes: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, blocks: Int = 8): DataFrame = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val B = blocks
+    val cand = candidates.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => ((((id % B) + B) % B).toInt, id, v) }
+    val prob = probes.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) => (0 until B).map(b => (b, id, v)) }
+    val perBlock = prob.groupByKey(_._1)
+      .cogroup(cand.groupByKey(_._1)) { (_, ps, cs) =>
+        val cArr = cs.map { case (_, id, v) => (id, sq8Quantize(v)) }
+          .toArray.sortBy(_._1)
+        ps.flatMap { case (_, pid, pv) =>
+          val pq = sq8Quantize(pv)
+          val scored = Array.newBuilder[(Long, Double)]
+          var j = 0
+          while (j < cArr.length) {
+            val (cid, cq) = cArr(j)
+            if (cid != pid) scored += ((cid, sq8Cosine(pq, cq)))
+            j += 1
+          }
+          scored.result().sortBy { case (cid, c) => (-c, cid) }
+            .take(k).map { case (cid, c) => (pid, cid, c) }
+        }
+      }.toDF("probe_id", "neighbor_id", "qcos")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    perBlock
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("neighbor_id"),
+        graft.functions.Shims.roundPortable(col("qcos"), 4).cast("double").as("qcos"))
+  }
+
+  /** Ranking-quality evaluation — recall@k and MRR of an approximate
+    * ranking against exact ground truth, per probe. Both inputs carry
+    * (probe_id, rnk, neighbor_id). MRR is scaled by 2520 = lcm(1..10),
+    * so 2520/rank is an EXACT integer for any k ≤ 10 — no float
+    * reciprocal summation anywhere (0 when the true top-1 is missed).
+    * Scale shape: one equi-join on (probe, neighbor) + one probe-grain
+    * hash agg — eval volume ∝ probes×k, independent of corpus size. */
+  def rankingEval(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k <= 10, "mrr_scaled uses lcm(1..10); pass k <= 10")
+    val a = approx.select(col("probe_id"), col("rnk").as("a_rnk"),
+      col("neighbor_id"))
+    val e = exact.select(col("probe_id"), col("rnk").as("e_rnk"),
+      col("neighbor_id"))
+    e.filter(col("e_rnk") <= k)
+      .join(a.filter(col("a_rnk") <= k), Seq("probe_id", "neighbor_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(
+        count(col("a_rnk")).as("n_hits"),
+        // exact top-1's reciprocal rank in the approx list, ×2520 —
+        // DIV, not `/`: Spark's `/` on integrals is double division
+        max(when(col("e_rnk") === 1 && col("a_rnk").isNotNull,
+          expr("2520L DIV a_rnk")).otherwise(0L)).as("mrr_scaled"))
+      .select(col("probe_id"),
+        col("n_hits").cast("long").as("n_hits"),
+        graft.functions.Shims.roundPortable(
+          col("n_hits").cast("double") / lit(k), 4).cast("double").as("recall_at_k"),
+        col("mrr_scaled"))
+  }
 }

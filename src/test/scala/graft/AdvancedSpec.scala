@@ -585,6 +585,53 @@ class AdvancedSpec extends GraftSpec {
     }
   }
 
+  test("q127 triangles: degree-oriented count == naive driver enumeration") {
+    val dir = sf("sf0.001")
+    val li = graft.Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = edges.toSeq.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val naiveTri = edges.toSeq.map { case (u, v) =>
+      (adj(u) & adj(v)).count(w => w > v) // w above both ends: once per triangle
+    }.sum
+    val wedges = adj.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    val r = SparkEntry.queries("q127_triangle_count")(spark, dir).head()
+    assert(r.getAs[Long]("n_edges") === edges.size.toLong)
+    assert(r.getAs[Long]("n_wedges") === wedges)
+    assert(r.getAs[Long]("n_triangles") === naiveTri.toLong)
+  }
+
+  test("q128 Benford: digit counts partition orders; chi2 matches the fixed-order chain") {
+    val dir = sf("sf0.001")
+    val cents = graft.Tables.orders(spark, dir)
+      .select(round($"o_totalprice" * 100, 0).cast("long")).collect()
+      .map(_.getLong(0))
+    val byDigit = cents.groupBy(_.toString.head).view.mapValues(_.length.toLong).toMap
+    val n = cents.length.toLong
+    val ps = Seq(0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
+      0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+      0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+    var chi = 0.0
+    (1 to 9).foreach { i =>
+      val m = byDigit.getOrElse(('0' + i).toChar, 0L).toDouble
+      val np = n.toDouble * ps(i - 1)
+      chi = chi + (m - np) * (m - np) / np
+    }
+    val rp6 = graft.sim.Vectors.roundPortableD(chi, 6)
+    val got = SparkEntry.queries("q128_benford_audit")(spark, dir).collect()
+    assert(got.map(_.getAs[Long]("n_obs")).sum === n)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_obs") ===
+        byDigit.getOrElse(('0' + r.getAs[Int]("digit")).toChar, 0L))
+      assert(r.getAs[Double]("chi2") === rp6)
+    }
+  }
+
   test("q124 retrieval: top-10 matches a naive integer tf-idf scoring") {
     val dir = sf("sf0.001")
     val terms = Set("spark", "window", "dup")

@@ -757,6 +757,77 @@ class VectorsSpec extends GraftSpec {
     // anti-correlated picks are the most diverse of all)
     assert(got.drop(1).forall(t => t._4 >= -1.0 - 1e-9 && t._4 <= 1.0 + 1e-9))
   }
+
+  test("q125 SQ8 ANN == naive quantize->affine-dot->rank reference; recall >= 0.8 vs exact") {
+    val dir = sf("sf0.001")
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    // naive reference mirrors the kernel's published contract exactly
+    def quant(v: Array[Float]): (Double, Double, Array[Int], Long) = {
+      val mn = v.map(_.toDouble).min; val mx = v.map(_.toDouble).max
+      val sc = if (mx > mn) (mx - mn) / 255.0 else 1.0
+      val cs = v.map(x => math.min(255, math.max(0, math.round((x - mn) / sc).toInt)))
+      (mn, sc, cs, cs.map(_.toLong).sum)
+    }
+    def adot(a: (Double, Double, Array[Int], Long), b: (Double, Double, Array[Int], Long)): Double = {
+      val intDot = a._3.zip(b._3).map { case (x, y) => x.toLong * y }.sum
+      val dd = math.min(a._3.length, b._3.length).toDouble
+      a._1 * b._1 * dd + a._1 * b._2 * b._4 + b._1 * a._2 * a._4 + a._2 * b._2 * intDot
+    }
+    def acos(a: (Double, Double, Array[Int], Long), b: (Double, Double, Array[Int], Long)): Double = {
+      val nn = math.sqrt(adot(a, a)) * math.sqrt(adot(b, b))
+      if (nn == 0.0) -2.0 else adot(a, b) / nn
+    }
+    val q = vecs.map { case (id, v) => id -> quant(v) }.toMap
+    val probes = vecs.filter(_._1 < 20)
+    val expect = probes.flatMap { case (pid, _) =>
+      vecs.filter(_._1 != pid)
+        .map { case (cid, _) => (cid, acos(q(pid), q(cid))) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(10).zipWithIndex
+        .map { case ((cid, c), i) =>
+          (pid, i + 1, cid, Vectors.roundPortableD(c, 4)) }
+    }
+    val got = SparkEntry.queries("q125_ann_sq8")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.sortBy(t => (t._1, t._2)).toSeq === expect.sortBy(t => (t._1, t._2)).toSeq)
+    // quantization must preserve neighborhoods: recall@10 vs exact
+    val exact = Vectors.bruteForceTopKKernel(
+      graft.Tables.embeddings(spark, dir).filter($"vec_id" < 20),
+      graft.Tables.embeddings(spark, dir), "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val approxSet = got.map(t => (t._1, t._3)).toSet
+    val recall = exact.count(approxSet).toDouble / exact.length
+    assert(recall >= 0.8, s"SQ8 recall@10 $recall")
+  }
+
+  test("q126 ranking eval == naive recall/MRR recomputation from the two rankings") {
+    val dir = sf("sf0.001")
+    val e = graft.Tables.embeddings(spark, dir)
+    val probes = e.filter($"vec_id" < 20)
+    val approx = Vectors.sq8TopK(probes, e, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val exact = Vectors.bruteForceTopKKernel(probes, e, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val got = SparkEntry.queries("q126_ranking_eval")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_hits"), r.getAs[Double]("recall_at_k"), r.getAs[Long]("mrr_scaled")))
+      .toMap
+    val byProbeA = approx.groupBy(_._1)
+    val byProbeE = exact.groupBy(_._1)
+    assert(got.keySet === byProbeE.keySet)
+    byProbeE.foreach { case (pid, eRows) =>
+      val aRanks = byProbeA.getOrElse(pid, Array.empty)
+        .map(t => t._3 -> t._2).toMap
+      val hits = eRows.count(t => aRanks.contains(t._3))
+      val top1 = eRows.find(_._2 == 1).get._3
+      val mrr = aRanks.get(top1).map(2520L / _).getOrElse(0L)
+      val (gh, gr, gm) = got(pid)
+      assert(gh === hits.toLong)
+      assert(gr === Vectors.roundPortableD(hits.toDouble / 10, 4))
+      assert(gm === mrr)
+    }
+  }
 }
 
 /** Small helper to share q33's exact-pair logic with specs. */
