@@ -148,7 +148,13 @@ object ScaleBench {
     // degree-oriented triangle counting (wedge fan bounded by out-degree
     // ≤ O(√E)), and the Benford audit (one conditional-sum scan)
     "q125_ann_sq8", "q126_ranking_eval", "q127_triangle_count",
-    "q128_benford_audit")
+    "q128_benford_audit",
+    // trigram path mining (q39-shape lag windows + one hash agg +
+    // k-slot top-k), weighted quantiles (one histogram pass, value-
+    // domain frames), histogram quantile rollup (mergeable day state,
+    // grain-deep merges — the q98 pattern for percentiles)
+    "q129_path_mining", "q130_weighted_quantiles",
+    "q131_histogram_quantile_rollup")
 
   /** Quadratic-by-contract entries, capped at 10×: the exact all-pairs
     * baselines (q33 n-gram Jaccard, q36 cosine pairs), and q49 whose

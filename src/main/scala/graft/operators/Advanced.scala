@@ -1650,6 +1650,165 @@ object Advanced {
             .as("clustering_coeff"))
     },
 
+    /** Frequent behavior-path mining (E92/q129) — the sequential
+      * extension of q106's transition matrix: per-user consecutive
+      * event-type TRIGRAMS (two lag windows over the (ts, event_id)
+      * total order), counted globally, top-20 paths by frequency.
+      * Top-k via the bounded TopKStruct aggregate (count cast to
+      * double is exact far past any real count) — k-slot state, no
+      * rank window over the path vocabulary. Scale: the lag windows
+      * are the q39 per-user shape (q39b's deterministic time-bucket
+      * sharding is the hot-user path — a lag-2 boundary resolves the
+      * same way as lag-1); counting is one map-side-combined hash
+      * agg. */
+    QueryDef.sql(
+      "q129_path_mining",
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         LAG(event_type, 2) OVER w AS t0,
+        |         LAG(event_type, 1) OVER w AS t1
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), paths AS (
+        |  SELECT t0 || '>' || t1 || '>' || event_type AS path, COUNT(*) AS n
+        |  FROM seq WHERE t0 IS NOT NULL
+        |  GROUP BY 1
+        |), ranked AS (
+        |  SELECT path, n, ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rnk
+        |  FROM paths
+        |)
+        |SELECT CAST(rnk AS INTEGER) AS rnk, path, CAST(n AS BIGINT) AS n_occurrences
+        |FROM ranked WHERE rnk <= 20 ORDER BY rnk""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val paths = Tables.events(s, d)
+        .select($"user_id", $"event_type", $"ts", $"event_id")
+        .withColumn("t0", lag($"event_type", 2).over(w))
+        .withColumn("t1", lag($"event_type", 1).over(w))
+        .filter($"t0".isNotNull)
+        .select(concat_ws(">", $"t0", $"t1", $"event_type").as("path"))
+        .groupBy($"path").agg(count(lit(1)).as("n"))
+      paths
+        .select($"n".cast("double").as("sc"), $"path", $"n")
+        .agg(graft.functions.TopKStruct.topk(s, $"sc", $"path", 20).as("top"))
+        .select(posexplode($"top"))
+        .select(($"pos" + 1).cast("int").as("rnk"),
+          $"col.item".as("path"),
+          $"col.score".cast("long").as("n_occurrences"))
+        .orderBy($"rnk")
+    },
+
+    /** Mass-weighted quantiles (E93/q130) — the curator's "median
+      * document length BY TOKEN MASS" (half the corpus tokens sit in
+      * docs shorter than this), next to the count-weighted median the
+      * q103 family computes: every decile is the exact lower order
+      * statistic min v with 10·cumW ≥ k·W, evaluated by integer
+      * CROSS-MULTIPLICATION (never a float quantile boundary — the
+      * q115 construction with token weights in place of row counts).
+      * Both the weighted and unweighted ladders come from ONE value
+      * histogram. Scale: one corpus hash agg; cumulative windows over
+      * the ≤ #distinct-lengths frame. */
+    QueryDef.sql(
+      "q130_weighted_quantiles",
+      """WITH t AS (
+        |  SELECT n_chars AS v,
+        |         CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS wt
+        |  FROM documents
+        |), hist AS (
+        |  SELECT v, COUNT(*) AS cnt, SUM(wt) AS w FROM t GROUP BY v
+        |), cum AS (
+        |  SELECT v,
+        |         SUM(cnt) OVER (ORDER BY v) AS cc,
+        |         SUM(w) OVER (ORDER BY v) AS cw,
+        |         SUM(cnt) OVER () AS n, SUM(w) OVER () AS tw
+        |  FROM hist
+        |), k AS (SELECT UNNEST(generate_series(1, 9)) AS decile)
+        |SELECT CAST(k.decile AS INTEGER) AS decile,
+        |       MIN(CASE WHEN 10 * cw >= k.decile * tw THEN v END) AS q_weighted,
+        |       MIN(CASE WHEN 10 * cc >= k.decile * n THEN v END) AS q_unweighted
+        |FROM cum, k
+        |GROUP BY k.decile ORDER BY decile""".stripMargin) { (s, d) =>
+      import graft.text.TextFunctions.tokenCount
+      val hist = Tables.documents(s, d)
+        .select($"n_chars".as("v"), tokenCount($"text").cast("long").as("wt"))
+        .groupBy($"v").agg(count(lit(1)).as("cnt"), sum($"wt").as("w"))
+      val wv = Window.orderBy($"v").rowsBetween(Window.unboundedPreceding, 0)
+      val wall = Window.partitionBy(lit(1))
+      val cum = hist
+        .withColumn("cc", sum($"cnt").over(wv))
+        .withColumn("cw", sum($"w").over(wv))
+        .withColumn("n", sum($"cnt").over(wall))
+        .withColumn("tw", sum($"w").over(wall))
+      cum.crossJoin(broadcast(
+          s.range(1, 10).select($"id".cast("int").as("decile"))))
+        .groupBy($"decile")
+        .agg(
+          min(when(lit(10) * $"cw" >= $"decile" * $"tw", $"v")).as("q_weighted"),
+          min(when(lit(10) * $"cc" >= $"decile" * $"n", $"v")).as("q_unweighted"))
+        .orderBy($"decile")
+    },
+
+    /** Histogram sketch algebra (E94/q131) — q98's incremental-state
+      * pattern applied to QUANTILES: per-day integer-cents value
+      * histograms are the persisted state (∝ distinct values/day,
+      * computed once when the partition lands); weekly p50/p90/p99
+      * are computed from MERGED day histograms (histogram merge =
+      * summing counts — exactly mergeable, unlike a raw percentile),
+      * and the all-time row merges the SAME state a grain deeper —
+      * history is never rescanned. The oracle computes every quantile
+      * DIRECTLY from raw events with the identical lower-order-
+      * statistic rule (min v with 100·cum ≥ p·N, integer cross-
+      * multiplication): merge ≡ rescan is the algebraic-maintenance
+      * claim, as q99 proves for sums. Weeks are epoch-day DIV 7 —
+      * engine-neutral integer arithmetic, no ISO-week lookup. */
+    QueryDef.sql(
+      "q131_histogram_quantile_rollup",
+      """WITH e AS (
+        |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk,
+        |         CAST(ROUND(value*100,0) AS BIGINT) AS c
+        |  FROM events
+        |), grains AS (
+        |  SELECT CAST(wk AS VARCHAR) AS grain, c FROM e
+        |  UNION ALL
+        |  SELECT 'total' AS grain, c FROM e
+        |), cum AS (
+        |  SELECT grain, c,
+        |         SUM(COUNT(*)) OVER (PARTITION BY grain ORDER BY c) AS cc,
+        |         SUM(COUNT(*)) OVER (PARTITION BY grain) AS n
+        |  FROM grains GROUP BY grain, c
+        |)
+        |SELECT grain,
+        |       CAST(MAX(n) AS BIGINT) AS n_events,
+        |       MIN(CASE WHEN 100 * cc >= 50 * n THEN c END) AS p50_cents,
+        |       MIN(CASE WHEN 100 * cc >= 90 * n THEN c END) AS p90_cents,
+        |       MIN(CASE WHEN 100 * cc >= 99 * n THEN c END) AS p99_cents
+        |FROM cum GROUP BY grain ORDER BY grain""".stripMargin) { (s, d) =>
+      // per-day histograms — the persisted, mergeable state
+      val daily = Tables.events(s, d)
+        .select(to_date($"ts").as("day"), cents($"value").as("c"))
+        .groupBy($"day", $"c").agg(count(lit(1)).as("cnt"))
+      // weekly merge: histogram ⊕ = summing counts
+      val weekly = daily
+        .withColumn("wk", expr("datediff(day, DATE'1970-01-01') DIV 7"))
+        .groupBy($"wk", $"c").agg(sum($"cnt").as("cnt"))
+      // all-time: the SAME weekly state merged a grain deeper
+      val total = weekly.groupBy($"c").agg(sum($"cnt").as("cnt"))
+        .withColumn("grain", lit("total"))
+      val grains = weekly.select($"wk".cast("string").as("grain"), $"c", $"cnt")
+        .unionByName(total.select($"grain", $"c", $"cnt"))
+      val wv = Window.partitionBy($"grain").orderBy($"c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wall = Window.partitionBy($"grain")
+      grains
+        .withColumn("cc", sum($"cnt").over(wv))
+        .withColumn("n", sum($"cnt").over(wall))
+        .groupBy($"grain")
+        .agg(max($"n").as("n_events"),
+          min(when(lit(100) * $"cc" >= lit(50) * $"n", $"c")).as("p50_cents"),
+          min(when(lit(100) * $"cc" >= lit(90) * $"n", $"c")).as("p90_cents"),
+          min(when(lit(100) * $"cc" >= lit(99) * $"n", $"c")).as("p99_cents"))
+        .orderBy($"grain")
+    },
+
     /** Benford first-digit audit (E91/q128) — the fraud/data-quality
       * screen: the distribution of leading significant digits of order
       * totals against Benford's law, with the χ² goodness-of-fit

@@ -585,6 +585,67 @@ class AdvancedSpec extends GraftSpec {
     }
   }
 
+  test("q129 path mining: top-20 trigrams match a naive per-user sequence replay") {
+    val dir = sf("sf0.001")
+    val ev = graft.Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"), $"event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val counts = ev.groupBy(_._1).values.flatMap { rows =>
+      val seq = rows.sortBy(r => (r._3, r._4)).map(_._2)
+      seq.sliding(3).filter(_.length == 3).map(_.mkString(">"))
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = SparkEntry.queries("q129_path_mining")(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(got.toSeq === expect)
+  }
+
+  test("q130 weighted quantiles: each decile is the exact lower weighted order statistic") {
+    val dir = sf("sf0.001")
+    val t = graft.Tables.documents(spark, dir)
+      .select($"n_chars", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").length.toLong))
+    val byV = t.groupBy(_._1).view
+      .mapValues(rs => (rs.length.toLong, rs.map(_._2).sum)).toMap
+    val vs = byV.keys.toSeq.sorted
+    val n = t.length.toLong
+    val tw = t.map(_._2).sum
+    def orderStat(k: Long, total: Long, cumOf: Long => Long): Long =
+      vs.find(v => 10 * cumOf(v) >= k * total).get
+    def cumCnt(v: Long) = vs.filter(_ <= v).map(byV(_)._1).sum
+    def cumW(v: Long) = vs.filter(_ <= v).map(byV(_)._2).sum
+    SparkEntry.queries("q130_weighted_quantiles")(spark, dir).collect().foreach { r =>
+      val k = r.getAs[Int]("decile").toLong
+      assert(r.getAs[Long]("q_weighted") === orderStat(k, tw, cumW))
+      assert(r.getAs[Long]("q_unweighted") === orderStat(k, n, cumCnt))
+    }
+  }
+
+  test("q131 histogram rollup: merged-state quantiles == a direct rescan at every grain") {
+    val dir = sf("sf0.001")
+    val ev = graft.Tables.events(spark, dir)
+      .select(expr("datediff(to_date(ts), DATE'1970-01-01') DIV 7").as("wk"),
+        round($"value" * 100, 0).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0).toString, r.getLong(1)))
+    val grains = ev ++ ev.map { case (_, c) => ("total", c) }
+    def q(cs: Seq[Long], p: Long): Long = {
+      val s = cs.sorted; val n = s.length.toLong
+      s.find(v => 100 * s.count(_ <= v) >= p * n).get
+    }
+    val got = SparkEntry.queries("q131_histogram_quantile_rollup")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    grains.groupBy(_._1).foreach { case (g, rows) =>
+      val cs = rows.map(_._2).toSeq
+      val r = got(g)
+      assert(r.getAs[Long]("n_events") === cs.length.toLong)
+      assert(r.getAs[Long]("p50_cents") === q(cs, 50))
+      assert(r.getAs[Long]("p90_cents") === q(cs, 90))
+      assert(r.getAs[Long]("p99_cents") === q(cs, 99))
+      assert(r.getAs[Long]("p50_cents") <= r.getAs[Long]("p90_cents"))
+      assert(r.getAs[Long]("p90_cents") <= r.getAs[Long]("p99_cents"))
+    }
+  }
+
   test("q127 triangles: degree-oriented count == naive driver enumeration") {
     val dir = sf("sf0.001")
     val li = graft.Tables.lineitem(spark, dir)
