@@ -1858,13 +1858,12 @@ object Advanced {
         val np = $"n".cast("double") * lit(ps(i - 1).toDouble)
         (col(s"m$i").cast("double") - np) * (col(s"m$i").cast("double") - np) / np
       }.reduce(_ + _)
-      val withChi = c.withColumn("chi2", round2(chi, 6))
-      val digits = (1 to 9).map(i =>
-        withChi.select(lit(i).cast("int").as("digit"),
-          col(s"m$i").as("n_obs"), $"n", $"chi2"))
-        .reduce(_ unionAll _)
-      digits
-        .select($"digit", $"n_obs",
+      // stack-unpivot the 1-row aggregate (the q84 pattern) — ONE scan,
+      // not one scan per digit branch
+      val stackArgs = (1 to 9).map(i => s"$i, m$i").mkString(", ")
+      c.withColumn("chi2", round2(chi, 6))
+        .selectExpr(s"stack(9, $stackArgs) as (digit, n_obs)", "n", "chi2")
+        .select($"digit".cast("int").as("digit"), $"n_obs",
           round2($"n_obs".cast("double") / $"n", 6).as("obs_share"),
           $"chi2".cast("double").as("chi2"))
         .orderBy($"digit")

@@ -461,4 +461,43 @@ class PlanSpec extends GraftSpec {
     assert(p111.contains("Generate") && !p111.contains("SortMergeJoin"),
       p111.linesIterator.take(30).mkString("\n"))
   }
+
+  test("r8 fourth-wave additions keep their intended physical shapes") {
+    // q123 inverted index / q124 retrieval: bounded aggregates only —
+    // no Window anywhere (posting lists via collect_list inside a
+    // hash agg; top-k via topk_struct under ObjectHashAggregate)
+    val p123 = plan(q("q123_inverted_index"))
+    assert(!p123.contains("Window"),
+      p123.linesIterator.take(25).mkString("\n"))
+    val p124 = plan(q("q124_keyword_search"))
+    assert(p124.contains("ObjectHashAggregate") && !p124.contains("Window"),
+      p124.linesIterator.take(25).mkString("\n"))
+    assert(p124.contains("topk_struct"), "q124 should rank via topk_struct")
+    // q129 path mining: the two LAGs share ONE window operator (same
+    // partition/order spec), and ranking is topk_struct, not a window
+    val p129 = plan(q("q129_path_mining"))
+    assert("Window".r.findAllIn(p129).size === 1,
+      p129.linesIterator.take(25).mkString("\n"))
+    assert(p129.contains("topk_struct"), "q129 should rank via topk_struct")
+    // q127 triangles: every join an equi-join — no cartesian/nested
+    // loop anywhere in the wedge-closure chain
+    val p127 = plan(q("q127_triangle_count"))
+    assert(!p127.contains("CartesianProduct") &&
+      !p127.contains("BroadcastNestedLoopJoin") ||
+      // the only nested loop allowed is the final 1-row×1-row
+      // agg-cross-agg assembly
+      "BroadcastNestedLoopJoin".r.findAllIn(p127).size <= 1,
+      p127.linesIterator.take(35).mkString("\n"))
+    // q128 Benford: ONE scan — the stack unpivot runs over the 1-row
+    // aggregate, never one scan per digit
+    val p128 = plan(q("q128_benford_audit"))
+    assert("Scan parquet".r.findAllIn(p128).size === 1,
+      p128.linesIterator.take(25).mkString("\n"))
+    // q121 CUSUM / q131 rollup: windows are frame-bounded over daily /
+    // value-domain pre-aggregates — the fact reaches ONE hash agg first
+    Seq("q121_cusum_changepoint", "q131_histogram_quantile_rollup").foreach { n =>
+      val p = plan(q(n))
+      assert(p.contains("HashAggregate"), s"$n should pre-aggregate")
+    }
+  }
 }
