@@ -154,7 +154,13 @@ object ScaleBench {
     // domain frames), histogram quantile rollup (mergeable day state,
     // grain-deep merges — the q98 pattern for percentiles)
     "q129_path_mining", "q130_weighted_quantiles",
-    "q131_histogram_quantile_rollup")
+    "q131_histogram_quantile_rollup",
+    // item-item CF (basket self-join ∝ Σ basket² + support prune —
+    // q110's shape with a similarity head), mix shift + coverage audit
+    // (scan-shaped aggs), k-core (per-round degree agg + anti-joins on
+    // the shrinking edge list, rounds ~ peel depth)
+    "q132_item_item_cf", "q133_mix_shift", "q134_coverage_audit",
+    "q135_kcore")
 
   /** Quadratic-by-contract entries, capped at 10×: the exact all-pairs
     * baselines (q33 n-gram Jaccard, q36 cosine pairs), and q49 whose

@@ -1809,6 +1809,237 @@ object Advanced {
         .orderBy($"grain")
     },
 
+    /** Item-item collaborative filtering (E95/q132) — the classic
+      * "customers who bought X also bought Y" recommender: cosine
+      * similarity over binary basket co-occurrence vectors, sim(i,j) =
+      * c_ij / √(c_i·c_j), top-5 neighbors per part. All counts are
+      * exact integers; the cosine is ONE fixed IEEE expression (√ is
+      * correctly rounded by IEEE-754 in both engines — the q108
+      * posture), so rank order is engine-identical and the output
+      * hash-exact. A-priori support prune (c_ij ≥ 2, the q110 rule)
+      * runs BEFORE the similarity math. Top-5 via the bounded
+      * TopKStruct over zero-padded neighbor ids — no per-item rank
+      * window. Scale: pair candidates ∝ Σ basket² (basket-bounded,
+      * q110's shape); item counts broadcast. */
+    QueryDef.sql(
+      "q132_item_item_cf",
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), ic AS (
+        |  SELECT pk, COUNT(*) AS ci FROM b GROUP BY pk
+        |), pairs AS (
+        |  SELECT a.pk AS i, c.pk AS j, COUNT(*) AS cij
+        |  FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
+        |  GROUP BY a.pk, c.pk
+        |  HAVING COUNT(*) >= 2
+        |), sym AS (
+        |  SELECT i, j, cij FROM pairs
+        |  UNION ALL
+        |  SELECT j AS i, i AS j, cij FROM pairs
+        |), scored AS (
+        |  SELECT s.i, s.j,
+        |         CAST(s.cij AS DOUBLE) / sqrt(CAST(a.ci AS DOUBLE) * CAST(c.ci AS DOUBLE)) AS cos
+        |  FROM sym s JOIN ic a ON s.i = a.pk JOIN ic c ON s.j = c.pk
+        |), ranked AS (
+        |  SELECT i, j, cos,
+        |         ROW_NUMBER() OVER (PARTITION BY i
+        |           ORDER BY cos DESC, lpad(CAST(j AS VARCHAR), 18, '0')) AS rnk
+        |  FROM scored
+        |)
+        |SELECT i AS part, CAST(rnk AS INTEGER) AS rnk, j AS neighbor,
+        |       CAST(ROUND((cos) * 1e6, 0) AS BIGINT) / 1e6 AS cosine
+        |FROM ranked WHERE rnk <= 5
+        |ORDER BY part, rnk""".stripMargin) { (s, d) =>
+      val b = Tables.lineitem(s, d)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+      val ic = b.groupBy($"pk").agg(count(lit(1)).as("ci"))
+      val pairs = b.as("a").join(b.as("c"),
+          $"a.ok" === $"c.ok" && $"a.pk" < $"c.pk")
+        .groupBy($"a.pk".as("i"), $"c.pk".as("j"))
+        .agg(count(lit(1)).as("cij"))
+        .filter($"cij" >= 2)
+      val sym = pairs.unionAll(
+        pairs.select($"j".as("i"), $"i".as("j"), $"cij"))
+      val scored = sym
+        .join(ic.select($"pk".as("i"), $"ci".as("cai")), Seq("i"))
+        .join(ic.select($"pk".as("j"), $"ci".as("caj")), Seq("j"))
+        .select($"i", $"j",
+          ($"cij".cast("double") /
+            sqrt($"cai".cast("double") * $"caj".cast("double"))).as("cos"))
+      scored
+        .select($"i", $"cos", format_string("%018d", $"j").as("item"))
+        .groupBy($"i")
+        .agg(graft.functions.TopKStruct.topk(s, $"cos", $"item", 5).as("top"))
+        .select($"i".as("part"), posexplode($"top"))
+        .select($"part", ($"pos" + 1).cast("int").as("rnk"),
+          $"col.item".cast("long").as("neighbor"),
+          round2($"col.score", 6).as("cosine"))
+        .orderBy($"part", $"rnk")
+    },
+
+    /** Period-over-period mix-shift analysis (E96/q133) — the
+      * root-cause read behind "the metric moved — which segment did
+      * it": event volume split at the stream's midpoint (exact integer
+      * µs from the 1-row extent, the q93 cutoff rule), per-type shares
+      * before vs after, the share delta, and an above/below-trend flag
+      * by integer CROSS-MULTIPLICATION (n_after·T_before vs
+      * n_before·T_after — no ratio float ever decides the flag).
+      * Share arithmetic is count ratios in one fixed IEEE order (rp6).
+      * Scan-shaped: one extent agg + one conditional-sum hash agg. */
+    QueryDef.sql(
+      "q133_mix_shift",
+      """WITH ext AS (
+        |  SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+        |), c AS (
+        |  SELECT event_type,
+        |         SUM(CASE WHEN epoch_us(ts) * 2 <= (SELECT lo + hi FROM ext) THEN 1 ELSE 0 END) AS n_before,
+        |         SUM(CASE WHEN epoch_us(ts) * 2 > (SELECT lo + hi FROM ext) THEN 1 ELSE 0 END) AS n_after
+        |  FROM events GROUP BY event_type
+        |), t AS (
+        |  SELECT SUM(n_before) AS tb, SUM(n_after) AS ta FROM c
+        |)
+        |SELECT event_type,
+        |       CAST(n_before AS BIGINT) AS n_before,
+        |       CAST(n_after AS BIGINT) AS n_after,
+        |       CAST(ROUND((CAST(n_before AS DOUBLE) / tb) * 1e6, 0) AS BIGINT) / 1e6 AS share_before,
+        |       CAST(ROUND((CAST(n_after AS DOUBLE) / ta) * 1e6, 0) AS BIGINT) / 1e6 AS share_after,
+        |       CAST(ROUND((CAST(n_after AS DOUBLE) / ta - CAST(n_before AS DOUBLE) / tb) * 1e6, 0) AS BIGINT) / 1e6 AS share_delta,
+        |       CAST(CASE WHEN n_after * tb > n_before * ta THEN 1 ELSE 0 END AS INTEGER) AS above_trend
+        |FROM c, t ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select($"event_type", unix_micros($"ts").as("us"))
+      val ext = ev.agg((min($"us") + max($"us")).as("mid2"))
+      val c = ev.crossJoin(broadcast(ext))
+        .groupBy($"event_type")
+        .agg(
+          sum(when($"us" * 2 <= $"mid2", 1L).otherwise(0L)).as("n_before"),
+          sum(when($"us" * 2 > $"mid2", 1L).otherwise(0L)).as("n_after"))
+      val t = c.agg(sum($"n_before").as("tb"), sum($"n_after").as("ta"))
+      c.crossJoin(broadcast(t))
+        .select($"event_type", $"n_before", $"n_after",
+          round2($"n_before".cast("double") / $"tb", 6).as("share_before"),
+          round2($"n_after".cast("double") / $"ta", 6).as("share_after"),
+          round2($"n_after".cast("double") / $"ta"
+            - $"n_before".cast("double") / $"tb", 6).as("share_delta"),
+          when($"n_after" * $"tb" > $"n_before" * $"ta", 1)
+            .otherwise(0).cast("int").as("above_trend"))
+        .orderBy($"event_type")
+    },
+
+    /** Calendar coverage audit (E97/q134) — the missing-partition
+      * detector every ingestion pipeline runs before declaring a day
+      * complete: the expected (day × event_type) grid from the
+      * stream's own extent (`sequence` explode — no calendar table)
+      * anti-joined with observed daily cells; per type, expected vs
+      * observed day counts, the missing days as an ordered string
+      * (empty when complete — the audit row is always present, so the
+      * gate is non-vacuous on a complete corpus). Integer day
+      * arithmetic throughout. Scale: observed cells = one corpus hash
+      * agg; the grid is #days × #types — broadcast-sized. */
+    QueryDef.sql(
+      "q134_coverage_audit",
+      """WITH obs AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), ext AS (
+        |  SELECT MIN(day) AS lo, MAX(day) AS hi FROM obs
+        |), grid AS (
+        |  SELECT t.event_type, g.day
+        |  FROM (SELECT DISTINCT event_type FROM obs) t,
+        |       (SELECT UNNEST(generate_series((SELECT lo FROM ext),
+        |                                      (SELECT hi FROM ext),
+        |                                      INTERVAL 1 DAY)) AS day) g
+        |), missing AS (
+        |  SELECT g.event_type, CAST(g.day AS DATE) AS day
+        |  FROM grid g LEFT JOIN obs o
+        |    ON g.event_type = o.event_type AND CAST(g.day AS DATE) = o.day
+        |  WHERE o.day IS NULL
+        |)
+        |SELECT t.event_type,
+        |       CAST((SELECT date_diff('day', lo, hi) + 1 FROM ext) AS BIGINT) AS n_days_expected,
+        |       CAST(COUNT(o.day) AS BIGINT) AS n_days_observed,
+        |       CAST((SELECT date_diff('day', lo, hi) + 1 FROM ext) - COUNT(o.day) AS BIGINT) AS n_missing,
+        |       COALESCE((SELECT string_agg(strftime(m.day, '%Y-%m-%d'), ',' ORDER BY m.day)
+        |                 FROM missing m WHERE m.event_type = t.event_type), '') AS missing_days
+        |FROM (SELECT DISTINCT event_type FROM obs) t
+        |LEFT JOIN obs o ON t.event_type = o.event_type
+        |GROUP BY t.event_type ORDER BY t.event_type""".stripMargin) { (s, d) =>
+      val obs = Tables.events(s, d)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val ext = obs.agg(min($"day").as("lo"), max($"day").as("hi"))
+      val grid = obs.select($"event_type").distinct()
+        .crossJoin(broadcast(ext))
+        .select($"event_type",
+          explode(expr("sequence(lo, hi, interval 1 day)")).as("day"),
+          (datediff($"hi", $"lo") + 1).cast("long").as("n_days_expected"))
+      grid.join(obs.select($"event_type", $"day", lit(1).as("hit")),
+          Seq("event_type", "day"), "left")
+        .groupBy($"event_type")
+        .agg(
+          max($"n_days_expected").as("n_days_expected"),
+          sum(when($"hit".isNotNull, 1L).otherwise(0L)).as("n_days_observed"),
+          sum(when($"hit".isNull, 1L).otherwise(0L)).as("n_missing"),
+          concat_ws(",", sort_array(collect_list(
+            when($"hit".isNull, date_format($"day", "yyyy-MM-dd")))))
+            .as("missing_days"))
+        .orderBy($"event_type")
+    },
+
+    /** k-core extraction (E98/q135) — the graph-pruning primitive that
+      * completes the graph surface (E20 components, E55 PageRank, E90
+      * triangles): iteratively peel nodes of degree < k until the
+      * remaining subgraph is stable — the standard dense-community /
+      * spam-farm / influential-subgraph detector. k is derived from
+      * the graph itself (k = (7·Σdeg) DIV (10·n), ~70% of mean degree
+      * — integer arithmetic, scale-free), which on this co-order graph
+      * yields a genuine multi-round cascade (3/6/10 rounds at
+      * sf0.001/0.01/0.1) ending in a non-empty core. Each round is ONE
+      * degree hash agg + two anti-joins on the live edge list; the
+      * frontier is localCheckpoint'ed and the superseded one released
+      * every round (the E20 components mechanism), so lineage stays
+      * flat and driver state is one count per round. Rows-only: the
+      * peel order is definitionally iterative (no single SQL
+      * restatement); AdvancedSpec replays the peel naively and proves
+      * core-set, degree, and minimum-degree ≥ k equality. */
+    QueryDef.rowsOnly("q135_kcore") { (s, d) =>
+      val b = Tables.lineitem(s, d)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+      val und = b.as("a").join(b.as("c"),
+          $"a.ok" === $"c.ok" && $"a.pk" < $"c.pk")
+        .select($"a.pk".as("u"), $"c.pk".as("v")).distinct()
+      val sym = und.unionAll(und.select($"v".as("u"), $"u".as("v"))).persist()
+      try {
+        val st = sym.agg(count(lit(1)).as("sd"),
+          countDistinct($"u").as("n")).first()
+        val k = 7L * st.getLong(0) / (10L * st.getLong(1))
+        var live = sym.localCheckpoint()
+        var nLive = live.count()
+        var round = 0
+        var done = false
+        while (!done && round < 40) {
+          val bad = live.groupBy($"u").agg(count(lit(1)).as("dg"))
+            .filter($"dg" < k).select($"u")
+          val next = live
+            .join(bad, Seq("u"), "left_anti")
+            .join(bad.select($"u".as("v")), Seq("v"), "left_anti")
+            .select($"u", $"v")
+            .localCheckpoint(false)
+          val cnt = next.count()
+          scala.util.Try(live.rdd.unpersist(blocking = false)): Unit
+          done = cnt == nLive
+          nLive = cnt
+          live = next
+          round += 1
+        }
+        if (!done) throw new IllegalStateException(
+          s"kcore did not converge in 40 rounds")
+        live.groupBy($"u").agg(count(lit(1)).as("core_degree"))
+          .select($"u".as("part"), $"core_degree", lit(k).as("k"))
+          .orderBy($"part")
+      } finally { sym.unpersist(blocking = false): Unit }
+    },
+
     /** Benford first-digit audit (E91/q128) — the fraud/data-quality
       * screen: the distribution of leading significant digits of order
       * totals against Benford's law, with the χ² goodness-of-fit

@@ -585,6 +585,97 @@ class AdvancedSpec extends GraftSpec {
     }
   }
 
+  test("q132 item-item CF: similarities match a naive basket replay; lists respect k and order") {
+    val dir = sf("sf0.001")
+    val li = graft.Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = li.groupBy(_._1).values.map(_.map(_._2).distinct.toSet).toSeq
+    val ci = baskets.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cij = baskets.flatMap { ps =>
+      val s = ps.toSeq.sorted
+      for (i <- s.indices; j <- i + 1 until s.length) yield (s(i), s(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).filter(_._2 >= 2).toMap
+    val neigh = cij.toSeq.flatMap { case ((i, j), c) => Seq((i, j, c), (j, i, c)) }
+      .map { case (i, j, c) =>
+        (i, j, c.toDouble / math.sqrt(ci(i).toDouble * ci(j).toDouble)) }
+      .groupBy(_._1)
+    val got = SparkEntry.queries("q132_item_item_cf")(spark, dir).collect()
+      .groupBy(_.getLong(0))
+    assert(got.keySet === neigh.keySet)
+    got.foreach { case (part, rows) =>
+      val expect = neigh(part)
+        .sortBy { case (_, j, c) => (-c, f"$j%018d") }.take(5)
+      val sorted = rows.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.length === expect.length)
+      sorted.zip(expect).foreach { case (r, (_, j, c)) =>
+        assert(r.getAs[Long]("neighbor") === j)
+        assert(r.getAs[Double]("cosine") === graft.sim.Vectors.roundPortableD(c, 6))
+      }
+    }
+  }
+
+  test("q133 mix shift: shares sum to 1 each period; flag is the exact cross-multiplied sign") {
+    val dir = sf("sf0.001")
+    val got = SparkEntry.queries("q133_mix_shift")(spark, dir).collect()
+    val tb = got.map(_.getAs[Long]("n_before")).sum
+    val ta = got.map(_.getAs[Long]("n_after")).sum
+    val n = graft.Tables.events(spark, dir).count()
+    assert(tb + ta === n)
+    assert(math.abs(got.map(_.getAs[Double]("share_before")).sum - 1.0) < 1e-4)
+    assert(math.abs(got.map(_.getAs[Double]("share_after")).sum - 1.0) < 1e-4)
+    got.foreach { r =>
+      val exact = r.getAs[Long]("n_after") * tb > r.getAs[Long]("n_before") * ta
+      assert(r.getAs[Int]("above_trend") === (if (exact) 1 else 0))
+    }
+  }
+
+  test("q134 coverage audit: expected = observed + missing; the day list matches the count") {
+    val dir = sf("sf0.001")
+    SparkEntry.queries("q134_coverage_audit")(spark, dir).collect().foreach { r =>
+      assert(r.getAs[Long]("n_days_expected") ===
+        r.getAs[Long]("n_days_observed") + r.getAs[Long]("n_missing"))
+      val listed = r.getAs[String]("missing_days")
+      val nListed = if (listed.isEmpty) 0L else listed.split(",").length.toLong
+      assert(nListed === r.getAs[Long]("n_missing"))
+    }
+  }
+
+  test("q135 k-core: distributed peel == naive peel; every core degree >= k") {
+    val dir = sf("sf0.001")
+    val li = graft.Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Long]]()
+    li.groupBy(_._1).values.foreach { rows =>
+      val ps = rows.map(_._2).distinct
+      for (i <- ps.indices; j <- i + 1 until ps.length) {
+        adj.getOrElseUpdate(ps(i), scala.collection.mutable.Set()) += ps(j)
+        adj.getOrElseUpdate(ps(j), scala.collection.mutable.Set()) += ps(i)
+      }
+    }
+    val n = adj.size.toLong
+    val sd = adj.values.map(_.size.toLong).sum
+    val k = 7L * sd / (10L * n)
+    var changed = true
+    while (changed) {
+      val bad = adj.filter(_._2.size < k).keys.toSeq
+      changed = bad.nonEmpty
+      bad.foreach { u =>
+        adj(u).foreach(v => adj(v) -= u)
+        adj -= u
+      }
+    }
+    val got = SparkEntry.queries("q135_kcore")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("core_degree"), r.getAs[Long]("k"))).toMap
+    assert(got.keySet === adj.keySet.toSet)
+    got.foreach { case (part, (dg, gk)) =>
+      assert(gk === k)
+      assert(dg === adj(part).size.toLong)
+      assert(dg >= k)
+    }
+  }
+
   test("q129 path mining: top-20 trigrams match a naive per-user sequence replay") {
     val dir = sf("sf0.001")
     val ev = graft.Tables.events(spark, dir)
