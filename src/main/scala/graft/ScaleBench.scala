@@ -160,7 +160,10 @@ object ScaleBench {
     // (scan-shaped aggs), k-core (per-round degree agg + anti-joins on
     // the shrinking edge list, rounds ~ peel depth)
     "q132_item_item_cf", "q133_mix_shift", "q134_coverage_audit",
-    "q135_kcore")
+    "q135_kcore",
+    // expectation suite (2 scans + 2 joins however many rules), PIT
+    // feature assembly (q39-shape per-user cumulative windows)
+    "q136_quality_expectations", "q137_pit_features")
 
   /** Quadratic-by-contract entries, capped at 10×: the exact all-pairs
     * baselines (q33 n-gram Jaccard, q36 cosine pairs), and q49 whose

@@ -2040,6 +2040,142 @@ object Advanced {
       } finally { sym.unpersist(blocking = false): Unit }
     },
 
+    /** Declarative data-quality expectation suite (E100/q136) — the
+      * Great-Expectations/dbt-test staple: a rule set (not-null,
+      * range, monotone cross-table date order, key uniqueness,
+      * referential integrity) evaluated with per-rule checked/violation
+      * counts and a PASS/FAIL status. The single-table rules fold into
+      * ONE conditional-sum hash agg per table (never one scan per
+      * rule); uniqueness is a groupBy-count; orphans are an anti-join
+      * (J6's idiom). All counts exact integers; the only rounded
+      * output is the violation share (rp6). Scale: 2 table scans + 1
+      * key join + 1 anti-join regardless of how many rules the suite
+      * carries. */
+    QueryDef.sql(
+      "q136_quality_expectations",
+      """WITH li AS (
+        |  SELECT COUNT(*) AS n,
+        |         SUM(CASE WHEN l_quantity IS NULL OR l_quantity <= 0 THEN 1 ELSE 0 END) AS v_qty,
+        |         SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS v_disc
+        |  FROM lineitem
+        |), ord AS (
+        |  SELECT COUNT(*) AS n,
+        |         SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v_price
+        |  FROM orders
+        |), shiporder AS (
+        |  SELECT COUNT(*) AS n,
+        |         SUM(CASE WHEN CAST(l.l_shipdate AS DATE) < CAST(o.o_orderdate AS DATE) THEN 1 ELSE 0 END) AS v
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |), uniq AS (
+        |  SELECT COUNT(*) AS n, COUNT(*) - COUNT(DISTINCT o_orderkey) AS v FROM orders
+        |), orphans AS (
+        |  SELECT (SELECT COUNT(*) FROM lineitem) AS n,
+        |         COUNT(*) AS v
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderkey IS NULL
+        |), rules AS (
+        |  SELECT 'r1_quantity_positive' AS rule, n, v_qty AS v FROM li
+        |  UNION ALL SELECT 'r2_discount_range', n, v_disc FROM li
+        |  UNION ALL SELECT 'r3_ship_after_order', n, v FROM shiporder
+        |  UNION ALL SELECT 'r4_orderkey_unique', n, v FROM uniq
+        |  UNION ALL SELECT 'r5_lineitem_fk', n, v FROM orphans
+        |  UNION ALL SELECT 'r6_price_positive', n, v_price FROM ord
+        |)
+        |SELECT rule, CAST(n AS BIGINT) AS n_checked, CAST(v AS BIGINT) AS n_violations,
+        |       CAST(ROUND((CAST(v AS DOUBLE) / n) * 1e6, 0) AS BIGINT) / 1e6 AS violation_share,
+        |       CASE WHEN v = 0 THEN 'PASS' ELSE 'FAIL' END AS status
+        |FROM rules ORDER BY rule""".stripMargin) { (s, d) =>
+      val liAgg = Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n"),
+        sum(when($"l_quantity".isNull || $"l_quantity" <= 0, 1L).otherwise(0L)).as("v_qty"),
+        sum(when($"l_discount" < 0 || $"l_discount" > 1, 1L).otherwise(0L)).as("v_disc"))
+      val ordAgg = Tables.orders(s, d).agg(
+        count(lit(1)).as("n"),
+        sum(when($"o_totalprice" <= 0, 1L).otherwise(0L)).as("v_price"))
+      val ship = Tables.lineitem(s, d)
+        .select($"l_orderkey", to_date($"l_shipdate").as("sd"))
+        .join(Tables.orders(s, d)
+          .select($"o_orderkey", to_date($"o_orderdate").as("od")),
+          $"l_orderkey" === $"o_orderkey")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"sd" < $"od", 1L).otherwise(0L)).as("v"))
+      val uniq = Tables.orders(s, d).agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - countDistinct($"o_orderkey")).as("v"))
+      val liN = Tables.lineitem(s, d).agg(count(lit(1)).as("n"))
+      val orphans = Tables.lineitem(s, d).select($"l_orderkey")
+        .join(Tables.orders(s, d).select($"o_orderkey"),
+          $"l_orderkey" === $"o_orderkey", "left_anti")
+        .agg(count(lit(1)).as("v"))
+        .crossJoin(broadcast(liN))
+      def rule(name: String, df: org.apache.spark.sql.DataFrame,
+               vCol: String): org.apache.spark.sql.DataFrame =
+        df.select(lit(name).as("rule"), $"n", col(vCol).as("v"))
+      Seq(
+          rule("r1_quantity_positive", liAgg, "v_qty"),
+          rule("r2_discount_range", liAgg, "v_disc"),
+          rule("r3_ship_after_order", ship, "v"),
+          rule("r4_orderkey_unique", uniq, "v"),
+          rule("r5_lineitem_fk", orphans, "v"),
+          rule("r6_price_positive", ordAgg, "v_price"))
+        .reduce(_ unionByName _)
+        .select($"rule", $"n".as("n_checked"), $"v".as("n_violations"),
+          round2($"v".cast("double") / $"n", 6).as("violation_share"),
+          when($"v" === 0, "PASS").otherwise("FAIL").as("status"))
+        .orderBy($"rule")
+    },
+
+    /** Point-in-time training-set assembly (E101/q137) — the
+      * feature-store primitive behind every leak-free ML pipeline:
+      * each purchase event is a LABEL row, and every feature is
+      * computed strictly as-of that row's event time under the (ts,
+      * event_id) total order — running event count, running click
+      * count, and the gap to the most recent click (the as-of lookup,
+      * J8's semantics on a third workload). Computing the running
+      * features as per-user cumulative windows over the full stream is
+      * the q39 gate shape (q39b's deterministic time-bucket sharding
+      * is the hot-user scale path — a cumulative count resolves across
+      * shard boundaries exactly like the session flag sum). Label
+      * money in exact cents; gaps in exact integer ms. */
+    QueryDef.sql(
+      "q137_pit_features",
+      """WITH u AS (
+        |  SELECT user_id, event_id, ts, event_type, value FROM events
+        |), p AS (
+        |  SELECT user_id, event_id, ts,
+        |         CAST(ROUND(value*100,0) AS BIGINT) AS label_cents
+        |  FROM u WHERE event_type = 'purchase'
+        |)
+        |SELECT p.event_id, p.user_id, p.label_cents,
+        |       (SELECT COUNT(*) FROM u
+        |        WHERE u.user_id = p.user_id
+        |          AND (u.ts < p.ts OR (u.ts = p.ts AND u.event_id <= p.event_id))) AS f_events_to_date,
+        |       (SELECT COUNT(*) FROM u
+        |        WHERE u.user_id = p.user_id AND u.event_type = 'click'
+        |          AND (u.ts < p.ts OR (u.ts = p.ts AND u.event_id <= p.event_id))) AS f_clicks_to_date,
+        |       (SELECT epoch_ms(p.ts) - epoch_ms(MAX(u.ts)) FROM u
+        |        WHERE u.user_id = p.user_id AND u.event_type = 'click'
+        |          AND (u.ts < p.ts OR (u.ts = p.ts AND u.event_id <= p.event_id))) AS f_last_click_gap_ms
+        |FROM p ORDER BY p.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select($"user_id", $"event_id", $"ts", $"event_type",
+          cents($"value").as("cents"))
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val withRunning = ev
+        .withColumn("f_events_to_date", count(lit(1)).over(w))
+        .withColumn("f_clicks_to_date",
+          sum(when($"event_type" === "click", 1L).otherwise(0L)).over(w))
+        .withColumn("last_click_ts",
+          max(when($"event_type" === "click", $"ts")).over(w))
+      withRunning.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"cents".as("label_cents"),
+          $"f_events_to_date", $"f_clicks_to_date",
+          (unix_millis($"ts") - unix_millis($"last_click_ts"))
+            .as("f_last_click_gap_ms"))
+        .orderBy($"event_id")
+    },
+
     /** Benford first-digit audit (E91/q128) — the fraud/data-quality
       * screen: the distribution of leading significant digits of order
       * totals against Benford's law, with the χ² goodness-of-fit

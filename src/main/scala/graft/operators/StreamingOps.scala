@@ -563,5 +563,57 @@ object StreamingOps {
           col("value_cents"))
         .orderBy(col("event_id"))
     },
+
+    /** Bounded-TTL streaming dedup via the NATIVE
+      * `dropDuplicatesWithinWatermark` API (E99) — the eighth genuine
+      * streaming harness, and the production spelling of
+      * st_stream_dedup's custom keyed state: state per key expires
+      * with the watermark (TTL = the redelivery horizon) instead of
+      * growing forever. The run is a REAL two-micro-batch redelivery
+      * drill: batch 1 = the first half of the stream by event time,
+      * batch 2 = the second half PLUS redelivered copies of every
+      * 100th batch-1 row. The contract — and the oracle — is that
+      * redelivery changes NOTHING: each redelivered row is dropped as
+      * a duplicate (state live) or as late data (state expired ⇒ its
+      * event time is behind the watermark), so the emitted set is
+      * byte-identical to the original stream. */
+    QueryDef.sql(
+      "st_dedup_ttl",
+      """SELECT event_id, epoch_ms(ts) AS ts_ms,
+        |       CAST(ROUND(value*100,0) AS BIGINT) AS cents
+        |FROM events WHERE user_id % 5 = 0
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ev = Tables.events(s, d)
+        .filter(pmod(col("user_id"), lit(5L)) === 0)
+        .select(col("event_id").as("key"), col("ts"),
+          round(col("value") * 100, 0).cast("long").as("value"))
+      val mid = ev.agg((min(unix_micros(col("ts")))
+        + max(unix_micros(col("ts")))).as("m2")).first().getLong(0)
+      val b1 = ev.filter(unix_micros(col("ts")) * 2 <= mid)
+        .as[Streams.CentEvent].collect().toSeq
+      val b2Fresh = ev.filter(unix_micros(col("ts")) * 2 > mid)
+        .as[Streams.CentEvent].collect().toSeq
+      val redelivered = b1.filter(_.key % 100 == 0)
+      val mem = MemoryStream[Streams.CentEvent]
+      withStreamingHarness(s,
+        Map("spark.sql.shuffle.partitions" -> "2")) { ck =>
+        val q = Streams.streamingDedupTtl(mem.toDS())
+          .writeStream.format("memory").queryName("st_ttl_sink")
+          .option("checkpointLocation", ck)
+          .outputMode("append").start()
+        try {
+          mem.addData(b1); q.processAllAvailable()
+          mem.addData(b2Fresh ++ redelivered); q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table("st_ttl_sink")
+        .select(col("key").as("event_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          col("value").as("cents"))
+        .orderBy(col("event_id"))
+    },
   )
 }

@@ -188,6 +188,23 @@ object Streams {
       }
   }
 
+  /** Bounded-TTL streaming dedup through the NATIVE
+    * `dropDuplicatesWithinWatermark` API — the production counterpart
+    * of [[streamingExactDedup]]'s custom keyed state: per-key state
+    * expires once the event-time watermark passes the first-seen
+    * event's time (TTL = the watermark delay), so state is bounded by
+    * the redelivery horizon instead of growing with every distinct key
+    * forever. The exactly-once-under-redelivery contract: a redelivered
+    * row is dropped either as a duplicate (its key's state is live) or
+    * as late data (its event time is already behind the watermark —
+    * which is implied whenever the state HAS expired, since expiry
+    * needs wm > ts + delay and late-filtering only needs wm > ts), so
+    * the emitted set is exactly the original stream either way. */
+  def streamingDedupTtl(
+      events: Dataset[CentEvent],
+      delay: String = "30 minutes"): Dataset[CentEvent] =
+    events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("key")
+
   /** A clickstream event flowing into the streaming sessionizer. */
   final case class SessionEvent(
       user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -585,6 +585,59 @@ class AdvancedSpec extends GraftSpec {
     }
   }
 
+  test("q136 expectations: every rule's counts match a naive recount; PASS iff zero violations") {
+    val dir = sf("sf0.001")
+    val li = graft.Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_quantity", $"l_discount",
+        to_date($"l_shipdate").cast("string").as("sd")).collect()
+    val ord = graft.Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_totalprice",
+        to_date($"o_orderdate").cast("string").as("od")).collect()
+    val odBy = ord.map(r => r.getLong(0) -> r.getString(2)).toMap
+    val expect = Map(
+      "r1_quantity_positive" -> (li.length, li.count(r => r.isNullAt(1) || r.getDouble(1) <= 0)),
+      "r2_discount_range" -> (li.length, li.count(r => r.getDouble(2) < 0 || r.getDouble(2) > 1)),
+      "r3_ship_after_order" -> (li.count(r => odBy.contains(r.getLong(0))),
+        li.count(r => odBy.get(r.getLong(0)).exists(od => r.getString(3) < od))),
+      "r4_orderkey_unique" -> (ord.length, ord.length - odBy.size),
+      "r5_lineitem_fk" -> (li.length, li.count(r => !odBy.contains(r.getLong(0)))),
+      "r6_price_positive" -> (ord.length, ord.count(_.getDouble(1) <= 0)))
+    val got = SparkEntry.queries("q136_quality_expectations")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (rule, (n, v)) =>
+      assert(got(rule).getAs[Long]("n_checked") === n.toLong, rule)
+      assert(got(rule).getAs[Long]("n_violations") === v.toLong, rule)
+      assert(got(rule).getAs[String]("status") === (if (v == 0) "PASS" else "FAIL"), rule)
+    }
+  }
+
+  test("q137 PIT features: running counts and click gap match a naive per-user replay") {
+    val dir = sf("sf0.001")
+    val ev = graft.Tables.events(spark, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        $"event_type", round($"value" * 100, 0).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    val byUser = ev.groupBy(_._1)
+    val got = SparkEntry.queries("q137_pit_features")(spark, dir).collect()
+    assert(got.length === ev.count(_._4 == "purchase"))
+    got.foreach { r =>
+      val (eid, uid) = (r.getLong(0), r.getLong(1))
+      val stream = byUser(uid)
+      val p = stream.find(_._2 == eid).get
+      def atOrBefore(t: (Long, Long, Long, String, Long)) =
+        t._3 < p._3 || (t._3 == p._3 && t._2 <= p._2)
+      assert(r.getAs[Long]("label_cents") === p._5)
+      assert(r.getAs[Long]("f_events_to_date") === stream.count(atOrBefore).toLong)
+      val clicks = stream.filter(t => t._4 == "click" && atOrBefore(t))
+      assert(r.getAs[Long]("f_clicks_to_date") === clicks.length.toLong)
+      if (clicks.isEmpty) assert(r.isNullAt(r.fieldIndex("f_last_click_gap_ms")))
+      else assert(r.getAs[Long]("f_last_click_gap_ms") ===
+        p._3 / 1000 - clicks.map(_._3).max / 1000)
+    }
+  }
+
   test("q132 item-item CF: similarities match a naive basket replay; lists respect k and order") {
     val dir = sf("sf0.001")
     val li = graft.Tables.lineitem(spark, dir)

@@ -268,6 +268,40 @@ class StreamsSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("TTL dedup: in-window redelivery drops as duplicate, expired redelivery as late; fresh keys pass") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.CentEvent]
+    val q = Streams.streamingDedupTtl(mem.toDS(), delay = "10 minutes")
+      .writeStream.format("memory").queryName("ttl_dedup_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: three distinct keys spanning an hour — the max event
+      // time (11:00) puts the watermark at 10:50 after the batch
+      mem.addData(
+        Streams.CentEvent(1L, ts("2025-01-01 10:00:00"), 100L),
+        Streams.CentEvent(2L, ts("2025-01-01 10:55:00"), 200L),
+        Streams.CentEvent(3L, ts("2025-01-01 11:00:00"), 300L))
+      q.processAllAvailable()
+      // batch 2:
+      //  key 2 redelivered — its state is LIVE (10:55 >= wm 10:50):
+      //    dropped as a duplicate
+      //  key 1 redelivered — state EXPIRED (10:00 + 10 min < wm), and
+      //    10:00 < wm: dropped as late data — either way not re-emitted
+      //  key 4 fresh at 10:20 — BELOW the watermark: dropped as late
+      //    even though the key is new (the TTL trade-off, by contract)
+      //  key 5 fresh at 11:05 — emits
+      mem.addData(
+        Streams.CentEvent(2L, ts("2025-01-01 10:55:00"), 200L),
+        Streams.CentEvent(1L, ts("2025-01-01 10:00:00"), 100L),
+        Streams.CentEvent(4L, ts("2025-01-01 10:20:00"), 400L),
+        Streams.CentEvent(5L, ts("2025-01-01 11:05:00"), 500L))
+      q.processAllAvailable()
+      val kept = spark.table("ttl_dedup_stream")
+        .select("key").collect().map(_.getLong(0)).sorted.toSeq
+      assert(kept === Seq(1L, 2L, 3L, 5L))
+    } finally q.stop()
+  }
+
   test("streaming state survives a stop + restart from checkpoint (exact dedup)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
