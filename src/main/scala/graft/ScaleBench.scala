@@ -163,7 +163,12 @@ object ScaleBench {
     "q135_kcore",
     // expectation suite (2 scans + 2 joins however many rules), PIT
     // feature assembly (q39-shape per-user cumulative windows)
-    "q136_quality_expectations", "q137_pit_features")
+    "q136_quality_expectations", "q137_pit_features",
+    // share-of-parent rollup (fact join+agg, dims broadcast, nation-
+    // grain everything after), chi2 independence (one hash agg +
+    // grid-sized margins), random-projection ANN (scan-shaped project
+    // + the q37 block kernel in the halved space)
+    "q138_share_of_parent", "q139_chi2_independence", "q140_ann_randproj")
 
   /** Quadratic-by-contract entries, capped at 10×: the exact all-pairs
     * baselines (q33 n-gram Jaccard, q36 cosine pairs), and q49 whose

@@ -2176,6 +2176,125 @@ object Advanced {
         .orderBy($"event_id")
     },
 
+    /** Hierarchical share-of-parent rollup (E103/q138) — the OLAP
+      * drill-path report (total → region → nation): per nation,
+      * revenue in exact cents, share of its region, share of the
+      * corpus, and revenue rank within the region. Shares are integer-
+      * cents ratios in one fixed IEEE order (rp6); the rank window
+      * runs at NATION grain (≤ #nations rows — post-aggregation, the
+      * q117 posture). Scale: one fact-sized join+agg (dims broadcast),
+      * then everything on the #nations-row table; region/total rows
+      * re-aggregate FROM the nation rows (never a second fact pass —
+      * the q113 re-aggregation rule). */
+    QueryDef.sql(
+      "q138_share_of_parent",
+      """WITH nat AS (
+        |  SELECT r.r_name AS region, n.n_name AS nation,
+        |         SUM(CAST(ROUND(o.o_totalprice*100,0) AS BIGINT)) AS cents
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY r.r_name, n.n_name
+        |), reg AS (
+        |  SELECT region, SUM(cents) AS rcents FROM nat GROUP BY region
+        |), tot AS (
+        |  SELECT SUM(rcents) AS tcents FROM reg
+        |)
+        |SELECT nat.region AS region, nat.nation, CAST(nat.cents AS BIGINT) AS revenue_cents,
+        |       CAST(ROUND((CAST(nat.cents AS DOUBLE) / rcents) * 1e6, 0) AS BIGINT) / 1e6 AS share_of_region,
+        |       CAST(ROUND((CAST(nat.cents AS DOUBLE) / tcents) * 1e6, 0) AS BIGINT) / 1e6 AS share_of_total,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY nat.region
+        |         ORDER BY nat.cents DESC, nat.nation) AS INTEGER) AS rank_in_region
+        |FROM nat JOIN reg ON nat.region = reg.region CROSS JOIN tot
+        |ORDER BY nat.region, rank_in_region""".stripMargin) { (s, d) =>
+      val nat = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select($"c_custkey", $"c_nationkey")),
+          $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name".as("region"), $"n_name".as("nation"))
+        .agg(sum(cents($"o_totalprice")).as("cents"))
+      val reg = nat.groupBy($"region").agg(sum($"cents").as("rcents"))
+      val tot = reg.agg(sum($"rcents").as("tcents"))
+      nat.join(broadcast(reg), Seq("region"))
+        .crossJoin(broadcast(tot))
+        .select($"region", $"nation", $"cents".as("revenue_cents"),
+          round2($"cents".cast("double") / $"rcents", 6).as("share_of_region"),
+          round2($"cents".cast("double") / $"tcents", 6).as("share_of_total"),
+          row_number().over(Window.partitionBy($"region")
+            .orderBy($"cents".desc, $"nation")).cast("int").as("rank_in_region"))
+        .orderBy($"region", $"rank_in_region")
+    },
+
+    /** Contingency-table independence audit (E104/q139) — Pearson's
+      * χ² independence test on the nation × market-segment customer
+      * grid (the "are these two dimensions correlated" screen behind
+      * segmentation choices and drift alarms). Observed counts and
+      * both margins are exact integers; each cell's χ² contribution
+      * (obs − rn·cs/N)²/(rn·cs/N) is computed in a fixed per-row IEEE
+      * expression, then QUANTIZED to integer micro-units before the
+      * grid-wide sum (the avgQuantized rule) — so the total is an
+      * exact long sum in ANY cell order, where a float Σ over 125
+      * cells would be partition-order-dependent and never hash-exact.
+      * Scan-shaped: one hash agg over customers; margins re-aggregate
+      * from the cell table; everything after is grid-sized. */
+    QueryDef.sql(
+      "q139_chi2_independence",
+      """WITH cells AS (
+        |  SELECT c_nationkey AS nation, c_mktsegment AS segment, COUNT(*) AS obs
+        |  FROM customer GROUP BY 1, 2
+        |), rn AS (SELECT nation, SUM(obs) AS rn FROM cells GROUP BY nation),
+        |cs AS (SELECT segment, SUM(obs) AS cs FROM cells GROUP BY segment),
+        |tot AS (SELECT SUM(obs) AS n,
+        |               COUNT(DISTINCT nation) AS nr, COUNT(DISTINCT segment) AS nc
+        |        FROM cells),
+        |scored AS (
+        |  SELECT cells.nation, cells.segment, obs, rn.rn, cs.cs, tot.n,
+        |         tot.nr, tot.nc,
+        |         (CAST(obs AS DOUBLE) - CAST(rn.rn AS DOUBLE) * cs.cs / n)
+        |           * (CAST(obs AS DOUBLE) - CAST(rn.rn AS DOUBLE) * cs.cs / n)
+        |           / (CAST(rn.rn AS DOUBLE) * cs.cs / n) AS contrib
+        |  FROM cells JOIN rn ON cells.nation = rn.nation
+        |       JOIN cs ON cells.segment = cs.segment CROSS JOIN tot
+        |), q AS (
+        |  SELECT *, CAST(ROUND(contrib * 1e6, 0) AS BIGINT) AS qc FROM scored
+        |), chi AS (SELECT SUM(qc) AS chiq FROM q)
+        |SELECT CAST(nation AS INTEGER) AS nation, segment,
+        |       CAST(obs AS BIGINT) AS n_obs,
+        |       CAST(ROUND((CAST(rn AS DOUBLE) * cs / n) * 1e4, 0) AS BIGINT) / 1e4 AS expected,
+        |       CAST(ROUND(contrib * 1e6, 0) AS BIGINT) / 1e6 AS contrib,
+        |       CAST(chiq AS DOUBLE) / 1e6 AS chi2_total,
+        |       CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof
+        |FROM q CROSS JOIN chi
+        |ORDER BY nation, segment""".stripMargin) { (s, d) =>
+      val cells = Tables.customer(s, d)
+        .groupBy($"c_nationkey".as("nation"), $"c_mktsegment".as("segment"))
+        .agg(count(lit(1)).as("obs"))
+      val rn = cells.groupBy($"nation").agg(sum($"obs").as("rn"))
+      val cs = cells.groupBy($"segment").agg(sum($"obs").as("cs"))
+      val tot = cells.agg(sum($"obs").as("n"),
+        countDistinct($"nation").as("nr"), countDistinct($"segment").as("nc"))
+      val exp = $"rn".cast("double") * $"cs" / $"n"
+      val contrib = ($"obs".cast("double") - exp) * ($"obs".cast("double") - exp) / exp
+      val q = cells
+        .join(broadcast(rn), Seq("nation"))
+        .join(broadcast(cs), Seq("segment"))
+        .crossJoin(broadcast(tot))
+        .withColumn("contrib", contrib)
+        .withColumn("qc", round($"contrib" * 1e6, 0).cast("long"))
+      val chi = q.agg(sum($"qc").as("chiq"))
+      q.crossJoin(broadcast(chi))
+        .select($"nation".cast("int").as("nation"), $"segment",
+          $"obs".as("n_obs"),
+          round2(exp, 4).as("expected"),
+          ($"qc".cast("double") / lit(1e6)).as("contrib"),
+          ($"chiq".cast("double") / lit(1e6)).as("chi2_total"),
+          (($"nr" - 1) * ($"nc" - 1)).cast("long").as("dof"))
+        .orderBy($"nation", $"segment")
+    },
+
     /** Benford first-digit audit (E91/q128) — the fraud/data-quality
       * screen: the distribution of leading significant digits of order
       * totals against Benford's law, with the χ² goodness-of-fit

@@ -651,6 +651,24 @@ object SimilarityOps {
         .orderBy($"probe_id", $"rnk")
     },
 
+    /** Random-projection ANN (E102/q140) — Johnson–Lindenstrauss
+      * Rademacher projection (hash-derived ±1 signs, no stored matrix)
+      * from 64 to 32 dims, then the exact block-cogroup kernel runs in
+      * the HALVED space — the cheap-first-pass pattern in front of any
+      * rerank stage, and the third compression family next to PQ (E19)
+      * and SQ8 (E88). Rows-only: projected scores are
+      * projection-specific; VectorsSpec pins the projection bit-exactly
+      * to a naive JVM reference and measures recall against the exact
+      * kernel (JL bound: ~1/√32 cosine error). */
+    QueryDef.rowsOnly("q140_ann_randproj") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val proj = Vectors.randomProject(e, "vec_id", "embedding", 32)
+      Vectors.bruteForceTopKKernel(
+          proj.filter($"vec_id" < 20), proj, "vec_id", "embedding", 10)
+        .withColumnRenamed("cosine", "proj_cosine")
+        .orderBy($"probe_id", $"rnk")
+    },
+
     /** Ranking-quality evaluation (E89/q126) — the eval harness every
       * ANN/retrieval deployment runs before swapping an index: per
       * probe, recall@10 and MRR of the SQ8 ranking (q125) against the

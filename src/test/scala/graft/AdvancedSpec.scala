@@ -585,6 +585,45 @@ class AdvancedSpec extends GraftSpec {
     }
   }
 
+  test("q138 share-of-parent: shares sum to 1 within each level; cents conserved") {
+    val dir = sf("sf0.001")
+    val rows = SparkEntry.queries("q138_share_of_parent")(spark, dir).collect()
+    val total = graft.Tables.orders(spark, dir)
+      .agg(sum(round($"o_totalprice" * 100, 0).cast("long"))).head.getLong(0)
+    assert(rows.map(_.getAs[Long]("revenue_cents")).sum === total)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_.getAs[Double]("share_of_region")).sum - 1.0) < 1e-4)
+      // ranks are 1..n within the region, revenue non-increasing
+      val byRank = rs.sortBy(_.getAs[Int]("rank_in_region"))
+      assert(byRank.map(_.getAs[Int]("rank_in_region")).toSeq === (1 to rs.length))
+      assert(byRank.map(_.getAs[Long]("revenue_cents")).toSeq
+        === byRank.map(_.getAs[Long]("revenue_cents")).sortBy(-_).toSeq)
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("share_of_total")).sum - 1.0) < 1e-3)
+  }
+
+  test("q139 chi2 independence: quantized total == naive driver chi2; margins consistent") {
+    val dir = sf("sf0.001")
+    val cust = graft.Tables.customer(spark, dir)
+      .select($"c_nationkey", $"c_mktsegment").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    val cells = cust.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rn = cust.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cs = cust.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = cust.length.toDouble
+    val chiq = cells.map { case ((na, seg), obs) =>
+      val e = rn(na).toDouble * cs(seg) / n
+      math.round((obs.toDouble - e) * (obs.toDouble - e) / e * 1e6)
+    }.sum
+    val got = SparkEntry.queries("q139_chi2_independence")(spark, dir).collect()
+    assert(got.length === cells.size)
+    got.foreach { r =>
+      assert(r.getAs[Double]("chi2_total") === chiq.toDouble / 1e6)
+      assert(r.getAs[Long]("dof") === ((rn.size - 1) * (cs.size - 1)).toLong)
+      assert(r.getAs[Long]("n_obs") === cells((r.getAs[Int]("nation"), r.getString(1))))
+    }
+  }
+
   test("q136 expectations: every rule's counts match a naive recount; PASS iff zero violations") {
     val dir = sf("sf0.001")
     val li = graft.Tables.lineitem(spark, dir)

@@ -801,6 +801,50 @@ class VectorsSpec extends GraftSpec {
     assert(recall >= 0.8, s"SQ8 recall@10 $recall")
   }
 
+  test("q140 random projection == naive hash-sign reference; neighborhoods partially preserved") {
+    val dir = sf("sf0.001")
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val outDim = 32
+    def mix(h0: Long): Long = {
+      var h = (h0 ^ (h0 >>> 30)) * 0xbf58476d1ce4e5b9L
+      h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+      h ^ (h >>> 31)
+    }
+    def proj(v: Array[Float]): Array[Float] =
+      Array.tabulate(outDim) { j =>
+        var acc = 0.0
+        var i = 0
+        while (i < v.length) {
+          val s = if ((mix(graft.functions.FnvHash64.hash(s"$i:$j")) & 1L) == 0L)
+            1.0 else -1.0
+          acc += v(i).toDouble * s
+          i += 1
+        }
+        acc.toFloat
+      }
+    // the kernel's projection must be bit-identical to the reference
+    val gotProj = Vectors.randomProject(
+        graft.Tables.embeddings(spark, dir), "vec_id", "embedding", outDim)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    vecs.foreach { case (id, v) =>
+      assert(gotProj(id).sameElements(proj(v)), s"projection mismatch for $id")
+    }
+    // JL sanity: projected top-10 keeps a usable fraction of the exact
+    // neighborhood (64 -> 32 dims; cosine error ~ 1/sqrt(32))
+    val e = graft.Tables.embeddings(spark, dir)
+    val exact = Vectors.bruteForceTopKKernel(
+        e.filter($"vec_id" < 20), e, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = SparkEntry.queries("q140_ann_randproj")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // 0.285 measured at sf0.001 (a seeded Gaussian projection reaches
+    // only 0.22 on the same data); chance is 10/2000
+    val recall = exact.count(approx).toDouble / exact.size
+    assert(recall >= 0.2, s"random-projection recall@10 $recall")
+  }
+
   test("q126 ranking eval == naive recall/MRR recomputation from the two rankings") {
     val dir = sf("sf0.001")
     val e = graft.Tables.embeddings(spark, dir)
