@@ -168,7 +168,11 @@ object ScaleBench {
     // grain everything after), chi2 independence (one hash agg +
     // grid-sized margins), random-projection ANN (scan-shaped project
     // + the q37 block kernel in the halved space)
-    "q138_share_of_parent", "q139_chi2_independence", "q140_ann_randproj")
+    "q138_share_of_parent", "q139_chi2_independence", "q140_ann_randproj",
+    // personalized pagerank (q94's per-iteration cost + a broadcast
+    // seed join) and collocation mining (per-doc lag window + two
+    // broadcast unigram joins + k-slot top-k)
+    "q141_personalized_pagerank", "q142_collocations")
 
   /** Quadratic-by-contract entries, capped at 10×: the exact all-pairs
     * baselines (q33 n-gram Jaccard, q36 cosine pairs), and q49 whose

@@ -729,6 +729,94 @@ object Advanced {
         .orderBy($"rank_scaled".desc, $"node_type", $"key")
     },
 
+    /** Personalized PageRank (E105/q141) — q94's integer power
+      * iteration with the teleport mass restricted to a SEED SET (the
+      * 'BUILDING'-segment customers): the recommendation/expansion
+      * primitive ("rank everything by proximity to THESE nodes") that
+      * plain PageRank can't express. All q94 exactness machinery
+      * carries over — ranks scaled to 1e12, damping via the divmod
+      * identity `85·(s DIV 100) + (85·(s mod 100)) DIV 100` — plus a
+      * per-seed teleport T = (15e10·n) DIV |S| (exact integer floor,
+      * deterministic; non-seeds get 0), so every iteration is exact
+      * long arithmetic and the output hash-exact. Per iteration: one
+      * edges⋈ranks equi-join + one map-side-combined sum + a broadcast
+      * seed join — q94's cost profile exactly. */
+    QueryDef.sql(
+      "q141_personalized_pagerank", {
+        def iter(prev: String, out: String) =
+          s""", ${out}c AS (
+             |  SELECT e.dst AS node, SUM(r.rank // r.deg) AS s
+             |  FROM $prev r JOIN edges e ON e.src = r.node GROUP BY 1
+             |), $out AS (
+             |  SELECT c.node, d.deg,
+             |         d.tp + 85 * (c.s // 100) + (85 * (c.s % 100)) // 100 AS rank
+             |  FROM ${out}c c JOIN deg d ON d.node = c.node
+             |)""".stripMargin
+        s"""WITH e0 AS (
+           |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           |), edges AS (
+           |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+           |), seeds AS (
+           |  SELECT DISTINCT c_custkey * 2 AS node FROM customer
+           |  WHERE c_mktsegment = 'BUILDING'
+           |    AND c_custkey * 2 IN (SELECT src FROM edges)
+           |), deg0 AS (
+           |  SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1
+           |), deg AS (
+           |  SELECT d.node, d.deg,
+           |         CASE WHEN s.node IS NOT NULL
+           |              THEN (150000000000 * (SELECT COUNT(*) FROM deg0))
+           |                     // (SELECT COUNT(*) FROM seeds)
+           |              ELSE 0 END AS tp
+           |  FROM deg0 d LEFT JOIN seeds s ON d.node = s.node
+           |), r0 AS (
+           |  SELECT node, deg, tp, tp AS rank FROM deg
+           |)${iter("r0", "r1")}${iter("r1", "r2")}${iter("r2", "r3")}
+           |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           |       CAST(node // 2 AS BIGINT) AS key,
+           |       CAST(rank AS BIGINT) AS rank_scaled
+           |FROM r3
+           |ORDER BY rank_scaled DESC, node_type, key""".stripMargin
+      }) { (s, d) =>
+      val e0 = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), $"l_orderkey" === $"o_orderkey")
+        .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
+        .distinct().cache()
+      val deg0 = edges.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+      val seeds = Tables.customer(s, d)
+        .filter($"c_mktsegment" === "BUILDING")
+        .select(($"c_custkey" * 2).as("node"))
+        .join(deg0.select($"node"), Seq("node"), "left_semi")
+        .distinct()
+      val counts = deg0.agg(count(lit(1)).as("n"))
+        .crossJoin(seeds.agg(count(lit(1)).as("ns")))
+      val deg = deg0
+        .join(seeds.withColumn("is_seed", lit(1)), Seq("node"), "left")
+        .crossJoin(broadcast(counts))
+        .select($"node", $"deg",
+          when($"is_seed".isNotNull,
+            expr("(150000000000L * n) DIV ns")).otherwise(0L).as("tp"))
+        .cache()
+      val r0 = deg.withColumn("rank", $"tp")
+      val r3 = (1 to 3).foldLeft(r0) { (r, _) =>
+        r.join(edges, r("node") === edges("src"))
+          .select($"dst".as("node"), expr("rank DIV deg").as("c"))
+          .groupBy($"node").agg(sum($"c").as("s"))
+          .join(deg, Seq("node"))
+          .withColumn("rank",
+            expr("tp + 85 * (s DIV 100) + (85 * (s % 100)) DIV 100"))
+          .select($"node", $"deg", $"tp", $"rank")
+      }
+      r3.select(
+        when($"node" % 2 === 0, "customer").otherwise("supplier").as("node_type"),
+        expr("node DIV 2").as("key"),
+        $"rank".as("rank_scaled"))
+        .orderBy($"rank_scaled".desc, $"node_type", $"key")
+    },
+
     /** Blocked record linkage (E56/q95) — q51's promised scale shape,
       * delivered: match customer against supplier identities whose
       * 9-digit id strings are within edit distance 1, WITHOUT the
@@ -1618,25 +1706,36 @@ object Advanced {
         |FROM agg, tri""".stripMargin) { (s, d) =>
       val li = Tables.lineitem(s, d)
         .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      // the basket self-join + distinct is the expensive leaf and
+      // feeds the degree union (2 scans) AND the orientation — cache
+      // it so it runs once (the q94 loop-invariant rule)
       val e = li.as("a").join(li.as("b"),
           $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
-        .select($"a.pk".as("u"), $"b.pk".as("v")).distinct()
+        .select($"a.pk".as("u"), $"b.pk".as("v")).distinct().cache()
       val deg = e.select($"u".as("n"))
         .unionAll(e.select($"v".as("n")))
         .groupBy($"n").agg(count(lit(1)).as("dg"))
       // orient low (deg, id) -> high: a total order, so wedge a->b->c
       // implies a < c in it and the closing edge can only be (a, c)
       val ed = e
-        .join(deg.select($"n".as("u"), $"dg".as("du")), Seq("u"))
-        .join(deg.select($"n".as("v"), $"dg".as("dv")), Seq("v"))
+        .join(broadcast(deg.select($"n".as("u"), $"dg".as("du"))), Seq("u"))
+        .join(broadcast(deg.select($"n".as("v"), $"dg".as("dv"))), Seq("v"))
         .select(
           when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u")
             .otherwise($"v").as("s"),
           when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v")
             .otherwise($"u").as("t"))
-      val wedges = ed.as("e1").join(ed.as("e2"), $"e1.t" === $"e2.s")
+      // both joins BROADCAST the oriented edge list (longs-only, ~MBs
+      // per million edges): the ~Σ outdeg² wedge stream then flows
+      // through two map-side hash joins inside one codegen stage and
+      // is never shuffled or materialized (9.2 s → map-side at sf0.1).
+      // Past broadcast size the same plan runs as shuffle joins —
+      // wedges partition by their middle node, still never a pair
+      // space.
+      val edB = broadcast(ed.cache())
+      val wedges = ed.as("e1").join(edB.as("e2"), $"e1.t" === $"e2.s")
         .select($"e1.s".as("wa"), $"e2.t".as("wc"))
-      val tri = wedges.join(ed.as("e3"),
+      val tri = wedges.join(edB.as("e3"),
           $"wa" === $"e3.s" && $"wc" === $"e3.t")
         .agg(count(lit(1)).as("t"))
       val agg = deg.agg(
@@ -1994,11 +2093,14 @@ object Advanced {
       * the graph itself (k = (7·Σdeg) DIV (10·n), ~70% of mean degree
       * — integer arithmetic, scale-free), which on this co-order graph
       * yields a genuine multi-round cascade (3/6/10 rounds at
-      * sf0.001/0.01/0.1) ending in a non-empty core. Each round is ONE
-      * degree hash agg + two anti-joins on the live edge list; the
-      * frontier is localCheckpoint'ed and the superseded one released
-      * every round (the E20 components mechanism), so lineage stays
-      * flat and driver state is one count per round. Rows-only: the
+      * sf0.001/0.01/0.1) ending in a non-empty core. DEGREE-DECREMENT
+      * rounds: the edge list is static and read-only (cached, probed
+      * through a broadcast-hash join against the bad frontier — past
+      * broadcast size the same join shuffles ∝ edges-of-bad); only the
+      * NODE-sized degree table mutates, localCheckpoint'ed and
+      * released per round (the E20 mechanism), so total decrement work
+      * is ∝ E across ALL rounds (each edge dies at most twice) and
+      * driver state is one count per round. Rows-only: the
       * peel order is definitionally iterative (no single SQL
       * restatement); AdvancedSpec replays the peel naively and proves
       * core-set, degree, and minimum-degree ≥ k equality. */
@@ -2013,29 +2115,50 @@ object Advanced {
         val st = sym.agg(count(lit(1)).as("sd"),
           countDistinct($"u").as("n")).first()
         val k = 7L * st.getLong(0) / (10L * st.getLong(1))
-        var live = sym.localCheckpoint()
-        var nLive = live.count()
+        // DEGREE-DECREMENT peeling: the edge list is static (cached,
+        // scanned read-only each round through a broadcast-hash join
+        // against the bad set); the per-round mutable state is the
+        // NODE-sized degree table only. A first version rewrote the
+        // live EDGE list with two anti-joins + a checkpoint per round
+        // — 12.6 s at sf0.1; this shape does total decrement work ∝ E
+        // across ALL rounds (each edge dies at most twice) and
+        // checkpoints ≤ n rows per round — 10× less round machinery.
+        var deg = sym.groupBy($"u".as("node")).agg(count(lit(1)).as("dg"))
+          .localCheckpoint()
+        var nPrev = deg.count()
         var round = 0
         var done = false
         while (!done && round < 40) {
-          val bad = live.groupBy($"u").agg(count(lit(1)).as("dg"))
-            .filter($"dg" < k).select($"u")
-          val next = live
-            .join(bad, Seq("u"), "left_anti")
-            .join(bad.select($"u".as("v")), Seq("v"), "left_anti")
-            .select($"u", $"v")
+          // ONE action per round: the bad frontier is a subplan of the
+          // round's job (evaluated for the broadcast + the anti
+          // filter), and convergence is "no node was removed" — the
+          // count the checkpoint materialization pays for anyway
+          val bad = deg.filter($"dg" < k).select($"node")
+          // neighbors of removed nodes lose one degree per incident
+          // edge; shuffle ∝ edges INCIDENT TO bad only (shrinks fast)
+          val removals = sym
+            .join(broadcast(bad.withColumnRenamed("node", "u")), Seq("u"))
+            .groupBy($"v".as("node")).agg(count(lit(1)).as("rm"))
+          val next = deg
+            .join(bad.withColumn("is_bad", lit(1)),
+              Seq("node"), "left")
+            .filter($"is_bad".isNull)
+            .join(removals, Seq("node"), "left")
+            .select($"node",
+              ($"dg" - coalesce($"rm", lit(0L))).as("dg"))
             .localCheckpoint(false)
-          val cnt = next.count()
-          scala.util.Try(live.rdd.unpersist(blocking = false)): Unit
-          done = cnt == nLive
-          nLive = cnt
-          live = next
+          val n2 = next.count() // materializes the checkpoint
+          scala.util.Try(deg.rdd.unpersist(blocking = false)): Unit
+          deg = next
           round += 1
+          done = n2 == nPrev || n2 == 0
+          nPrev = n2
         }
         if (!done) throw new IllegalStateException(
           s"kcore did not converge in 40 rounds")
-        live.groupBy($"u").agg(count(lit(1)).as("core_degree"))
-          .select($"u".as("part"), $"core_degree", lit(k).as("k"))
+        deg
+          .select($"node".as("part"), $"dg".as("core_degree"),
+            lit(k).as("k"))
           .orderBy($"part")
       } finally { sym.unpersist(blocking = false): Unit }
     },

@@ -2026,6 +2026,76 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    /** Collocation mining (E106/q142) — the corpus-linguistics staple
+      * behind phrase detection and tokenizer-merge candidates: top-20
+      * adjacent token bigrams by count, each with its LIFT (observed
+      * bigram probability over the independence expectation) so "hash
+      * join" scores above "the the". Counts are exact integers; lift
+      * is one fixed IEEE expression (rp4) mirrored textually. The
+      * Spark side pairs tokens with a per-document lag window — frames
+      * bounded by document length, the q63 shard-local posture — while
+      * the oracle indexes the token array directly (different plan,
+      * same pairs). Top-20 via the bounded TopKStruct — no rank window
+      * over the bigram vocabulary. */
+    QueryDef.sql(
+      "q142_collocations",
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        |), uni AS (
+        |  SELECT toks[i] AS tok, COUNT(*) AS n1
+        |  FROM t, UNNEST(generate_series(1, len(toks))) AS g(i)
+        |  GROUP BY 1
+        |), tot AS (
+        |  SELECT SUM(n1) AS tt, SUM(CASE WHEN TRUE THEN 0 END) AS z FROM uni
+        |), big AS (
+        |  SELECT toks[i] AS t1, toks[i+1] AS t2, COUNT(*) AS n
+        |  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+        |  GROUP BY 1, 2
+        |), btot AS (
+        |  SELECT SUM(n) AS bt FROM big
+        |), ranked AS (
+        |  SELECT t1 || ' ' || t2 AS bigram, n,
+        |         (CAST(n AS DOUBLE) / bt) /
+        |           ((CAST(a.n1 AS DOUBLE) / tt) * (CAST(b.n1 AS DOUBLE) / tt)) AS lift,
+        |         ROW_NUMBER() OVER (ORDER BY n DESC, t1 || ' ' || t2) AS rnk
+        |  FROM big JOIN uni a ON big.t1 = a.tok JOIN uni b ON big.t2 = b.tok
+        |       CROSS JOIN tot CROSS JOIN btot
+        |)
+        |SELECT CAST(rnk AS INTEGER) AS rnk, bigram, CAST(n AS BIGINT) AS n,
+        |       CAST(ROUND((lift) * 1e4, 0) AS BIGINT) / 1e4 AS lift
+        |FROM ranked WHERE rnk <= 20 ORDER BY rnk""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos", "tok")))
+      val uni = toks.groupBy($"tok").agg(count(lit(1)).as("n1"))
+      val tot = uni.agg(sum($"n1").as("tt"))
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      val big = toks
+        .withColumn("t2", lead($"tok", 1).over(w))
+        .filter($"t2".isNotNull)
+        .groupBy($"tok".as("t1"), $"t2")
+        .agg(count(lit(1)).as("n"))
+      val btot = big.agg(sum($"n").as("bt"))
+      val lift = ($"n".cast("double") / $"bt") /
+        (($"a_n1".cast("double") / $"tt") * ($"b_n1".cast("double") / $"tt"))
+      val scored = big
+        .join(broadcast(uni.select($"tok".as("t1"), $"n1".as("a_n1"))), Seq("t1"))
+        .join(broadcast(uni.select($"tok".as("t2"), $"n1".as("b_n1"))), Seq("t2"))
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+        .select(concat_ws(" ", $"t1", $"t2").as("bigram"),
+          $"n", round2(lift, 4).as("lift"))
+      // bounded top-20 by (n DESC, bigram ASC), then a 20-row
+      // broadcast join-back carries n/lift -- no packing tricks, no
+      // rank window over the bigram vocabulary
+      val top = scored
+        .select($"n".cast("double").as("sc"), $"bigram")
+        .agg(graft.functions.TopKStruct.topk(s, $"sc", $"bigram", 20).as("top"))
+        .select(posexplode($"top"))
+        .select(($"pos" + 1).cast("int").as("rnk"), $"col.item".as("bigram"))
+      scored.join(broadcast(top), Seq("bigram"))
+        .select($"rnk", $"bigram", $"n", $"lift")
+        .orderBy($"rnk")
+    },
+
     /** Segmented inverted index (E86/q123) — the search-engine build
       * primitive: token → sorted posting list of containing documents.
       * Postings are sharded into fixed doc-id-range SEGMENTS (Lucene's

@@ -585,6 +585,71 @@ class AdvancedSpec extends GraftSpec {
     }
   }
 
+  test("q141 personalized pagerank: distributed iterations == naive integer replay; mass near seeds") {
+    val dir = sf("sf0.001")
+    val li = graft.Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ord = graft.Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e0 = li.flatMap { case (ok, sk) =>
+      ord.get(ok).map(ck => (ck * 2, sk * 2 + 1)) }.distinct
+    val edges = (e0 ++ e0.map(_.swap)).distinct
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val seg = graft.Tables.customer(spark, dir)
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey").collect().map(_.getLong(0) * 2).toSet
+    val seeds = seg & adj.keySet
+    val n = adj.size.toLong
+    val tp = adj.keys.map(node => node ->
+      (if (seeds(node)) 150000000000L * n / seeds.size else 0L)).toMap
+    var rank = tp
+    for (_ <- 1 to 3) {
+      val s = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      adj.foreach { case (u, vs) =>
+        val c = rank(u) / deg(u)
+        vs.foreach(v => s(v) += c)
+      }
+      rank = adj.keys.map(node => node ->
+        (tp(node) + 85L * (s(node) / 100) + 85L * (s(node) % 100) / 100)).toMap
+    }
+    val got = SparkEntry.queries("q141_personalized_pagerank")(spark, dir).collect()
+    assert(got.length === n.toInt)
+    got.foreach { r =>
+      val node = r.getLong(1) * 2 + (if (r.getString(0) == "supplier") 1 else 0)
+      assert(r.getAs[Long]("rank_scaled") === rank(node), s"node $node")
+    }
+    // personalization: seed customers carry more mass on average than
+    // non-seed customers (the teleport bias is visible after 3 hops)
+    val custRanks = got.filter(_.getString(0) == "customer")
+      .map(r => (r.getLong(1) * 2, r.getAs[Long]("rank_scaled")))
+    val (sR, oR) = custRanks.partition(t => seeds(t._1))
+    assert(sR.map(_._2).sum / sR.length > oR.map(_._2).sum / math.max(1, oR.length))
+  }
+
+  test("q142 collocations: top-20 bigrams and lift match a naive replay") {
+    val dir = sf("sf0.001")
+    val docs = graft.Tables.documents(spark, dir)
+      .select($"text").collect().map(_.getString(0).trim.split("\\s+").toSeq)
+    val uni = docs.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tt = docs.map(_.length.toLong).sum
+    val bigs = docs.flatMap(_.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bt = bigs.values.sum
+    val expect = bigs.toSeq
+      .sortBy { case ((a, b), nn) => (-nn, s"$a $b") }.take(20)
+    val got = SparkEntry.queries("q142_collocations")(spark, dir).collect()
+    assert(got.length === expect.length)
+    got.zip(expect).foreach { case (r, ((a, b), nn)) =>
+      assert(r.getString(1) === s"$a $b")
+      assert(r.getAs[Long]("n") === nn)
+      val lift = (nn.toDouble / bt) / ((uni(a).toDouble / tt) * (uni(b).toDouble / tt))
+      assert(r.getAs[Double]("lift") === graft.sim.Vectors.roundPortableD(lift, 4))
+    }
+  }
+
   test("q138 share-of-parent: shares sum to 1 within each level; cents conserved") {
     val dir = sf("sf0.001")
     val rows = SparkEntry.queries("q138_share_of_parent")(spark, dir).collect()
