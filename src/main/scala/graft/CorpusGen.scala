@@ -123,17 +123,43 @@ object CorpusGen {
     val id = col("id")
     val nCust = math.max(10L, nOrders / 10)
     val nSupp = math.max(5L, nCust / 15)
+    val segs = array(lit("AUTOMOBILE"), lit("BUILDING"), lit("FURNITURE"),
+      lit("HOUSEHOLD"), lit("MACHINERY"))
     spark.range(nCust).select(
       id.as("c_custkey"),
-      format_string("Customer#%09d", id).as("c_name"))
+      format_string("Customer#%09d", id).as("c_name"),
+      pmod(h(seed, 34, id), lit(25L)).cast("int").as("c_nationkey"),
+      element_at(segs, (pmod(h(seed, 35, id), lit(5L)) + 1).cast("int"))
+        .as("c_mktsegment"))
       .write.mode("overwrite").parquet(s"$dir/customer.parquet")
     spark.range(nSupp).select(
       id.as("s_suppkey"),
       format_string("Supplier#%09d", id).as("s_name"))
       .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    spark.range(25).select(
+      id.cast("int").as("n_nationkey"),
+      format_string("NATION_%02d", id).as("n_name"),
+      pmod(id, lit(5L)).cast("int").as("n_regionkey"))
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    spark.range(5).select(
+      id.cast("int").as("r_regionkey"),
+      format_string("REGION_%d", id).as("r_name"))
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    val prios = array(lit("1-URGENT"), lit("2-HIGH"), lit("3-MEDIUM"),
+      lit("4-NOT SPECIFIED"), lit("5-LOW"))
+    val base = to_timestamp(lit("2024-01-01 00:00:00"))
     spark.range(nOrders).select(
       id.as("o_orderkey"),
-      pmod(h(seed, 30, id), lit(nCust)).as("o_custkey"))
+      pmod(h(seed, 30, id), lit(nCust)).as("o_custkey"),
+      // 2-decimal money in (0, 5000] — integer cents over 100
+      ((pmod(h(seed, 36, id), lit(500000L)) + 1).cast("double") / 100.0)
+        .as("o_totalprice"),
+      timestamp_seconds(unix_timestamp(base)
+        + pmod(h(seed, 37, id), lit(365L * 86400L))).as("o_orderdate"),
+      element_at(array(lit("O"), lit("F"), lit("P")),
+        (pmod(h(seed, 38, id), lit(3L)) + 1).cast("int")).as("o_orderstatus"),
+      element_at(prios, (pmod(h(seed, 39, id), lit(5L)) + 1).cast("int"))
+        .as("o_orderpriority"))
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
     val nParts = math.max(4L, nOrders / 8)
     spark.range(nOrders * 4).select(
@@ -141,7 +167,12 @@ object CorpusGen {
       pmod(id, lit(4L)).cast("int").as("l_linenumber"),
       pmod(h(seed, 31, id), lit(nSupp)).as("l_suppkey"),
       pmod(h(seed, 33, id), lit(nParts)).as("l_partkey"),
-      (pmod(h(seed, 32, id), lit(50L)) + 1).cast("double").as("l_quantity"))
+      (pmod(h(seed, 32, id), lit(50L)) + 1).cast("double").as("l_quantity"),
+      (pmod(h(seed, 40, id), lit(11L)).cast("double") / 100.0).as("l_discount"),
+      ((pmod(h(seed, 41, id), lit(500000L)) + 100).cast("double") / 100.0)
+        .as("l_extendedprice"),
+      timestamp_seconds(unix_timestamp(base)
+        + pmod(h(seed, 42, id), lit(400L * 86400L))).as("l_shipdate"))
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
   }
 
@@ -165,11 +196,13 @@ object CorpusGen {
       events(spark, nEvents)
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
     // relational slice joined in round 8 (q94/q95): same backfill rule;
-    // l_partkey joined in the r8 third wave (q110) — a dir generated
-    // before it regenerates the slice (deterministic seed → identical
-    // rows, one new column)
+    // the analytics columns (o_totalprice/o_orderdate/c_mktsegment/
+    // nation/region) joined with the fourth wave (q119/q128/q136/
+    // q138/q139/q141) — a dir generated before them regenerates the
+    // slice (deterministic seed → identical rows, new columns)
     if (nOrders > 0 && (!new java.io.File(dir, "orders.parquet").exists() ||
-        !spark.read.parquet(s"$dir/lineitem.parquet").columns.contains("l_partkey")))
+        !spark.read.parquet(s"$dir/lineitem.parquet").columns.contains("l_partkey") ||
+        !spark.read.parquet(s"$dir/orders.parquet").columns.contains("o_totalprice")))
       relational(spark, dir, nOrders)
   }
 }

@@ -172,7 +172,10 @@ object ScaleBench {
     // personalized pagerank (q94's per-iteration cost + a broadcast
     // seed join) and collocation mining (per-doc lag window + two
     // broadcast unigram joins + k-slot top-k)
-    "q141_personalized_pagerank", "q142_collocations")
+    "q141_personalized_pagerank", "q142_collocations",
+    // multi-grain grouping sets (one Expand over one scan) and the
+    // native session-window aggregation (one session-assigning shuffle)
+    "q143_grouping_sets", "q144_session_window")
 
   /** Quadratic-by-contract entries, capped at 10×: the exact all-pairs
     * baselines (q33 n-gram Jaccard, q36 cosine pairs), and q49 whose

@@ -318,6 +318,39 @@ object Advanced {
           coalesce($"o_orderpriority", lit("")))
     },
 
+    /** GROUPING SETS report (E107/q143) — the third member of the
+      * multi-grain family (q40 ROLLUP, q50 CUBE): an ARBITRARY set
+      * list — ((status, priority), (priority), ()) — that neither
+      * rollup (would carry (status), not (priority)) nor cube (would
+      * add (status) and (status, priority) twins) expresses;
+      * grouping_id disambiguates the grains exactly as in q50. Spark
+      * plans all three through one Expand over a single scan — the
+      * multi-grain pass costs one shuffle regardless of how many sets
+      * the report carries. */
+    QueryDef.sql(
+      "q143_grouping_sets",
+      s"""SELECT CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+         |       o_orderstatus, o_orderpriority,
+         |       COUNT(*) AS n_orders,
+         |       CAST(SUM(${centsSql("o_totalprice")}) / 100.0 AS DOUBLE) AS total_price
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+         |ORDER BY gid, coalesce(o_orderstatus, ''), coalesce(o_orderpriority, '')""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq($"o_orderstatus", $"o_orderpriority"),
+            Seq($"o_orderpriority"), Seq()),
+          $"o_orderstatus", $"o_orderpriority")
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_orders"),
+          (sum(cents($"o_totalprice")) / 100.0).cast("double").as("total_price"))
+        .select($"gid", $"o_orderstatus", $"o_orderpriority",
+          $"n_orders", $"total_price")
+        .orderBy($"gid", coalesce($"o_orderstatus", lit("")),
+          coalesce($"o_orderpriority", lit("")))
+    },
+
     /** Edit-distance fuzzy matching: near-matching name pairs with
       * `levenshtein` (identical semantics in Spark and DuckDB). Runs on
       * the nation dim here; at corpus scale the same predicate sits

@@ -668,6 +668,54 @@ object Temporal {
         .orderBy($"from_type", $"to_type")
     },
 
+    /** Native session-window aggregation (E108/q144) — gap-based
+      * sessions through Spark's BUILT-IN `session_window` function
+      * (the production spelling of q39's lag/flag construction and
+      * st_sessionize's custom keyed state; the same call works in
+      * Structured Streaming with watermarked state eviction). Spark
+      * defines a session's end as last event + gap, so the oracle is
+      * q39's gap construction with `end_ms = max(ts) + 30 min` — the
+      * window-semantics equivalence IS the gate. Boundary nuance the
+      * oracle mirrors: session windows are half-open [t, t+gap), so an
+      * EXACTLY-30-min gap starts a new session (`>=` in the flag) —
+      * where q39's convention (`>`) keeps it. Exact cents totals;
+      * integer-ms bounds. Scale: one session-assigning shuffle per
+      * user partition — the q39 class (q39b's sharding argument covers
+      * the hot user). */
+    QueryDef.sql(
+      "q144_session_window",
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         CASE WHEN LAG(ts) OVER w IS NULL
+        |                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+        |              ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, ts, value,
+        |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM flagged
+        |)
+        |SELECT user_id,
+        |       epoch_ms(MIN(ts)) AS start_ms,
+        |       epoch_ms(MAX(ts)) + 1800000 AS end_ms,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM sessions
+        |GROUP BY user_id, seq
+        |ORDER BY user_id, start_ms""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(cents($"value")).as("total_cents"))
+        .select($"user_id",
+          unix_millis($"sw.start").as("start_ms"),
+          unix_millis($"sw.end").as("end_ms"),
+          $"n_events", $"total_cents")
+        .orderBy($"user_id", $"start_ms")
+    },
+
     /** Last-touch conversion attribution (E85/q122) — the marketing-
       * analytics primitive: every purchase is credited to the user's
       * most recent click if it happened within a 7-day window,

@@ -585,6 +585,58 @@ class AdvancedSpec extends GraftSpec {
     }
   }
 
+  test("q143 grouping sets: each grain re-aggregates to the same totals") {
+    val dir = sf("sf0.001")
+    val rows = SparkEntry.queries("q143_grouping_sets")(spark, dir).collect()
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    // gid 0 = (status, priority), gid 2 = (priority), gid 3 = ()
+    assert(byGid.keySet === Set(0L, 2L, 3L))
+    val total = byGid(3L).head.getAs[Long]("n_orders")
+    assert(byGid(0L).map(_.getAs[Long]("n_orders")).sum === total)
+    assert(byGid(2L).map(_.getAs[Long]("n_orders")).sum === total)
+    // per-priority rows re-aggregate from the fine grain
+    val fine = byGid(0L).groupBy(_.getString(2)).view
+      .mapValues(_.map(_.getAs[Long]("n_orders")).sum).toMap
+    byGid(2L).foreach { r =>
+      assert(r.getAs[Long]("n_orders") === fine(r.getString(2)))
+      assert(r.isNullAt(1)) // status grouped out
+    }
+  }
+
+  test("q144 session window: native sessions match a naive gap replay with the half-open boundary") {
+    val dir = sf("sf0.001")
+    val ev = graft.Tables.events(spark, dir)
+      .select($"user_id", unix_micros($"ts").as("us"),
+        round($"value" * 100, 0).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gap = 30L * 60 * 1000000
+    val expect = ev.groupBy(_._1).flatMap { case (uid, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val sessions = scala.collection.mutable.ArrayBuffer[Seq[(Long, Long, Long)]]()
+      var cur = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      sorted.foreach { e =>
+        if (cur.nonEmpty && e._2 - cur.last._2 >= gap) {
+          sessions += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer()
+        }
+        cur += e
+      }
+      if (cur.nonEmpty) sessions += cur.toSeq
+      sessions.map { s =>
+        ((uid, s.head._2 / 1000), (s.last._2 / 1000 + 1800000,
+          s.length.toLong, s.map(_._3).sum))
+      }
+    }.toMap
+    val got = SparkEntry.queries("q144_session_window")(spark, dir).collect()
+    assert(got.length === expect.size)
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getAs[Long]("start_ms"))
+      val (endMs, n, cents) = expect(key)
+      assert(r.getAs[Long]("end_ms") === endMs)
+      assert(r.getAs[Long]("n_events") === n)
+      assert(r.getAs[Long]("total_cents") === cents)
+    }
+  }
+
   test("q141 personalized pagerank: distributed iterations == naive integer replay; mass near seeds") {
     val dir = sf("sf0.001")
     val li = graft.Tables.lineitem(spark, dir)
