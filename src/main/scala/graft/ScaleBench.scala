@@ -175,7 +175,10 @@ object ScaleBench {
     "q141_personalized_pagerank", "q142_collocations",
     // multi-grain grouping sets (one Expand over one scan) and the
     // native session-window aggregation (one session-assigning shuffle)
-    "q143_grouping_sets", "q144_session_window")
+    "q143_grouping_sets", "q144_session_window",
+    // DAU/WAU contribution rewrite (shuffle ∝ 7×active pairs) and the
+    // value-domain skyline sweep (frames ≤ #distinct prices)
+    "q145_dau_wau", "q146_pareto_skyline")
 
   /** Quadratic-by-contract entries, capped at 10×: the exact all-pairs
     * baselines (q33 n-gram Jaccard, q36 cosine pairs), and q49 whose

@@ -318,6 +318,100 @@ object Advanced {
           coalesce($"o_orderpriority", lit("")))
     },
 
+    /** Rolling DAU/WAU engagement (E109/q145) — the product-health
+      * staple: per day, distinct active users that day (DAU), distinct
+      * users active in the trailing 7 days (WAU), and the stickiness
+      * ratio DAU/WAU. The naive spelling re-scans a week of history
+      * per day with a windowed COUNT(DISTINCT); the scale shape here
+      * is the contribution rewrite — distinct (user, day) pairs (ONE
+      * corpus hash agg), each pair EXPLODED to the ≤ 7 window days it
+      * contributes to, then one (window_day, user) distinct + count:
+      * shuffle ∝ 7 × active pairs, never pairs × history. The oracle
+      * is the naive BETWEEN join — different plan, identical counts.
+      * Ratio rp4; everything else exact integers. */
+    QueryDef.sql(
+      "q145_dau_wau",
+      """WITH pairs AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), days AS (
+        |  SELECT DISTINCT day FROM pairs
+        |)
+        |SELECT d.day,
+        |       (SELECT COUNT(DISTINCT p.user_id) FROM pairs p
+        |        WHERE p.day = d.day) AS dau,
+        |       (SELECT COUNT(DISTINCT p.user_id) FROM pairs p
+        |        WHERE p.day BETWEEN d.day - INTERVAL 6 DAY AND d.day) AS wau,
+        |       CAST(ROUND(((SELECT COUNT(DISTINCT p.user_id) FROM pairs p
+        |                    WHERE p.day = d.day) * 1e0 /
+        |                   (SELECT COUNT(DISTINCT p.user_id) FROM pairs p
+        |                    WHERE p.day BETWEEN d.day - INTERVAL 6 DAY AND d.day)) * 1e4, 0) AS BIGINT) / 1e4 AS stickiness
+        |FROM days d ORDER BY d.day""".stripMargin) { (s, d) =>
+      val pairs = Tables.events(s, d)
+        .select($"user_id", to_date($"ts").as("day")).distinct()
+      val days = pairs.select($"day").distinct()
+      val dau = pairs.groupBy($"day").agg(countDistinct($"user_id").as("dau"))
+      // each active (user, day) contributes to windows day..day+6 —
+      // capped to observed days by the join below
+      val contrib = pairs
+        .select($"user_id",
+          explode(expr("sequence(day, day + interval 6 day)")).as("wday"))
+        .join(days.select($"day".as("wday")), Seq("wday"), "left_semi")
+      val wau = contrib.groupBy($"wday".as("day"))
+        .agg(countDistinct($"user_id").as("wau"))
+      days.join(dau, Seq("day")).join(wau, Seq("day"))
+        .select($"day", $"dau", $"wau",
+          round2($"dau".cast("double") / $"wau", 4).as("stickiness"))
+        .orderBy($"day")
+    },
+
+    /** Pareto-skyline query (E110/q146) — the multi-criteria
+      * optimization primitive ("maximize total price, minimize
+      * fulfilment delay — show only non-dominated orders"): an order
+      * is on the skyline iff NO other order has strictly higher price
+      * AND strictly lower delay. The naive spelling is the O(n²)
+      * NOT-EXISTS self-join the oracle runs; the scale shape is the
+      * VALUE-DOMAIN sweep — per distinct price, the min delay (one
+      * hash agg), the running min over prices DESC exclusive of the
+      * current price (a window over ≤ #distinct-prices rows — the
+      * q115/q130 family, never row-grain), broadcast back: a row
+      * survives iff its delay < every-higher-price min delay. All
+      * integer cents/days — no float boundary. */
+    QueryDef.sql(
+      "q146_pareto_skyline",
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |         CAST(ROUND(o_totalprice*100,0) AS BIGINT) AS cents,
+        |         date_diff('day', CAST(o_orderdate AS DATE),
+        |                   MIN(CAST(l_shipdate AS DATE))) AS delay
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY o_orderkey, o_totalprice, o_orderdate
+        |)
+        |SELECT a.o_orderkey, a.cents, CAST(a.delay AS BIGINT) AS delay
+        |FROM o a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM o b
+        |  WHERE b.cents > a.cents AND b.delay < a.delay)
+        |ORDER BY a.cents DESC, a.o_orderkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderkey", $"o_totalprice", $"o_orderdate")
+        .agg(min(to_date($"l_shipdate")).as("first_ship"))
+        .select($"o_orderkey", cents($"o_totalprice").as("cents"),
+          datediff($"first_ship", to_date($"o_orderdate")).cast("long")
+            .as("delay"))
+      // value-domain sweep: min delay per distinct price, exclusive
+      // running min over prices DESC (frame ≤ #distinct prices)
+      val perPrice = o.groupBy($"cents").agg(min($"delay").as("mind"))
+      val wDesc = Window.orderBy($"cents".desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sweep = perPrice
+        .withColumn("best_above", min($"mind").over(wDesc))
+      o.join(broadcast(sweep.select($"cents", $"best_above")), Seq("cents"))
+        .filter($"best_above".isNull || $"delay" < $"best_above")
+        .select($"o_orderkey", $"cents", $"delay")
+        .orderBy($"cents".desc, $"o_orderkey")
+    },
+
     /** GROUPING SETS report (E107/q143) — the third member of the
       * multi-grain family (q40 ROLLUP, q50 CUBE): an ARBITRARY set
       * list — ((status, priority), (priority), ()) — that neither

@@ -585,6 +585,45 @@ class AdvancedSpec extends GraftSpec {
     }
   }
 
+  test("q145 DAU/WAU: contribution rewrite == naive trailing-window distinct count") {
+    val dir = sf("sf0.001")
+    val pairs = graft.Tables.events(spark, dir)
+      .select($"user_id", datediff(to_date($"ts"), lit("1970-01-01")).as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getInt(1)))
+    val days = pairs.map(_._2).distinct.sorted
+    val got = SparkEntry.queries("q145_dau_wau")(spark, dir).collect()
+    assert(got.length === days.length)
+    got.foreach { r =>
+      val d = (r.getDate(0).toLocalDate.toEpochDay).toInt
+      val dau = pairs.filter(_._2 == d).map(_._1).distinct.length.toLong
+      val wau = pairs.filter(p => p._2 >= d - 6 && p._2 <= d)
+        .map(_._1).distinct.length.toLong
+      assert(r.getAs[Long]("dau") === dau)
+      assert(r.getAs[Long]("wau") === wau)
+      assert(dau <= wau)
+      val st = r.getAs[Double]("stickiness")
+      assert(st > 0.0 && st <= 1.0)
+    }
+  }
+
+  test("q146 skyline: value-domain sweep == naive domination check") {
+    val dir = sf("sf0.001")
+    val o = graft.Tables.orders(spark, dir)
+      .join(graft.Tables.lineitem(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderkey", $"o_totalprice", $"o_orderdate")
+      .agg(min(to_date($"l_shipdate")).as("fs"))
+      .select($"o_orderkey", round($"o_totalprice" * 100, 0).cast("long").as("c"),
+        datediff($"fs", to_date($"o_orderdate")).cast("long").as("dl"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val naive = o.filter { case (_, c, dl) =>
+      !o.exists { case (_, c2, dl2) => c2 > c && dl2 < dl }
+    }.map(_._1).toSet
+    val got = SparkEntry.queries("q146_pareto_skyline")(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(got === naive)
+    assert(got.nonEmpty)
+  }
+
   test("q143 grouping sets: each grain re-aggregates to the same totals") {
     val dir = sf("sf0.001")
     val rows = SparkEntry.queries("q143_grouping_sets")(spark, dir).collect()
