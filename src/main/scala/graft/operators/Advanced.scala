@@ -2076,14 +2076,20 @@ object Advanced {
         |       CAST(ROUND((cos) * 1e6, 0) AS BIGINT) / 1e6 AS cosine
         |FROM ranked WHERE rnk <= 5
         |ORDER BY part, rnk""".stripMargin) { (s, d) =>
+      // the distinct basket table feeds the item counts AND both sides
+      // of the pair self-join; the pruned pair table feeds both union
+      // branches — cache each so the expensive leaves run once (the
+      // q94 loop-invariant rule)
       val b = Tables.lineitem(s, d)
         .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+        .cache()
       val ic = b.groupBy($"pk").agg(count(lit(1)).as("ci"))
       val pairs = b.as("a").join(b.as("c"),
           $"a.ok" === $"c.ok" && $"a.pk" < $"c.pk")
         .groupBy($"a.pk".as("i"), $"c.pk".as("j"))
         .agg(count(lit(1)).as("cij"))
         .filter($"cij" >= 2)
+        .cache()
       val sym = pairs.unionAll(
         pairs.select($"j".as("i"), $"i".as("j"), $"cij"))
       val scored = sym
