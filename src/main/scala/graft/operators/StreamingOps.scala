@@ -564,6 +564,88 @@ object StreamingOps {
         .orderBy(col("event_id"))
     },
 
+    /** Watermarked stream-stream LEFT OUTER interval join (E111) —
+      * the tenth genuine streaming harness, completing the
+      * stream-stream join semantics st_interval_join's inner form
+      * leaves open: unmatched purchases must still emit (with nulled
+      * view columns) once the watermark proves no matching view can
+      * arrive — state EVICTION is the null-emission trigger, so the
+      * no-data micro-batches stay enabled (the inner gate disables
+      * them; an inner join's output never depends on eviction). The
+      * oracle restates Spark's exact semantics in integer ms: the
+      * inner pairs are the plain batch interval join, and a left row
+      * null-emits iff unmatched AND l_ms < WM_final where WM_final =
+      * min(max left ms, max right ms) − 600000 (per-input watermark =
+      * max event time − lateness, global = the min policy; the feed is
+      * ms-floored so no µs flooring term appears). */
+    QueryDef.sql(
+      "st_outer_interval_join",
+      """WITH l AS (
+        |  SELECT user_id AS key, epoch_ms(ts) AS l_ms, event_id AS l_id
+        |  FROM events WHERE event_type = 'purchase'
+        |), r AS (
+        |  SELECT user_id AS key, epoch_ms(ts) AS r_ms, event_id AS r_id
+        |  FROM events WHERE event_type = 'view'
+        |), m AS (
+        |  SELECT l.key AS key, l.l_id, l.l_ms, r.r_id, r.r_ms
+        |  FROM l JOIN r ON r.key = l.key
+        |    AND r.r_ms BETWEEN l.l_ms - 14400000 AND l.l_ms
+        |), wm AS (
+        |  SELECT LEAST((SELECT MAX(l_ms) FROM l), (SELECT MAX(r_ms) FROM r))
+        |           - 600000 AS w
+        |)
+        |SELECT key, l_id, l_ms, r_id, r_ms FROM m
+        |UNION ALL
+        |SELECT l.key, l.l_id, l.l_ms,
+        |       CAST(NULL AS BIGINT) AS r_id, CAST(NULL AS BIGINT) AS r_ms
+        |FROM l
+        |WHERE l.l_id NOT IN (SELECT l_id FROM m)
+        |  AND l.l_ms < (SELECT w FROM wm)
+        |ORDER BY key, l_id, r_id""".stripMargin) { (s, d) =>
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val all = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(col("event_type"), col("user_id"),
+          timestamp_millis(unix_millis(col("ts"))).as("ts_ms"), col("event_id"))
+        .as[(String, Long, java.sql.Timestamp, Long)]
+        .collect()
+      val split = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+      def half(tpe: String, second: Boolean) =
+        all.iterator.filter { case (t, _, ts, _) =>
+          t == tpe && (ts.before(split) != second)
+        }.toSeq
+      val (l1, l2) = (
+        half("purchase", second = false).map(e => Streams.LeftEvent(e._2, e._3, e._4)),
+        half("purchase", second = true).map(e => Streams.LeftEvent(e._2, e._3, e._4)))
+      val (r1, r2) = (
+        half("view", second = false).map(e => Streams.RightEvent(e._2, e._3, e._4)),
+        half("view", second = true).map(e => Streams.RightEvent(e._2, e._3, e._4)))
+      val memL = MemoryStream[Streams.LeftEvent]
+      val memR = MemoryStream[Streams.RightEvent]
+      // unlike the inner gate, no-data micro-batches stay ON: eviction
+      // is what EMITS the null rows
+      withStreamingHarness(s, Map(
+        "spark.sql.shuffle.partitions" -> "1")) { ck =>
+        val joined = Streams.streamIntervalJoin(
+          memL.toDF(), memR.toDF(), "key", "l_ts", "r_ts",
+          lookback = "4 hours", lateness = "10 minutes",
+          joinType = "left_outer")
+        val q = joined.writeStream.format("memory").queryName("st_oij_sink")
+          .option("checkpointLocation", ck)
+          .outputMode("append").start()
+        try {
+          memL.addData(l1); memR.addData(r1); q.processAllAvailable()
+          memL.addData(l2); memR.addData(r2); q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table("st_oij_sink")
+        .select(col("key"), col("l_id"), unix_millis(col("l_ts")).as("l_ms"),
+          col("r_id"), unix_millis(col("r_ts")).as("r_ms"))
+        .orderBy(col("key"), col("l_id"), col("r_id"))
+    },
+
     /** Bounded-TTL streaming dedup via the NATIVE
       * `dropDuplicatesWithinWatermark` API (E99) — the eighth genuine
       * streaming harness, and the production spelling of

@@ -296,17 +296,23 @@ object Streams {
     * bounded (Spark requires the time-range condition + watermarks to
     * purge buffered rows). Column names must not collide apart from
     * the key. */
+  /** @param joinType "inner" (default) or "left_outer" — the outer
+    *   form emits unmatched left rows with nulled right columns once
+    *   the event-time watermark passes their join window (state
+    *   eviction IS the null-emission trigger, so the no-data
+    *   micro-batches that advance the watermark must stay enabled). */
   def streamIntervalJoin(
       left: DataFrame, right: DataFrame, keyCol: String,
       leftTs: String, rightTs: String,
-      lookback: String = "1 hour", lateness: String = "10 minutes"): DataFrame = {
+      lookback: String = "1 hour", lateness: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, lateness)
     val r = right.withWatermark(rightTs, lateness)
     l.join(r,
       l(keyCol) === r(keyCol) &&
         r(rightTs) >= l(leftTs) - expr(s"INTERVAL $lookback") &&
         r(rightTs) <= l(leftTs),
-      "inner")
+      joinType)
       .drop(r(keyCol))
   }
 

@@ -220,6 +220,37 @@ class StreamsSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("outer interval join: match emits, evicted unmatched null-emits, recent unmatched stays in state") {
+    implicit val sqlCtx = spark.sqlContext
+    val left = MemoryStream[Streams.LeftEvent]
+    val right = MemoryStream[Streams.RightEvent]
+    val q = Streams.streamIntervalJoin(
+        left.toDF(), right.toDF(), "key", "l_ts", "r_ts",
+        lookback = "1 hour", lateness = "10 minutes",
+        joinType = "left_outer")
+      .writeStream.format("memory").queryName("oij_spec")
+      .outputMode("append").start()
+    try {
+      // batch 1: key 1 matches; key 2 has no right and an OLD l_ts;
+      // key 3 has no right and a RECENT l_ts (near max event time)
+      left.addData(
+        Streams.LeftEvent(1L, ts("2025-01-01 10:00:00"), 100L),
+        Streams.LeftEvent(2L, ts("2025-01-01 08:00:00"), 200L),
+        Streams.LeftEvent(3L, ts("2025-01-01 11:55:00"), 300L))
+      right.addData(
+        Streams.RightEvent(1L, ts("2025-01-01 09:30:00"), 900L),
+        Streams.RightEvent(9L, ts("2025-01-01 12:00:00"), 901L))
+      q.processAllAvailable()
+      // watermark = min(11:55, 12:00) - 10 min = 11:45 → l 200 (08:00)
+      // is evictable and must null-emit; l 300 (11:55 ≥ WM) must NOT
+      val rows = spark.table("oij_spec")
+        .select($"l_id", $"r_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toSet
+      assert(rows === Set((100L, Some(900L)), (200L, None)))
+    } finally q.stop()
+  }
+
   test("keyed parquet upsert sink: last-write-wins snapshot across batches") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/state"
