@@ -500,4 +500,40 @@ class PlanSpec extends GraftSpec {
       assert(p.contains("HashAggregate"), s"$n should pre-aggregate")
     }
   }
+
+  test("r8 fifth-wave additions keep their intended physical shapes") {
+    // q132 item-item CF: the shared basket/pair leaves are cached (the
+    // loop-invariant rule) and nothing nested-loops beyond the
+    // broadcast of 1-row aggregates
+    val p132 = plan(q("q132_item_item_cf"))
+    assert(p132.contains("InMemoryRelation") && !p132.contains("CartesianProduct"),
+      p132.linesIterator.take(30).mkString("\n"))
+    // q138 share-of-parent: the three dims broadcast into the fact join
+    val p138 = plan(q("q138_share_of_parent"))
+    assert("BroadcastHashJoin".r.findAllIn(p138).size >= 3,
+      p138.linesIterator.take(30).mkString("\n"))
+    // q141 personalized pagerank: the edge list is cached; every
+    // iteration joins equi (no nested loop anywhere)
+    val p141 = plan(q("q141_personalized_pagerank"))
+    assert(p141.contains("InMemoryRelation") &&
+      !p141.contains("CartesianProduct"),
+      p141.linesIterator.take(30).mkString("\n"))
+    // q144 native session windows: no rank/lag Window operator — the
+    // sessions come from the session-window aggregate itself
+    val p144 = plan(q("q144_session_window"))
+    assert(!p144.contains("Window ") && p144.contains("Aggregate"),
+      p144.linesIterator.take(25).mkString("\n"))
+    // q145 DAU/WAU: the contribution rewrite explodes (Generate) and
+    // never re-scans history per day (no range join / nested loop)
+    val p145 = plan(q("q145_dau_wau"))
+    assert(p145.contains("Generate") && !p145.contains("CartesianProduct") &&
+      !p145.contains("BroadcastNestedLoopJoin"),
+      p145.linesIterator.take(30).mkString("\n"))
+    // q146 skyline: exactly ONE window, over the distinct-price sweep —
+    // never a row-grain self-join
+    val p146 = plan(q("q146_pareto_skyline"))
+    assert("Window".r.findAllIn(p146).size === 1 &&
+      !p146.contains("CartesianProduct"),
+      p146.linesIterator.take(30).mkString("\n"))
+  }
 }
