@@ -178,7 +178,11 @@ object ScaleBench {
     "q143_grouping_sets", "q144_session_window",
     // DAU/WAU contribution rewrite (shuffle ∝ 7×active pairs) and the
     // value-domain skyline sweep (frames ≤ #distinct prices)
-    "q145_dau_wau", "q146_pareto_skyline")
+    "q145_dau_wau", "q146_pareto_skyline",
+    // CMS sketch (one mergeable agg + bounded driver lookups), k-hop
+    // BFS (q94's per-round join cost × 3), OHLC bars (ONE struct-
+    // min/max hash agg — never a first/last window)
+    "q147_cms_frequencies", "q148_khop_bfs", "q149_ohlc_bars")
 
   /** Quadratic-by-contract entries, capped at 10×: the exact all-pairs
     * baselines (q33 n-gram Jaccard, q36 cosine pairs), and q49 whose

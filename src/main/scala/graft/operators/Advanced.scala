@@ -412,6 +412,123 @@ object Advanced {
         .orderBy($"cents".desc, $"o_orderkey")
     },
 
+    /** OHLC bars (E112/q149) — the financial/metrics "candlestick"
+      * aggregation: per (event_type, hour) the Opening value (at the
+      * minimum (ts, event_id)), High, Low, Close (at the maximum),
+      * event volume, and the exact mean (avgExact, rp4). Open/close
+      * use the E54 min/max-of-struct pattern — ONE partial-
+      * aggregatable hash agg carries the whole bar, never a first/last
+      * window (a hot hour never lands one reducer); the (ts, event_id)
+      * tuple is a total order, so the arg-min/max is deterministic and
+      * the oracle's ROW_NUMBER restatement hash-matches. All values in
+      * exact integer cents. */
+    QueryDef.sql(
+      "q149_ohlc_bars",
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bar,
+        |         epoch_us(ts) AS us, event_id,
+        |         CAST(ROUND(value*100,0) AS BIGINT) AS c
+        |  FROM events
+        |), o AS (
+        |  SELECT event_type, bar, c AS open_cents FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, bar
+        |                                 ORDER BY us, event_id) AS rn FROM e) t
+        |  WHERE rn = 1
+        |), cl AS (
+        |  SELECT event_type, bar, c AS close_cents FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, bar
+        |                                 ORDER BY us DESC, event_id DESC) AS rn FROM e) t
+        |  WHERE rn = 1
+        |)
+        |SELECT e.event_type, epoch_ms(e.bar) AS bar_ms,
+        |       CAST(COUNT(*) AS BIGINT) AS volume,
+        |       MAX(o.open_cents) AS open_cents,
+        |       CAST(MAX(e.c) AS BIGINT) AS high_cents,
+        |       CAST(MIN(e.c) AS BIGINT) AS low_cents,
+        |       MAX(cl.close_cents) AS close_cents,
+        |       CAST(ROUND((CAST(SUM(e.c) AS DOUBLE) / COUNT(e.c)) * 1e4, 0) AS BIGINT) / 1e4 AS mean_cents
+        |FROM e JOIN o ON e.event_type = o.event_type AND e.bar = o.bar
+        |       JOIN cl ON e.event_type = cl.event_type AND e.bar = cl.bar
+        |GROUP BY e.event_type, e.bar
+        |ORDER BY e.event_type, bar_ms""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select($"event_type", date_trunc("hour", $"ts").as("bar"),
+          unix_micros($"ts").as("us"), $"event_id", cents($"value").as("c"))
+        .groupBy($"event_type", $"bar")
+        .agg(
+          count(lit(1)).as("volume"),
+          min(struct($"us", $"event_id", $"c")).getField("c").as("open_cents"),
+          max($"c").as("high_cents"),
+          min($"c").as("low_cents"),
+          max(struct($"us", $"event_id", $"c")).getField("c").as("close_cents"),
+          round2(graft.functions.Shims.avgExact($"c"), 4).as("mean_cents"))
+        .select($"event_type", unix_millis($"bar").as("bar_ms"),
+          $"volume", $"open_cents", $"high_cents", $"low_cents",
+          $"close_cents", $"mean_cents")
+        .orderBy($"event_type", $"bar_ms")
+    },
+
+    /** Seeded k-hop BFS (E113/q148) — bounded-depth shortest hops from
+      * a seed set over the purchase graph ("everything within 3 hops
+      * of the BUILDING segment"): the reachability/blast-radius
+      * primitive next to E105's proximity ranking. Pure integer hop
+      * counts; each round is one labels⋈edges equi-join + a
+      * map-side-combined min (q94's per-iteration cost), and the
+      * oracle replays the same three relaxations as chained CTEs —
+      * hash-exact. Nodes unreachable in 3 hops are absent (the
+      * frontier never visits them — output ∝ reachable set). */
+    QueryDef.sql(
+      "q148_khop_bfs", {
+        def relax(prev: String, out: String) =
+          s""", $out AS (
+             |  SELECT node, MIN(d) AS d FROM (
+             |    SELECT node, d FROM $prev
+             |    UNION ALL
+             |    SELECT e.dst AS node, p.d + 1 AS d
+             |    FROM $prev p JOIN edges e ON e.src = p.node
+             |  ) GROUP BY node
+             |)""".stripMargin
+        s"""WITH e0 AS (
+           |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           |), edges AS (
+           |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+           |), d0 AS (
+           |  SELECT DISTINCT c_custkey * 2 AS node, 0 AS d FROM customer
+           |  WHERE c_mktsegment = 'BUILDING'
+           |    AND c_custkey * 2 IN (SELECT src FROM edges)
+           |)${relax("d0", "d1")}${relax("d1", "d2")}${relax("d2", "d3")}
+           |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+           |       CAST(node // 2 AS BIGINT) AS key,
+           |       CAST(d AS INTEGER) AS min_hops
+           |FROM d3
+           |ORDER BY node_type, key""".stripMargin
+      }) { (s, d) =>
+      val e0 = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), $"l_orderkey" === $"o_orderkey")
+        .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
+        .distinct().cache()
+      val seeds = Tables.customer(s, d)
+        .filter($"c_mktsegment" === "BUILDING")
+        .select(($"c_custkey" * 2).as("node"))
+        .join(edges.select($"src".as("node")), Seq("node"), "left_semi")
+        .distinct()
+        .withColumn("d", lit(0))
+      val d3 = (1 to 3).foldLeft(seeds.select($"node", $"d")) { (labels, _) =>
+        labels.unionByName(
+            labels.join(edges, labels("node") === edges("src"))
+              .select($"dst".as("node"), ($"d" + 1).as("d")))
+          .groupBy($"node").agg(min($"d").as("d"))
+      }
+      d3.select(
+          when($"node" % 2 === 0, "customer").otherwise("supplier").as("node_type"),
+          expr("node DIV 2").as("key"),
+          $"d".cast("int").as("min_hops"))
+        .orderBy($"node_type", $"key")
+    },
+
     /** GROUPING SETS report (E107/q143) — the third member of the
       * multi-grain family (q40 ROLLUP, q50 CUBE): an ARBITRARY set
       * list — ((status, priority), (priority), ()) — that neither

@@ -2026,6 +2026,41 @@ object TextOps {
         .orderBy($"doc_id")
     },
 
+    /** Count-min-sketch frequency estimation (E114/q147) — the
+      * mergeable point-frequency sketch completing the sketch family
+      * (E42 Misra–Gries: candidates with a LOWER bound; E59 HLL:
+      * distincts; E33 Bloom: membership; E94 histograms: quantiles):
+      * ONE `count_min_sketch` aggregate over the token stream (KB of
+      * state, map-side combining — never the token space), then point
+      * estimates for a BOUNDED candidate set read driver-side from the
+      * model-sized sketch (the stored-index pattern; at corpus scale
+      * the candidates come from the q81 MG sketch, and the estimate's
+      * guarantee is one-sided: estimate ≥ exact, ≤ exact + ε·N w.h.p.
+      * — the opposite bound of MG's). Rows-only: the counter layout is
+      * implementation-specific; the spec pins both CMS bounds against
+      * the exact counts. */
+    QueryDef.rowsOnly("q147_cms_frequencies") { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(explode(tokens($"text")).as("tok"))
+      val exact = tok.groupBy($"tok").agg(count(lit(1)).as("exact_count"))
+      val skBytes = tok
+        .agg(expr("count_min_sketch(tok, 0.001d, 0.99d, 42)").as("sk"))
+        .head.getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(skBytes))
+      // local import in a nested scope: s.implicits' own $-interpolator
+      // would clash with the package one
+      val est = {
+        import s.implicits.{localSeqToDatasetHolder, newProductEncoder}
+        exact.collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1),
+            cms.estimateCount(r.getString(0))))
+          .toDF("tok", "exact_count", "estimate")
+      }
+      est.withColumn("overcount", col("estimate") - col("exact_count"))
+        .orderBy(col("tok"))
+    },
+
     /** Collocation mining (E106/q142) — the corpus-linguistics staple
       * behind phrase detection and tokenizer-merge candidates: top-20
       * adjacent token bigrams by count, each with its LIFT (observed

@@ -585,6 +585,74 @@ class AdvancedSpec extends GraftSpec {
     }
   }
 
+  test("q147 CMS: estimate >= exact always (one-sided), within the eps*N bound") {
+    val dir = sf("sf0.001")
+    val got = SparkEntry.queries("q147_cms_frequencies")(spark, dir).collect()
+    val n = got.map(_.getAs[Long]("exact_count")).sum
+    got.foreach { r =>
+      val over = r.getAs[Long]("overcount")
+      assert(over >= 0L, s"${r.getString(0)}: CMS under-counted")
+      assert(r.getAs[Long]("estimate") ===
+        r.getAs[Long]("exact_count") + over)
+      // eps = 0.001 -> w.h.p. overcount <= eps*N; allow 10x slack
+      assert(over <= (0.001 * n * 10).toLong + 1, s"${r.getString(0)}: over $over")
+    }
+  }
+
+  test("q148 k-hop BFS: distributed relaxations == naive BFS levels from the seed set") {
+    val dir = sf("sf0.001")
+    val li = graft.Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ord = graft.Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e0 = li.flatMap { case (ok, sk) =>
+      ord.get(ok).map(ck => (ck * 2, sk * 2 + 1)) }.distinct
+    val adj = (e0 ++ e0.map(_.swap)).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seeds = graft.Tables.customer(spark, dir)
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey").collect().map(_.getLong(0) * 2)
+      .filter(adj.contains).toSet
+    var dist = seeds.map(_ -> 0).toMap
+    for (h <- 1 to 3) {
+      val next = dist.keys.flatMap(u => adj(u).map(_ -> (dist(u) + 1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      dist = (dist.keySet ++ next.keySet).map(k =>
+        k -> math.min(dist.getOrElse(k, 99), next.getOrElse(k, 99))).toMap
+    }
+    val got = SparkEntry.queries("q148_khop_bfs")(spark, dir).collect()
+      .map { r =>
+        val node = r.getLong(1) * 2 + (if (r.getString(0) == "supplier") 1 else 0)
+        node -> r.getAs[Int]("min_hops")
+      }.toMap
+    assert(got === dist)
+  }
+
+  test("q149 OHLC: open/close match the naive first/last by (ts, event_id)") {
+    val dir = sf("sf0.001")
+    val ev = graft.Tables.events(spark, dir)
+      .select($"event_type", date_trunc("hour", $"ts").cast("long").as("bar"),
+        unix_micros($"ts").as("us"), $"event_id",
+        round($"value" * 100, 0).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val got = SparkEntry.queries("q149_ohlc_bars")(spark, dir).collect()
+    val byBar = ev.groupBy(t => (t._1, t._2))
+    assert(got.length === byBar.size)
+    got.foreach { r =>
+      // the spec's bar key is cast-to-long = epoch SECONDS
+      val rows = byBar((r.getString(0), r.getAs[Long]("bar_ms") / 1000))
+      val sorted = rows.sortBy(t => (t._3, t._4))
+      assert(r.getAs[Long]("volume") === rows.length.toLong)
+      assert(r.getAs[Long]("open_cents") === sorted.head._5)
+      assert(r.getAs[Long]("close_cents") === sorted.last._5)
+      assert(r.getAs[Long]("high_cents") === rows.map(_._5).max)
+      assert(r.getAs[Long]("low_cents") === rows.map(_._5).min)
+    }
+  }
+
   test("q145 DAU/WAU: contribution rewrite == naive trailing-window distinct count") {
     val dir = sf("sf0.001")
     val pairs = graft.Tables.events(spark, dir)
