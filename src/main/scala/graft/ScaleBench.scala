@@ -182,7 +182,12 @@ object ScaleBench {
     // CMS sketch (one mergeable agg + bounded driver lookups), k-hop
     // BFS (q94's per-round join cost × 3), OHLC bars (ONE struct-
     // min/max hash agg — never a first/last window)
-    "q147_cms_frequencies", "q148_khop_bfs", "q149_ohlc_bars")
+    "q147_cms_frequencies", "q148_khop_bfs", "q149_ohlc_bars",
+    // conversion-delay percentiles (as-of pairing + delay histogram),
+    // dup-cluster sizes (one fingerprint agg + cluster-sized frames),
+    // session bounce (two hash aggs over the q39-shape lag windows)
+    "q150_conversion_delay_percentiles", "q151_dup_cluster_sizes",
+    "q152_session_bounce")
 
   /** Quadratic-by-contract entries, capped at 10×: the exact all-pairs
     * baselines (q33 n-gram Jaccard, q36 cosine pairs), and q49 whose

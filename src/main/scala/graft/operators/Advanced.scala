@@ -412,6 +412,164 @@ object Advanced {
         .orderBy($"cents".desc, $"o_orderkey")
     },
 
+    /** Conversion-delay percentiles (E115/q150) — the funnel-latency
+      * read behind every "how long from click to purchase" dashboard:
+      * each purchase's delay to its most recent preceding click (the
+      * q122 as-of pairing), then exact p50/p90/p99 of the delay
+      * distribution per event count — computed on the DELAY HISTOGRAM
+      * (one agg over conversions, cumulative window over distinct
+      * delay-seconds, min-where-cum rule by integer cross-
+      * multiplication — the q131 machinery on a derived stream).
+      * Delays floored to integer seconds so the value domain stays
+      * bounded (the histogram precondition); unconverted purchases are
+      * excluded (q122 counts them as 'direct'). */
+    QueryDef.sql(
+      "q150_conversion_delay_percentiles",
+      """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |d AS (
+        |  SELECT (epoch_us(p.ts) - (SELECT MAX(epoch_us(c.ts)) FROM c
+        |          WHERE c.user_id = p.user_id AND c.ts <= p.ts)) // 1000000 AS delay_s
+        |  FROM p
+        |), conv AS (
+        |  SELECT delay_s FROM d WHERE delay_s IS NOT NULL
+        |), cum AS (
+        |  SELECT delay_s,
+        |         SUM(COUNT(*)) OVER (ORDER BY delay_s) AS cc,
+        |         SUM(COUNT(*)) OVER () AS n
+        |  FROM conv GROUP BY delay_s
+        |)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n_conversions,
+        |       MIN(CASE WHEN 100 * cc >= 50 * n THEN delay_s END) AS p50_s,
+        |       MIN(CASE WHEN 100 * cc >= 90 * n THEN delay_s END) AS p90_s,
+        |       MIN(CASE WHEN 100 * cc >= 99 * n THEN delay_s END) AS p99_s
+        |FROM cum""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("click_ts"))
+      val delays = graft.plans.AsOfJoin(purchases, clicks,
+          Seq("user_id"), "ts", "click_ts", rightCols = Seq("click_ts"))
+        .filter($"click_ts".isNotNull)
+        .select(expr("(unix_micros(ts) - unix_micros(click_ts)) DIV 1000000")
+          .as("delay_s"))
+      val wv = Window.orderBy($"delay_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wall = Window.partitionBy(lit(1))
+      delays.groupBy($"delay_s").agg(count(lit(1)).as("cnt"))
+        .withColumn("cc", sum($"cnt").over(wv))
+        .withColumn("n", sum($"cnt").over(wall))
+        .agg(max($"n").as("n_conversions"),
+          min(when(lit(100) * $"cc" >= lit(50) * $"n", $"delay_s")).as("p50_s"),
+          min(when(lit(100) * $"cc" >= lit(90) * $"n", $"delay_s")).as("p90_s"),
+          min(when(lit(100) * $"cc" >= lit(99) * $"n", $"delay_s")).as("p99_s"))
+    },
+
+    /** Duplicate-cluster size distribution (E116/q151) — the dedup
+      * observability report read before committing a dedup pass: how
+      * many exact-duplicate clusters exist at each size, how many docs
+      * they absorb, and the per-source duplicate rate (docs that would
+      * be dropped / docs). Runs on the q89/q90 planted corpus (the
+      * shipped corpus is dup-free) so the histogram is non-vacuous.
+      * One fingerprint hash agg → a #clusters-sized frame → a
+      * #sizes-row histogram; the per-source rates re-aggregate from
+      * the (fp, source) grain. All exact integers + rp6 rates. */
+    QueryDef.sql(
+      "q151_dup_cluster_sizes",
+      """WITH p AS (
+        |  SELECT d.doc_id, d.source,
+        |         COALESCE(h.text, d.text) AS text
+        |  FROM documents d LEFT JOIN documents h
+        |    ON h.doc_id = (d.doc_id // 5) * 5 AND d.doc_id % 5 = 4
+        |), f AS (
+        |  SELECT doc_id, source,
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM p
+        |), cl AS (
+        |  SELECT fp, COUNT(*) AS sz FROM f GROUP BY fp
+        |)
+        |SELECT CAST(sz AS BIGINT) AS cluster_size,
+        |       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |       CAST(SUM(sz) AS BIGINT) AS n_docs,
+        |       CAST(SUM(sz - 1) AS BIGINT) AS n_droppable
+        |FROM cl GROUP BY sz ORDER BY cluster_size""".stripMargin) { (s, d) =>
+      val planted = TextOps.plantDupes(Tables.documents(s, d))
+      val cl = planted
+        .select(graft.text.TextFunctions.fingerprint($"text").as("fp"))
+        .groupBy($"fp").agg(count(lit(1)).as("sz"))
+      cl.groupBy($"sz".as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum($"sz").as("n_docs"),
+          sum($"sz" - 1).as("n_droppable"))
+        .orderBy($"cluster_size")
+    },
+
+    /** Session bounce/entry analysis (E117/q152) — the session-level
+      * metric layer on q39/q144's assembly: per ENTRY event type, how
+      * many sessions start there, how many bounce (single-event
+      * sessions), the bounce rate, and the mean session length.
+      * Entry/exit are the E54 min-struct arg-min under the (ts,
+      * event_id) total order, so the whole report is TWO hash aggs
+      * (events → sessions, sessions → entry grain) — no window over
+      * events (the oracle restates sessions with the lag construction,
+      * different plan, same sessions). */
+    QueryDef.sql(
+      "q152_session_bounce",
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         CASE WHEN LAG(ts) OVER w IS NULL
+        |                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+        |              ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM flagged
+        |), counted AS (
+        |  SELECT user_id, seq, event_type,
+        |         COUNT(*) OVER (PARTITION BY user_id, seq) AS n_events,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, seq
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM sessions
+        |), s2 AS (
+        |  SELECT event_type AS entry_type, n_events FROM counted WHERE rn = 1
+        |)
+        |SELECT entry_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+        |       CAST(ROUND((CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)) * 1e6, 0) AS BIGINT) / 1e6 AS bounce_rate,
+        |       CAST(ROUND((CAST(SUM(n_events) AS DOUBLE) / COUNT(n_events)) * 1e4, 0) AS BIGINT) / 1e4 AS mean_session_events
+        |FROM s2 GROUP BY entry_type ORDER BY entry_type""".stripMargin) { (s, d) =>
+      val gapUs = 30L * 60 * 1000000
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val sessions = Tables.events(s, d)
+        .select($"user_id", $"event_id", $"ts", $"event_type",
+          unix_micros($"ts").as("us"))
+        .withColumn("new_session",
+          when(lag($"us", 1).over(w).isNull ||
+            $"us" - lag($"us", 1).over(w) > gapUs, 1L).otherwise(0L))
+        .withColumn("seq", sum($"new_session").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val perSession = sessions
+        .groupBy($"user_id", $"seq")
+        .agg(count(lit(1)).as("n_events"),
+          min(struct($"us", $"event_id", $"event_type"))
+            .getField("event_type").as("entry_type"))
+      perSession.groupBy($"entry_type")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when($"n_events" === 1, 1L).otherwise(0L)).as("n_bounces"))
+        .join(perSession.groupBy($"entry_type")
+          .agg(round2(graft.functions.Shims.avgExact($"n_events"), 4)
+            .as("mean_session_events")), Seq("entry_type"))
+        .select($"entry_type", $"n_sessions", $"n_bounces",
+          round2($"n_bounces".cast("double") / $"n_sessions", 6).as("bounce_rate"),
+          $"mean_session_events")
+        .orderBy($"entry_type")
+    },
+
     /** OHLC bars (E112/q149) — the financial/metrics "candlestick"
       * aggregation: per (event_type, hour) the Opening value (at the
       * minimum (ts, event_id)), High, Low, Close (at the maximum),

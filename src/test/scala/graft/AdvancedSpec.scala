@@ -585,6 +585,54 @@ class AdvancedSpec extends GraftSpec {
     }
   }
 
+  test("q150 conversion delays: percentiles match a naive as-of + sorted-rank replay") {
+    val dir = sf("sf0.001")
+    val ev = graft.Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val clicks = ev.filter(_._2 == "click").groupBy(_._1).view
+      .mapValues(_.map(_._3).sorted).toMap
+    val delays = ev.filter(_._2 == "purchase").flatMap { p =>
+      clicks.get(p._1).flatMap { cs =>
+        val prior = cs.filter(_ <= p._3)
+        if (prior.isEmpty) None else Some((p._3 - prior.max) / 1000000L)
+      }
+    }.sorted
+    def pct(p: Long): Long =
+      delays.find(v => 100L * delays.count(_ <= v) >= p * delays.length).get
+    val r = SparkEntry.queries("q150_conversion_delay_percentiles")(spark, dir).head()
+    assert(r.getAs[Long]("n_conversions") === delays.length.toLong)
+    assert(r.getAs[Long]("p50_s") === pct(50))
+    assert(r.getAs[Long]("p90_s") === pct(90))
+    assert(r.getAs[Long]("p99_s") === pct(99))
+  }
+
+  test("q151 dup clusters: histogram partitions the planted corpus; droppable = docs - clusters") {
+    val dir = sf("sf0.001")
+    val nDocs = graft.Tables.documents(spark, dir).count()
+    val rows = SparkEntry.queries("q151_dup_cluster_sizes")(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ===
+        r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters"))
+      assert(r.getAs[Long]("n_droppable") ===
+        r.getAs[Long]("n_docs") - r.getAs[Long]("n_clusters"))
+    }
+    // the plant makes the histogram non-vacuous: clusters of size >= 2 exist
+    assert(rows.exists(_.getAs[Long]("cluster_size") >= 2L))
+  }
+
+  test("q152 bounce: entry grain partitions the session count; bounces bounded") {
+    val dir = sf("sf0.001")
+    val sessions = SparkEntry.queries("q39_sessionize")(spark, dir).count()
+    val rows = SparkEntry.queries("q152_session_bounce")(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("n_sessions")).sum === sessions)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bounces") <= r.getAs[Long]("n_sessions"))
+      assert(r.getAs[Double]("mean_session_events") >= 1.0)
+    }
+  }
+
   test("q147 CMS: estimate >= exact always (one-sided), within the eps*N bound") {
     val dir = sf("sf0.001")
     val got = SparkEntry.queries("q147_cms_frequencies")(spark, dir).collect()
