@@ -200,9 +200,19 @@ object CorpusGen {
     // nation/region) joined with the fourth wave (q119/q128/q136/
     // q138/q139/q141) — a dir generated before them regenerates the
     // slice (deterministic seed → identical rows, new columns)
-    if (nOrders > 0 && (!new java.io.File(dir, "orders.parquet").exists() ||
-        !spark.read.parquet(s"$dir/lineitem.parquet").columns.contains("l_partkey") ||
-        !spark.read.parquet(s"$dir/orders.parquet").columns.contains("o_totalprice")))
-      relational(spark, dir, nOrders)
+    if (nOrders > 0) {
+      // guard the schema probes behind existence checks: a dir with
+      // orders.parquet but a missing/partial lineitem.parquet
+      // (interrupted generation) must regenerate, not throw
+      def tableOk(name: String, col: String): Boolean = {
+        val f = new java.io.File(dir, name)
+        f.exists() &&
+          (try spark.read.parquet(f.getPath).columns.contains(col)
+           catch { case _: Exception => false })
+      }
+      if (!tableOk("orders.parquet", "o_totalprice") ||
+          !tableOk("lineitem.parquet", "l_partkey"))
+        relational(spark, dir, nOrders)
+    }
   }
 }

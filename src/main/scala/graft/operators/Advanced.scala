@@ -667,7 +667,7 @@ object Advanced {
         .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
         .distinct()
       val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
-        .distinct().cache()
+        .distinct().localCheckpoint()
       val seeds = Tables.customer(s, d)
         .filter($"c_mktsegment" === "BUILDING")
         .select(($"c_custkey" * 2).as("node"))
@@ -1105,13 +1105,15 @@ object Advanced {
         .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
         .distinct()
       // the edge list is the loop invariant every iteration re-joins —
-      // cache it (and the degree table) so the orders⋈lineitem
+      // localCheckpoint it (and the degree table) so the orders⋈lineitem
       // derivation and its two distincts run ONCE, not once per
-      // iteration; this is what any production PageRank materializes
+      // iteration; checkpoint blocks are ContextCleaner-managed (freed
+      // when the frame is GC'd) instead of pinning CacheManager memory
+      // for the session across a ~190-query sweep
       val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
-        .distinct().cache()
+        .distinct().localCheckpoint()
       val deg = edges.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
-        .cache()
+        .localCheckpoint()
       val r0 = deg.withColumn("rank", lit(1000000000000L))
       // `Column./` promotes to double (unsafe past 2^53 of rank mass);
       // every division below is integer `DIV`, exact at any scale
@@ -1186,7 +1188,7 @@ object Advanced {
         .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
         .distinct()
       val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
-        .distinct().cache()
+        .distinct().localCheckpoint()
       val deg0 = edges.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
       val seeds = Tables.customer(s, d)
         .filter($"c_mktsegment" === "BUILDING")
@@ -1201,7 +1203,7 @@ object Advanced {
         .select($"node", $"deg",
           when($"is_seed".isNotNull,
             expr("(150000000000L * n) DIV ns")).otherwise(0L).as("tp"))
-        .cache()
+        .localCheckpoint()
       val r0 = deg.withColumn("rank", $"tp")
       val r3 = (1 to 3).foldLeft(r0) { (r, _) =>
         r.join(edges, r("node") === edges("src"))
@@ -2109,11 +2111,12 @@ object Advanced {
       val li = Tables.lineitem(s, d)
         .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
       // the basket self-join + distinct is the expensive leaf and
-      // feeds the degree union (2 scans) AND the orientation — cache
-      // it so it runs once (the q94 loop-invariant rule)
+      // feeds the degree union (2 scans) AND the orientation —
+      // localCheckpoint it so it runs once (the q94 loop-invariant
+      // rule; ContextCleaner-managed, not session-pinned)
       val e = li.as("a").join(li.as("b"),
           $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
-        .select($"a.pk".as("u"), $"b.pk".as("v")).distinct().cache()
+        .select($"a.pk".as("u"), $"b.pk".as("v")).distinct().localCheckpoint()
       val deg = e.select($"u".as("n"))
         .unionAll(e.select($"v".as("n")))
         .groupBy($"n").agg(count(lit(1)).as("dg"))
@@ -2134,8 +2137,9 @@ object Advanced {
       // Past broadcast size the same plan runs as shuffle joins —
       // wedges partition by their middle node, still never a pair
       // space.
-      val edB = broadcast(ed.cache())
-      val wedges = ed.as("e1").join(edB.as("e2"), $"e1.t" === $"e2.s")
+      val edC = ed.localCheckpoint()
+      val edB = broadcast(edC)
+      val wedges = edC.as("e1").join(edB.as("e2"), $"e1.t" === $"e2.s")
         .select($"e1.s".as("wa"), $"e2.t".as("wc"))
       val tri = wedges.join(edB.as("e3"),
           $"wa" === $"e3.s" && $"wc" === $"e3.t")
@@ -2353,18 +2357,18 @@ object Advanced {
         |ORDER BY part, rnk""".stripMargin) { (s, d) =>
       // the distinct basket table feeds the item counts AND both sides
       // of the pair self-join; the pruned pair table feeds both union
-      // branches — cache each so the expensive leaves run once (the
-      // q94 loop-invariant rule)
+      // branches — localCheckpoint each so the expensive leaves run
+      // once (the q94 loop-invariant rule; ContextCleaner-managed)
       val b = Tables.lineitem(s, d)
         .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
-        .cache()
+        .localCheckpoint()
       val ic = b.groupBy($"pk").agg(count(lit(1)).as("ci"))
       val pairs = b.as("a").join(b.as("c"),
           $"a.ok" === $"c.ok" && $"a.pk" < $"c.pk")
         .groupBy($"a.pk".as("i"), $"c.pk".as("j"))
         .agg(count(lit(1)).as("cij"))
         .filter($"cij" >= 2)
-        .cache()
+        .localCheckpoint()
       val sym = pairs.unionAll(
         pairs.select($"j".as("i"), $"i".as("j"), $"cij"))
       val scored = sym

@@ -228,6 +228,13 @@ case class AsOfJoinExec(
           override def next(): InternalRow = {
             val l = li.next()
             val lkOk = fill(l, lOrds, lkv)
+            // Null-key left rows never match (SQL equi-join contract)
+            // AND leave the key slots unusable: emit immediately,
+            // consuming NO right rows on their behalf. With nulls-first
+            // left ordering a stale/zero slot would otherwise wrongly
+            // drop negative-key right rows before their real matching
+            // left rows arrive.
+            if (!lkOk) return joined(l, nullRight)
             val ltNull = l.isNullAt(lOrds(nK))
             val lt = if (ltNull) 0L else l.getLong(lOrds(nK))
             val lUsable = lkOk && !ltNull
@@ -316,6 +323,11 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val l = li.next()
           val lkOk = fill(lKeyArr, l, lkv)
+          // Same contract as the fast path: a null-key left row is
+          // emitted unmatched without entering the right-advance loop —
+          // cmpKeysRL over a null slot would NPE the interpreted
+          // ordering for non-primitive key types (e.g. UTF8String).
+          if (!lkOk) return joined(l, nullRight)
           val lt = lTimeB.eval(l)
           val lUsable = lkOk && lt != null
           // advance the right pointer through every row at or before

@@ -62,6 +62,76 @@ class AsOfNativeSpec extends GraftSpec {
     ))
   }
 
+  test("null-key lefts consume no right rows: negative keys still match (fast path)") {
+    // Nulls-first left ordering puts the null-key row BEFORE key -5; a
+    // merge that compared against stale/zero key slots would consume
+    // (ck<0) and silently drop the -5 right row before its real left
+    // row arrives. Single partition to force one merged stream.
+    val left = Seq(
+      (Option.empty[Long], Some(100L), 1L),
+      (Some(-5L), Some(100L), 2L),
+      (Some(7L), Some(100L), 3L)
+    ).toDF("k", "t", "lid").coalesce(1)
+    val right = Seq(
+      (Some(-5L), Some(50L), "neg"),
+      (Some(7L), Some(50L), "pos")
+    ).toDF("k", "rt", "v").coalesce(1)
+    val out = AsOfJoinNative(left, right, Seq("k"), "t", "rt")
+      .orderBy($"lid")
+      .collect().map(r => Option(r.getAs[String]("v")))
+    assert(out.toSeq === Seq(None, Some("neg"), Some("pos")))
+  }
+
+  test("null-key lefts with string keys: generic path emits unmatched, no NPE") {
+    // string keys are not long-physical → generic interpreted-ordering
+    // path; before the guard, cmpKeysRL passed the null slot into
+    // UTF8String.compareTo and crashed.
+    val left = Seq(
+      (Option.empty[String], Some(100L), 1L),
+      (Some("a"), Some(100L), 2L),
+      (Some("zz"), Some(100L), 3L)
+    ).toDF("k", "t", "lid").coalesce(1)
+    val right = Seq(
+      (Some("a"), Some(50L), "first"),
+      (Some("zz"), Some(60L), "last")
+    ).toDF("k", "rt", "v").coalesce(1)
+    val out = AsOfJoinNative(left, right, Seq("k"), "t", "rt")
+      .orderBy($"lid")
+      .collect().map(r => Option(r.getAs[String]("v")))
+    assert(out.toSeq === Seq(None, Some("first"), Some("last")))
+  }
+
+  test("randomized with null/negative keys: native == naive reference (fast + generic)") {
+    val rnd = new scala.util.Random(7)
+    def key(): Option[Long] = rnd.nextInt(10) match {
+      case 0 => None
+      case n => Some(n.toLong - 5) // keys in [-4, 4], incl. negatives
+    }
+    val lrows = Seq.tabulate(300)(i => (i.toLong, key(), rnd.nextInt(500).toLong))
+    val rrows = Seq.tabulate(200)(i => (i.toLong, key(), rnd.nextInt(500).toLong))
+    val want = lrows.map { case (lid, k, t) =>
+      val cands = rrows.filter(r => k.isDefined && r._2 == k && r._3 <= t)
+      lid -> (if (cands.isEmpty) None else Some(cands.maxBy(r => (r._3, r._1))._1))
+    }.toMap
+    // fast path (long keys)
+    val gotFast = AsOfJoinNative(
+      lrows.toDF("lid", "k", "t").repartition(5),
+      rrows.toDF("rid", "k", "rt").repartition(3),
+      Seq("k"), "t", "rt", Some("rid"))
+      .select($"lid", $"rid").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(gotFast === want)
+    // generic path (string-ified keys preserve order via sign+padding)
+    def sk(k: Option[Long]): Option[String] = k.map(v => f"${v + 100}%03d")
+    val gotGen = AsOfJoinNative(
+      lrows.map { case (lid, k, t) => (lid, sk(k), t) }.toDF("lid", "k", "t").repartition(5),
+      rrows.map { case (rid, k, t) => (rid, sk(k), t) }.toDF("rid", "k", "rt").repartition(3),
+      Seq("k"), "t", "rt", Some("rid"))
+      .select($"lid", $"rid").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(gotGen === want)
+  }
+
   test("randomized: native as-of == naive per-row latest-right reference (multi-partition)") {
     val rnd = new scala.util.Random(42)
     val lrows = Seq.fill(400)((rnd.nextInt(12).toLong, rnd.nextInt(1000).toLong))
