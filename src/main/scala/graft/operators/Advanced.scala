@@ -17,6 +17,27 @@ import graft.plans.SaltedAggregate
   */
 object Advanced {
 
+  /** Shared symmetric customer↔supplier co-order edge list — the graph
+    * every iterative gate here walks (q94 PageRank, q141 personalized
+    * PageRank, q148 k-hop BFS). Nodes: c_custkey*2 (even) /
+    * l_suppkey*2+1 (odd); one edge per distinct (customer, supplier)
+    * co-order pair, both directions. Built with a SINGLE distinct over
+    * the already-symmetric union (one wide shuffle — the earlier
+    * per-query shape deduped the directed list first and again after
+    * the union, paying two), then localCheckpoint'ed: the loop
+    * re-joins it every round, the blocks are ContextCleaner-managed,
+    * and every round's identical edge exchange is reused by Spark's
+    * ReuseExchange. */
+  private def coOrderEdges(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val raw = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), $"l_orderkey" === $"o_orderkey")
+      .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+    raw.unionByName(raw.select($"dst".as("src"), $"src".as("dst")))
+      .distinct().localCheckpoint()
+  }
+
+
   /** Sharded sessionization — the 100 TB shape of q39 (E16).
     *
     * The q39 gate's `Window.partitionBy(user_id)` routes EVERY event of
@@ -662,12 +683,7 @@ object Advanced {
            |FROM d3
            |ORDER BY node_type, key""".stripMargin
       }) { (s, d) =>
-      val e0 = Tables.orders(s, d)
-        .join(Tables.lineitem(s, d), $"l_orderkey" === $"o_orderkey")
-        .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
-        .distinct()
-      val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
-        .distinct().localCheckpoint()
+      val edges = coOrderEdges(s, d)
       val seeds = Tables.customer(s, d)
         .filter($"c_mktsegment" === "BUILDING")
         .select(($"c_custkey" * 2).as("node"))
@@ -1100,18 +1116,13 @@ object Advanced {
            |FROM r3
            |ORDER BY rank_scaled DESC, node_type, key""".stripMargin
       }) { (s, d) =>
-      val e0 = Tables.orders(s, d)
-        .join(Tables.lineitem(s, d), $"l_orderkey" === $"o_orderkey")
-        .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
-        .distinct()
       // the edge list is the loop invariant every iteration re-joins —
-      // localCheckpoint it (and the degree table) so the orders⋈lineitem
-      // derivation and its two distincts run ONCE, not once per
-      // iteration; checkpoint blocks are ContextCleaner-managed (freed
-      // when the frame is GC'd) instead of pinning CacheManager memory
-      // for the session across a ~190-query sweep
-      val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
-        .distinct().localCheckpoint()
+      // [[coOrderEdges]] localCheckpoints it (and the degree table
+      // below) so the orders⋈lineitem derivation and the distinct run
+      // ONCE, not once per iteration; checkpoint blocks are
+      // ContextCleaner-managed (freed when the frame is GC'd) instead
+      // of pinning CacheManager memory across a ~190-query sweep
+      val edges = coOrderEdges(s, d)
       val deg = edges.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
         .localCheckpoint()
       val r0 = deg.withColumn("rank", lit(1000000000000L))
@@ -1183,12 +1194,7 @@ object Advanced {
            |FROM r3
            |ORDER BY rank_scaled DESC, node_type, key""".stripMargin
       }) { (s, d) =>
-      val e0 = Tables.orders(s, d)
-        .join(Tables.lineitem(s, d), $"l_orderkey" === $"o_orderkey")
-        .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
-        .distinct()
-      val edges = e0.unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
-        .distinct().localCheckpoint()
+      val edges = coOrderEdges(s, d)
       val deg0 = edges.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
       val seeds = Tables.customer(s, d)
         .filter($"c_mktsegment" === "BUILDING")
@@ -2114,9 +2120,10 @@ object Advanced {
       // feeds the degree union (2 scans) AND the orientation —
       // localCheckpoint it so it runs once (the q94 loop-invariant
       // rule; ContextCleaner-managed, not session-pinned)
-      val e = li.as("a").join(li.as("b"),
-          $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
-        .select($"a.pk".as("u"), $"b.pk".as("v")).distinct().localCheckpoint()
+      val Seq(e) = Pinned.swap(s, "q127_pairs",
+        li.as("a").join(li.as("b"),
+            $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+          .select($"a.pk".as("u"), $"b.pk".as("v")).distinct())
       val deg = e.select($"u".as("n"))
         .unionAll(e.select($"v".as("n")))
         .groupBy($"n").agg(count(lit(1)).as("dg"))
@@ -2137,7 +2144,7 @@ object Advanced {
       // Past broadcast size the same plan runs as shuffle joins —
       // wedges partition by their middle node, still never a pair
       // space.
-      val edC = ed.localCheckpoint()
+      val Seq(edC) = Pinned.swap(s, "q127_oriented", ed)
       val edB = broadcast(edC)
       val wedges = edC.as("e1").join(edB.as("e2"), $"e1.t" === $"e2.s")
         .select($"e1.s".as("wa"), $"e2.t".as("wc"))
@@ -2359,16 +2366,16 @@ object Advanced {
       // of the pair self-join; the pruned pair table feeds both union
       // branches — localCheckpoint each so the expensive leaves run
       // once (the q94 loop-invariant rule; ContextCleaner-managed)
-      val b = Tables.lineitem(s, d)
-        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
-        .localCheckpoint()
+      val Seq(b) = Pinned.swap(s, "q132_baskets",
+        Tables.lineitem(s, d)
+          .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct())
       val ic = b.groupBy($"pk").agg(count(lit(1)).as("ci"))
-      val pairs = b.as("a").join(b.as("c"),
-          $"a.ok" === $"c.ok" && $"a.pk" < $"c.pk")
-        .groupBy($"a.pk".as("i"), $"c.pk".as("j"))
-        .agg(count(lit(1)).as("cij"))
-        .filter($"cij" >= 2)
-        .localCheckpoint()
+      val Seq(pairs) = Pinned.swap(s, "q132_pairs",
+        b.as("a").join(b.as("c"),
+            $"a.ok" === $"c.ok" && $"a.pk" < $"c.pk")
+          .groupBy($"a.pk".as("i"), $"c.pk".as("j"))
+          .agg(count(lit(1)).as("cij"))
+          .filter($"cij" >= 2))
       val sym = pairs.unionAll(
         pairs.select($"j".as("i"), $"i".as("j"), $"cij"))
       val scored = sym
@@ -2504,7 +2511,7 @@ object Advanced {
       * spam-farm / influential-subgraph detector. k is derived from
       * the graph itself (k = (7·Σdeg) DIV (10·n), ~70% of mean degree
       * — integer arithmetic, scale-free), which on this co-order graph
-      * yields a genuine multi-round cascade (3/6/10 rounds at
+      * yields a genuine multi-round cascade (3/6/10 relaxations at
       * sf0.001/0.01/0.1) ending in a non-empty core. DEGREE-DECREMENT
       * rounds: the edge list is static and read-only (cached, probed
       * through a broadcast-hash join against the bad frontier — past
@@ -2524,9 +2531,6 @@ object Advanced {
         .select($"a.pk".as("u"), $"c.pk".as("v")).distinct()
       val sym = und.unionAll(und.select($"v".as("u"), $"u".as("v"))).persist()
       try {
-        val st = sym.agg(count(lit(1)).as("sd"),
-          countDistinct($"u").as("n")).first()
-        val k = 7L * st.getLong(0) / (10L * st.getLong(1))
         // DEGREE-DECREMENT peeling: the edge list is static (cached,
         // scanned read-only each round through a broadcast-hash join
         // against the bad set); the per-round mutable state is the
@@ -2535,8 +2539,17 @@ object Advanced {
         // — 12.6 s at sf0.1; this shape does total decrement work ∝ E
         // across ALL rounds (each edge dies at most twice) and
         // checkpoints ≤ n rows per round — 10× less round machinery.
+        // (A round-BATCHING variant — two relaxations per checkpoint —
+        // measured SLOWER at sf0.1: the second relaxation's broadcast
+        // subplan re-evaluates the first's edge probe, and AQE does
+        // not reuse those exchanges across the broadcast boundary.)
         var deg = sym.groupBy($"u".as("node")).agg(count(lit(1)).as("dg"))
           .localCheckpoint()
+        // k from the DEGREE table (Σdg = 2·|und|, one row per node) —
+        // a node-sized pass instead of a second 2·E-row scan of sym
+        val st = deg.agg(sum($"dg").as("sd"),
+          count(lit(1)).as("n")).first()
+        val k = 7L * st.getLong(0) / (10L * st.getLong(1))
         var nPrev = deg.count()
         var round = 0
         var done = false

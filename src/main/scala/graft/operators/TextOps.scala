@@ -29,6 +29,7 @@ object TextOps {
     val budgets = toks.groupBy($"source")
       .agg(expr(s"(sum(n_tokens) * $num) DIV $den").as("__budget"))
     greedyHashPrefix(toks, budgets)
+      .select($"doc_id", $"source", $"n_tokens", $"sample_rank", $"kept")
   }
 
   /** `(doc_id, source, n_tokens, fp)` — the shared scan head of the
@@ -77,7 +78,8 @@ object TextOps {
       .join(budgets, Seq("source"))
       .select($"__shard", $"source", $"__roff", $"__coff", $"__budget")
     ranked.join(broadcast(offsets), Seq("__shard", "source"))
-      .select($"doc_id", $"source", $"n_tokens".cast("int").as("n_tokens"),
+      .select($"doc_id", $"source", $"fp",
+        $"n_tokens".cast("int").as("n_tokens"),
         ($"__roff" + $"__lrn").cast("long").as("sample_rank"),
         (($"__coff" + $"__lcum") <= $"__budget").as("kept"))
   }
@@ -217,26 +219,53 @@ object TextOps {
     * documents to the shard manifest a training loader consumes
     * (shard_id, docs, token mass, source diversity).
     *
-    * Every stage is the already-verified operator: [[graft.dedup.Dedup.exact]]
-    * (min-id per fingerprint, aggregate + semi-join), [[temperatureRemix]]
+    * Every stage is the already-verified operator: exact dedup with
+    * [[graft.dedup.Dedup.exact]]'s exact shape (min-id per fingerprint,
+    * aggregate + semi-join — run over the once-computed token table so
+    * the raw text is scanned exactly once), [[temperatureRemix]]
     * (integer sqrt-share budgets), [[trainingShards]] (global two-stage
     * prefix sum), then one hash aggregation to the manifest — no new
     * shuffle shapes, so the composed plan inherits each stage's 100 TB
     * posture. */
   def corpusToShards(docs: DataFrame, shardTokens: Long = 4096L): DataFrame = {
-    val deduped = graft.dedup.Dedup.exact(docs, "doc_id", "text")
-    // persisted: the tokenized dedup output feeds the remix's four
-    // model-sized aggregates, the prefix pass, and the pack — each
-    // materialization would otherwise re-run the plant join + dedup +
-    // tokenize subtree (~6 corpus scans measured before the cache).
-    // Same lifecycle as Vectors.semDedup: eager localCheckpoint of the
-    // manifest, then drop the cache before returning.
-    val toks = docTokens(deduped).persist()
+    // The capstone is SEQUENTIAL-STAGE-DEPTH-bound, not data-bound
+    // (DuckDB replays it as one vectorized statement; a first Spark
+    // composition of the verified stage operators ran ~30 AQE stages
+    // and paid ~0.1 s dispatch on every one). Each stage below is the
+    // minimum-depth equivalent of the verified operator:
+    //  - ONE corpus pass computes (id, source, fp, n_tokens); exact
+    //    dedup is a min-over-fp window on that (Dedup.exact's min-id
+    //    semantics without its second raw-text evaluation + semi-join;
+    //    dup clusters are small, so the window partition is bounded);
+    //  - the temperature budgets fold the remix's broadcast-crossJoin
+    //    ladder (src→total→rw→norm→budget, 4 sequential broadcast
+    //    stages) into ONE model-sized global window (#sources rows);
+    //  - [[greedyHashPrefix]] carries fp through, so the kept set
+    //    feeds the pack directly — no join-back against the token
+    //    table. The values are bit-identical to the stage operators'
+    //    (same integer arithmetic, same orders); only the plan depth
+    //    changes. Lifecycle as Vectors.semDedup: persist the shared
+    //    token table, eager localCheckpoint of the manifest, drop the
+    //    cache before returning.
+    val wFp = Window.partitionBy($"fp")
+    val toks = docTokens(docs)
+      .withColumn("__kid", min($"doc_id").over(wFp))
+      .filter($"doc_id" === $"__kid").drop("__kid")
+      .persist()
     try {
-      val keptIds = temperatureRemixFromToks(toks)
-        .filter($"kept").select($"doc_id")
-      val keptToks = toks.join(keptIds, Seq("doc_id"), "left_semi")
-      trainingShardsFromToks(keptToks, shardTokens)
+      val wAll = Window.partitionBy()
+      val budgets = toks.groupBy($"source")
+        .agg(sum($"n_tokens").as("src_tokens"))
+        .withColumn("total", sum($"src_tokens").over(wAll))
+        .withColumn("rw",
+          round(sqrt($"src_tokens".cast("double") / $"total") * lit(1e6), 0)
+            .cast("long"))
+        .withColumn("norm", sum($"rw").over(wAll))
+        .select($"source", expr("((total DIV 2) * rw) DIV norm").as("__budget"))
+      val kept = greedyHashPrefix(toks, budgets)
+        .filter($"kept")
+        .select($"doc_id", $"source", $"fp", $"n_tokens")
+      trainingShardsFromToks(kept, shardTokens)
         .groupBy($"shard_id")
         .agg(count(lit(1)).as("n_docs"),
           sum($"n_tokens").cast("long").as("n_tokens"),
