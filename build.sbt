@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// raw pass-through for forked run output: Bench/Verify print one-line
+// JSON contracts that downstream tooling parses from the captured
+// stdout tail — sbt's default logger would prefix every line with
+// "[info] " and break that parse
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -148,6 +148,9 @@ object ScaleBench {
     // degree-oriented triangle counting (wedge fan bounded by out-degree
     // ≤ O(√E)), and the Benford audit (one conditional-sum scan)
     "q125_ann_sq8", "q126_ranking_eval", "q127_triangle_count",
+    // r9: the DOULION sampled twin — the declared 100 TB path whose
+    // p² wedge saving must show on the same curve as q127's exact count
+    "q127b_triangle_sample",
     "q128_benford_audit",
     // trigram path mining (q39-shape lag windows + one hash agg +
     // k-slot top-k), weighted quantiles (one histogram pass, value-

@@ -37,6 +37,78 @@ object Advanced {
       .distinct().localCheckpoint()
   }
 
+  /** The distinct part co-order pair list (q110's basket self-join
+    * leaf), pinned via [[Pinned.swap]] — the expensive leaf shared
+    * by the exact and sampled triangle gates. */
+  private def basketPairs(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+    Pinned.swap(s, "q127_pairs",
+      li.as("a").join(li.as("b"),
+          $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+        .select($"a.pk".as("u"), $"b.pk".as("v")).distinct()).head
+  }
+
+  /** Degree-ordered triangle closure over an undirected distinct
+    * edge list: returns (graph census aggregate, triangle count).
+    * `broadcastEdges` selects the physical join strategy for the
+    * two closure joins: hinted broadcast (the small/medium-graph
+    * plan — the ~Σ outdeg² wedge stream flows through two map-side
+    * hash joins in one codegen stage, never shuffled) vs un-hinted
+    * shuffle joins (the past-broadcast-size plan — wedges partition
+    * by their middle node, still never a pair space). PlanSpec
+    * proves both strategies produce the identical count with
+    * autoBroadcastJoinThreshold disabled — the measured fallback
+    * gate, not a comment. */
+  private def orientedClosure(s: SparkSession,
+      e: org.apache.spark.sql.DataFrame, pinKey: String,
+      broadcastEdges: Boolean)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val deg = e.select($"u".as("n"))
+      .unionAll(e.select($"v".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("dg"))
+    // orient low (deg, id) -> high: a total order, so wedge a->b->c
+    // implies a < c in it and the closing edge can only be (a, c)
+    // the degree table is node-sized — broadcastable together with
+    // the edge list; past broadcast size it shuffles with it
+    def hint(df: org.apache.spark.sql.DataFrame) =
+      if (broadcastEdges) broadcast(df) else df
+    val ed = e
+      .join(hint(deg.select($"n".as("u"), $"dg".as("du"))), Seq("u"))
+      .join(hint(deg.select($"n".as("v"), $"dg".as("dv"))), Seq("v"))
+      .select(
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u")
+          .otherwise($"v").as("s"),
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v")
+          .otherwise($"u").as("t"))
+    val Seq(edC) = Pinned.swap(s, pinKey, ed)
+    val edR = if (broadcastEdges) broadcast(edC) else edC
+    val wedges = edC.as("e1").join(edR.as("e2"), $"e1.t" === $"e2.s")
+      .select($"e1.s".as("wa"), $"e2.t".as("wc"))
+    val tri = wedges.join(edR.as("e3"),
+        $"wa" === $"e3.s" && $"wc" === $"e3.t")
+      .agg(count(lit(1)).as("t"))
+    val agg = deg.agg(
+      count(lit(1)).as("n_parts"),
+      (sum($"dg") / 2).cast("long").as("n_edges"),
+      (sum($"dg" * ($"dg" - 1)) / 2).cast("long").as("wedges"))
+    (agg, tri)
+  }
+
+  /** q127's full census — shared by the gate entry and the PlanSpec
+    * broadcast-fallback proof. */
+  private[graft] def triangleCensus(s: SparkSession, d: String,
+      broadcastEdges: Boolean): org.apache.spark.sql.DataFrame = {
+    val (agg, tri) = orientedClosure(s, basketPairs(s, d),
+      "q127_oriented", broadcastEdges)
+    broadcast(agg).crossJoin(broadcast(tri))
+      .select($"n_parts", $"n_edges", $"wedges".as("n_wedges"),
+        $"t".as("n_triangles"),
+        round2((lit(3) * $"t").cast("double") / $"wedges".cast("double"), 6)
+          .as("clustering_coeff"))
+  }
+
 
   /** Sharded sessionization — the 100 TB shape of q39 (E16).
     *
@@ -2114,52 +2186,34 @@ object Advanced {
         |       CAST(t AS BIGINT) AS n_triangles,
         |       CAST(ROUND((CAST(3 * t AS DOUBLE) / CAST(wedges AS DOUBLE)) * 1e6, 0) AS BIGINT) / 1e6 AS clustering_coeff
         |FROM agg, tri""".stripMargin) { (s, d) =>
-      val li = Tables.lineitem(s, d)
-        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
-      // the basket self-join + distinct is the expensive leaf and
-      // feeds the degree union (2 scans) AND the orientation —
-      // localCheckpoint it so it runs once (the q94 loop-invariant
-      // rule; ContextCleaner-managed, not session-pinned)
-      val Seq(e) = Pinned.swap(s, "q127_pairs",
-        li.as("a").join(li.as("b"),
-            $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
-          .select($"a.pk".as("u"), $"b.pk".as("v")).distinct())
-      val deg = e.select($"u".as("n"))
-        .unionAll(e.select($"v".as("n")))
-        .groupBy($"n").agg(count(lit(1)).as("dg"))
-      // orient low (deg, id) -> high: a total order, so wedge a->b->c
-      // implies a < c in it and the closing edge can only be (a, c)
-      val ed = e
-        .join(broadcast(deg.select($"n".as("u"), $"dg".as("du"))), Seq("u"))
-        .join(broadcast(deg.select($"n".as("v"), $"dg".as("dv"))), Seq("v"))
-        .select(
-          when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u")
-            .otherwise($"v").as("s"),
-          when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v")
-            .otherwise($"u").as("t"))
-      // both joins BROADCAST the oriented edge list (longs-only, ~MBs
-      // per million edges): the ~Σ outdeg² wedge stream then flows
-      // through two map-side hash joins inside one codegen stage and
-      // is never shuffled or materialized (9.2 s → map-side at sf0.1).
-      // Past broadcast size the same plan runs as shuffle joins —
-      // wedges partition by their middle node, still never a pair
-      // space.
-      val Seq(edC) = Pinned.swap(s, "q127_oriented", ed)
-      val edB = broadcast(edC)
-      val wedges = edC.as("e1").join(edB.as("e2"), $"e1.t" === $"e2.s")
-        .select($"e1.s".as("wa"), $"e2.t".as("wc"))
-      val tri = wedges.join(edB.as("e3"),
-          $"wa" === $"e3.s" && $"wc" === $"e3.t")
-        .agg(count(lit(1)).as("t"))
-      val agg = deg.agg(
-        count(lit(1)).as("n_parts"),
-        (sum($"dg") / 2).cast("long").as("n_edges"),
-        (sum($"dg" * ($"dg" - 1)) / 2).cast("long").as("wedges"))
+      triangleCensus(s, d, broadcastEdges = true)
+    },
+
+    /** Sampled triangle estimate (E118/q127b) — the DECLARED 100 TB
+      * path for E90: DOULION-style edge sparsification (Tsourakakis
+      * et al., KDD'09). Keep each distinct basket edge with
+      * probability p = 1/2 — DETERMINISTICALLY, via the edge's own
+      * content hash (xxhash64(u,v) parity), so the "coin flips" are
+      * reproducible under any partitioning and re-ingestion order —
+      * then run the SAME degree-oriented closure on the sampled graph
+      * and scale: E[t_sampled] = p³·T ⇒ t_est = 8·t_sampled. Wedge
+      * volume (the superlinear term in q127's measured curve) falls
+      * by p² = 4× and the oriented edge list that must broadcast
+      * falls by 2×; at 100 TB, p drops further and the estimator's
+      * relative error shrinks as 1/√T (concentration over the
+      * triangle population — the corpus grows T far faster than the
+      * bound loosens). Hash-derived sampling is engine-specific ⇒
+      * rows-only; AdvancedSpec pins t_est within a stated bound of
+      * q127's exact count and proves partition-invariance. */
+    QueryDef.rowsOnly("q127b_triangle_sample") { (s, d) =>
+      val e = basketPairs(s, d)
+      val eSamp = e.filter(pmod(xxhash64($"u", $"v"), lit(2)) === 0)
+      val (agg, tri) = orientedClosure(s, eSamp, "q127b_oriented",
+        broadcastEdges = true)
       broadcast(agg).crossJoin(broadcast(tri))
-        .select($"n_parts", $"n_edges", $"wedges".as("n_wedges"),
-          $"t".as("n_triangles"),
-          round2((lit(3) * $"t").cast("double") / $"wedges".cast("double"), 6)
-            .as("clustering_coeff"))
+        .select($"n_edges".as("n_edges_sampled"),
+          $"t".as("t_sampled"),
+          ($"t" * 8).as("t_est"))
     },
 
     /** Frequent behavior-path mining (E92/q129) — the sequential

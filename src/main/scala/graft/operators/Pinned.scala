@@ -50,8 +50,14 @@ private[operators] object Pinned {
             hooked.remove(s): Unit
           }
         })
+    // release BEFORE persisting: the new invocation's frames carry the
+    // IDENTICAL logical plan (same deterministic build), so persisting
+    // first would no-op against the existing CacheManager entry and
+    // the subsequent unpersist of the old frames would drop that entry
+    // — leaving nothing cached at all
+    Option(slots.remove(key)).foreach(release)
     val persisted = dfs.map(_.persist())
-    Option(slots.put(key, persisted)).foreach(release)
+    slots.put(key, persisted): Unit
     persisted
   }
 }

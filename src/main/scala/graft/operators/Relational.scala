@@ -487,5 +487,43 @@ object Relational {
         .unionByName(summarize(c.exceptAll(v), "except_all"))
         .orderBy($"op")
     },
+
+    /** Lakehouse maintenance: small-file compaction + min/max manifest
+      * pruning (E119/q153) — the OPTIMIZE counterpart to q85's z-order
+      * layout, closing §4's storage-management surface. The gate reads
+      * a layout [[graft.sources.Lake.optimizedLineitem]] maintains:
+      * 48-file append debris bin-packed into ⌈bytes/128 KB⌉
+      * shipdate-sorted files (each file covers a disjoint date range),
+      * with a per-file min/max MANIFEST published beside it. The scan
+      * then plans from the manifest — only files whose extent overlaps
+      * 1996 are opened (~1/7 of the 1995–2001 span), the residual
+      * row predicate runs on top, and the oracle (DuckDB over the
+      * ORIGINAL un-rewritten lineitem) proves the rewritten layout is
+      * content-preserving AND the pruned scan loses no rows —
+      * compaction, manifest, and pruning verified in one hash. At
+      * lake scale the manifest is file-count-sized (what
+      * Iceberg/Delta planners hold), never data-sized; LakeSpec
+      * asserts the file-level mechanics (bin count, extent
+      * disjointness, pruned-list size, pruned == unpruned). */
+    QueryDef.sql(
+      "q153_compaction_prune",
+      """SELECT l_returnflag,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val dir = graft.sources.Lake.optimizedLineitem(s, d)
+      val (lo, hi) = (lit("1996-01-01").cast("timestamp"),
+        lit("1997-01-01").cast("timestamp"))
+      graft.sources.Lake.prunedRead(s, dir, "l_shipdate", lo, hi)
+        .filter($"l_shipdate" >= lo && $"l_shipdate" < hi)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(cents($"l_extendedprice")).as("revenue_cents"))
+        .orderBy($"l_returnflag")
+    },
   )
 }

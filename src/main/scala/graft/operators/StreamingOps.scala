@@ -59,7 +59,18 @@ object StreamingOps {
     * save/restore, checkpoint cleanup. Confs are snapshotted BEFORE
     * any set so an exception mid-setup still restores them all. */
   private def withStreamingHarness[T](s: SparkSession,
-      confs: Map[String, String])(body: String => T): T = {
+      confs0: Map[String, String])(body: String => T): T = {
+    // SPARK_GRAFT_STATE_STORE=rocksdb flips every harness to the
+    // RocksDB state store provider (PERF.md carries the paired
+    // default-vs-RocksDB measurement; default stays the HDFS-backed
+    // in-memory store, which wins at gate feed size — RocksDB's native
+    // write path pays off once per-key state no longer fits the heap,
+    // i.e. at production key cardinality, not at sf0.1)
+    val confs =
+      if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb"))
+        confs0 + ("spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      else confs0
     val saved = confs.keys.map(k => k -> s.conf.get(k)).toMap
     val ckBase = new java.io.File("/dev/shm")
     val ck = new java.io.File(
@@ -75,6 +86,66 @@ object StreamingOps {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
       }
       rm(ck)
+    }
+  }
+
+  /** File-source two-drop feed for the watermarked windowed-counts
+    * gate — the production file-arrival shape of the reference's
+    * trigger-driven ingestion (scripts/07_lambda_functions.py:242-244,
+    * the Kinesis event trigger): each micro-batch is ONE parquet file
+    * MOVED into a watched directory (the atomic-rename idiom file
+    * ingestion pipelines use to make a drop visible all-at-once), read
+    * through `readStream` with maxFilesPerTrigger=1 — NO driver-side
+    * row collection anywhere (the drops are written executor-side by a
+    * DataFrame write; the driver only renames files). Returns the
+    * drained sink table plus the streaming source descriptions so
+    * StreamsSpec can assert the FileStreamSource path end-to-end. */
+  private[graft] def runFileFedWindowedCounts(
+      s: SparkSession, d: String): (org.apache.spark.sql.DataFrame, Seq[String]) = {
+    val ev = Tables.events(s, d)
+      .filter(pmod(col("user_id"), lit(5L)) === 0)
+      .select(col("user_id").as("key"), col("ts"),
+        round(col("value") * 100, 0).cast("long").as("value"),
+        pmod(col("event_id"), lit(2L)).as("par"))
+    val feed = ev.drop("par")
+    val watch = java.nio.file.Files.createTempDirectory("graft_drop_")
+    val stage = java.nio.file.Files.createTempDirectory("graft_stage_")
+    def drop(par: Int, name: String): Unit = {
+      val dir = stage.resolve(name)
+      ev.filter(col("par") === par).drop("par")
+        .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+      val part = dir.toFile.listFiles()
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("_") && !f.getName.startsWith(".")).head
+      java.nio.file.Files.move(part.toPath, watch.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    }
+    try {
+      withStreamingHarness(s,
+        Map("spark.sql.shuffle.partitions" -> "2")) { ck =>
+        drop(0, "drop0.parquet")
+        val src = s.readStream
+          .schema(feed.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(watch.toString)
+        val q = Streams.windowedEventCounts(src, "ts", "key")
+          .writeStream.format("memory").queryName("st_late_sink")
+          .option("checkpointLocation", ck)
+          .outputMode("append").start()
+        val descs = try {
+          q.processAllAvailable()
+          drop(1, "drop1.parquet")
+          q.processAllAvailable()
+          q.recentProgress.toSeq
+            .flatMap(_.sources.map(_.description)).distinct
+        } finally q.stop()
+        (s.table("st_late_sink"), descs)
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(watch.toFile); rm(stage.toFile)
     }
   }
 
@@ -243,29 +314,11 @@ object StreamingOps {
         |FROM agg
         |WHERE ws_us + 300000000 <= (SELECT wm FROM wmb)
         |ORDER BY window_start_ms, key""".stripMargin) { (s, d) =>
-      implicit val sqlCtx = s.sqlContext
-      import s.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val ev = Tables.events(s, d)
-        .filter(pmod(col("user_id"), lit(5L)) === 0)
-        .select(col("user_id").as("key"), col("ts"),
-          round(col("value") * 100, 0).cast("long").as("value"),
-          pmod(col("event_id"), lit(2L)).as("par"))
-      def batch(par: Int) = ev.filter(col("par") === par).drop("par")
-        .as[Streams.CentEvent].collect().toSeq
-      val mem = MemoryStream[Streams.CentEvent]
-      withStreamingHarness(s,
-        Map("spark.sql.shuffle.partitions" -> "2")) { ck =>
-        val q = Streams.windowedEventCounts(mem.toDF(), "ts", "key")
-          .writeStream.format("memory").queryName("st_late_sink")
-          .option("checkpointLocation", ck)
-          .outputMode("append").start()
-        try {
-          mem.addData(batch(0)); q.processAllAvailable()
-          mem.addData(batch(1)); q.processAllAvailable()
-        } finally q.stop()
-      }
-      s.table("st_late_sink")
+      // r9: fed from a REAL file source — two parquet drops moved into
+      // a watched directory, one micro-batch each (the MemoryStream
+      // fixture the other harnesses still use is driver-collected;
+      // this one never collects a row)
+      runFileFedWindowedCounts(s, d)._1
         .select(unix_millis(col("window_start")).as("window_start_ms"),
           unix_millis(col("window_end")).as("window_end_ms"),
           col("key"), col("n"), (col("total_value") / 1e2).as("total_value"))

@@ -89,6 +89,69 @@ object Lake {
     atomicOverwrite(laidOut, dir)
   }
 
+  /** Per-file min/max MANIFEST for `column`, written as a sibling
+    * `<dir>_manifest` parquet — the bare-parquet-lake counterpart of a
+    * table format's file-statistics manifest (Iceberg manifests /
+    * Delta add-file stats): one row per data file. Built with ONE
+    * executor-side pass over the data (how table formats collect
+    * stats at write time); after that, range queries plan from the
+    * manifest alone. Rebuild after any rewrite of `dir` (compact does
+    * when asked). */
+  def writeManifest(spark: SparkSession, dir: String, column: String): Unit =
+    spark.read.parquet(dir)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(min(col(column)).as("min_v"), max(col(column)).as("max_v"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(dir + "_manifest")
+
+  /** The files of `dir` whose [min_v, max_v] extent OVERLAPS
+    * [lo, hi) — the manifest scan that replaces listing + footer reads
+    * at planning time. The returned list is manifest-sized (one row
+    * per FILE, the same driver-side cardinality every lakehouse
+    * planner materializes), never data-sized. */
+  def pruneFiles(spark: SparkSession, dir: String, column: String,
+      lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column): Seq[String] =
+    spark.read.parquet(dir + "_manifest")
+      .filter(col("max_v") >= lo && col("min_v") < hi)
+      .select("file").collect().map(_.getString(0)).toSeq
+
+  /** Extent-pruned read: scan ONLY the files whose manifest extent
+    * overlaps [lo, hi). The caller applies its own row-level predicate
+    * on top (extents prove which files CANNOT match; they do not prove
+    * every row in a kept file does). An empty match reads nothing but
+    * keeps the schema. */
+  def prunedRead(spark: SparkSession, dir: String, column: String,
+      lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column): DataFrame = {
+    val files = pruneFiles(spark, dir, column, lo, hi)
+    if (files.isEmpty) spark.read.parquet(dir).filter(lit(false))
+    else spark.read.parquet(files: _*)
+  }
+
+  /** Build-once OPTIMIZE'd lineitem layout for `sfDir` (the E46/q85
+    * maintenance counterpart the q153 gate reads): simulate append
+    * debris (a 48-file round-robin write — what daily batches leave
+    * behind), bin-pack it back to ⌈bytes/128 KB⌉ shipdate-sorted files
+    * ([[compact]]), and publish the shipdate manifest. Marker-guarded:
+    * deterministic input ⇒ the layout builds once per corpus and the
+    * gate measures the pruned scan, not the rewrite. */
+  def optimizedLineitem(spark: SparkSession, sfDir: String): String = {
+    val key = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sfDir).toLong & 0xffffffffL)
+    val dir = s"target/lake_opt/$key/lineitem"
+    val marker = new java.io.File(dir + "_manifest/_SUCCESS")
+    val ready = new java.io.File(s"target/lake_opt/$key/_OPTIMIZED")
+    if (!(ready.exists() && marker.exists())) {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      li.repartition(48).write.mode("overwrite").parquet(dir)
+      compact(spark, dir, targetFileBytes = 128L << 10,
+        sortCols = Seq("l_shipdate"))
+      writeManifest(spark, dir, "l_shipdate")
+      ready.getParentFile.mkdirs()
+      ready.createNewFile(): Unit
+    }
+    dir
+  }
+
   /** Register a bucketed table: both sides of a recurring equi-join
     * bucketed on the join key join WITHOUT a shuffle (verified in
     * LakeSpec by asserting the join plan has no Exchange). */

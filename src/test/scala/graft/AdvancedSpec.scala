@@ -1122,6 +1122,44 @@ class AdvancedSpec extends GraftSpec {
     assert(r.getAs[Long]("n_triangles") === naiveTri.toLong)
   }
 
+  test("q127b sampled triangles: estimate within bound of exact; sampled closure naive-exact") {
+    val dir = sf("sf0.001")
+    val exact = SparkEntry.queries("q127_triangle_count")(spark, dir)
+      .head().getAs[Long]("n_triangles")
+    val r = SparkEntry.queries("q127b_triangle_sample")(spark, dir).head()
+    val est = r.getAs[Long]("t_est")
+    // DOULION p=1/2 concentration: measured 1.5% relative error at
+    // sf0.001 (125 968 exact vs 124 080 est) — pin at 5%
+    assert(math.abs(est - exact).toDouble / exact <= 0.05,
+      s"estimate $est vs exact $exact")
+    assert(r.getAs[Long]("t_sampled") * 8 === est)
+    // the hash-derived coin flips are data-deterministic: replaying
+    // the sampled closure naively on the driver (same parity rule,
+    // same orientation-free id-ordered closure) gives the SAME
+    // t_sampled — not merely a value in range
+    val li = graft.Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val sampled = {
+      val parity = graft.Tables.lineitem(spark, dir).sparkSession
+        .createDataFrame(edges.toSeq).toDF("u", "v")
+        .filter(pmod(xxhash64($"u", $"v"), lit(2)) === 0)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      parity
+    }
+    assert(r.getAs[Long]("n_edges_sampled") === sampled.size.toLong)
+    val adj = sampled.toSeq.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val naiveSampTri = sampled.toSeq.map { case (u, v) =>
+      (adj(u) & adj(v)).count(w => w > v)
+    }.sum
+    assert(r.getAs[Long]("t_sampled") === naiveSampTri.toLong)
+  }
+
   test("q128 Benford: digit counts partition orders; chi2 matches the fixed-order chain") {
     val dir = sf("sf0.001")
     val cents = graft.Tables.orders(spark, dir)

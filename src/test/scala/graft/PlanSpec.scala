@@ -539,4 +539,38 @@ class PlanSpec extends GraftSpec {
       !p146.contains("CartesianProduct"),
       p146.linesIterator.take(30).mkString("\n"))
   }
+
+  test("q127 broadcast-overflow fallback: shuffle-join closure plans shuffled and counts identically") {
+    // the declared past-broadcast-size behavior, MEASURED: with the
+    // hint off and autoBroadcastJoinThreshold disabled, the two
+    // closure joins must run as shuffle joins (no broadcast of the
+    // oriented edge list anywhere) and produce the exact same census
+    val dir = sf("sf0.001")
+    val hinted = operators.Advanced
+      .triangleCensus(spark, dir, broadcastEdges = true).collect()
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqeThr = scala.util.Try(
+      spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold"))
+      .toOption.flatMap(Option(_)) // unset optional conf reads as null
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val df = operators.Advanced
+        .triangleCensus(spark, dir, broadcastEdges = false)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        p.linesIterator.take(40).mkString("\n"))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p.linesIterator.take(40).mkString("\n"))
+      assert(df.collect().toSeq === hinted.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      aqeThr match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
 }

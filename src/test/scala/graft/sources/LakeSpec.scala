@@ -17,6 +17,54 @@ class LakeSpec extends GraftSpec {
     assert(pruned.count() > 0 && pruned.count() < spark.read.parquet(dir).count())
   }
 
+  test("compaction + manifest pruning: bin count, disjoint extents, pruned scan == full scan (E119)") {
+    // build the q153 layout at sf0.01 (multi-file after compaction)
+    val d = sf("sf0.01")
+    val dir = Lake.optimizedLineitem(spark, d)
+    val fs = new java.io.File(dir)
+    val dataFiles = fs.listFiles().filter(_.getName.endsWith(".parquet"))
+    // bin-packing: the 48-file debris collapses toward ⌈bytes/128 KB⌉
+    // bins (compact sizes bins from the PRE-rewrite listing, whose
+    // per-file footer/dictionary overhead inflates bytes — allow up to
+    // 2× the post-rewrite ideal, still far below the debris count)
+    val bytes = dataFiles.map(_.length()).sum
+    val want = math.max(1, math.ceil(bytes.toDouble / (128L << 10)).toInt)
+    assert(dataFiles.length >= want && dataFiles.length <= 2 * want,
+      s"expected $want..${2 * want} compacted files, found ${dataFiles.length}")
+    assert(dataFiles.length >= 4 && dataFiles.length < 48,
+      "gate layout must be multi-file (but compacted) for pruning to mean anything")
+    // the manifest has one row per data file, and the sorted rewrite
+    // gives files (near-)disjoint shipdate extents
+    val manifest = spark.read.parquet(dir + "_manifest").collect()
+    assert(manifest.length === dataFiles.length)
+    // pruning 1996 keeps a strict subset of files
+    val (lo, hi) = (lit("1996-01-01").cast("timestamp"),
+      lit("1997-01-01").cast("timestamp"))
+    val kept = Lake.pruneFiles(spark, dir, "l_shipdate", lo, hi)
+    assert(kept.nonEmpty && kept.length < dataFiles.length,
+      s"pruned ${kept.length} of ${dataFiles.length}")
+    // the physical scan reads EXACTLY the pruned files
+    val pruned = Lake.prunedRead(spark, dir, "l_shipdate", lo, hi)
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.length
+    }
+    assert(scanned === Some(kept.length))
+    // content equality: pruned + residual == full-layout filter ==
+    // the ORIGINAL table's filter (the rewrite lost nothing)
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .agg(count(lit(1)), sum(round(col("l_extendedprice") * 100, 0).cast("long")))
+        .head().toSeq
+    assert(agg(pruned) === agg(spark.read.parquet(dir)))
+    assert(agg(pruned) === agg(Tables.lineitem(spark, d)))
+    // an extent window before the data reads zero files, schema intact
+    val none = Lake.prunedRead(spark, dir, "l_shipdate",
+      lit("1901-01-01").cast("timestamp"), lit("1902-01-01").cast("timestamp"))
+    assert(none.count() === 0 &&
+      none.columns.toSeq === spark.read.parquet(dir).columns.toSeq)
+  }
+
   test("bucketed tables join without a shuffle (X1 co-location)") {
     // spark.sql.warehouse.dir is static: set to /tmp via test javaOptions;
     // clear any leftover table state from prior runs

@@ -197,6 +197,18 @@ class StreamsSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("windowed-counts gate runs on a genuine FileStreamSource (two parquet drops, no collect)") {
+    // the r9 harness conversion: the gate's feed is a watched
+    // directory read through readStream — assert the source the query
+    // actually ran on IS the file source, and the drained sink is the
+    // same non-empty closed-window set the oracle checks
+    val (sink, descs) = graft.operators.StreamingOps
+      .runFileFedWindowedCounts(spark, sf("sf0.001"))
+    assert(descs.nonEmpty && descs.forall(_.startsWith("FileStreamSource")),
+      descs.mkString("; "))
+    assert(sink.count() > 0)
+  }
+
   test("stream-stream interval join pairs purchases with preceding clicks") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Streams.GpsEvent]
