@@ -42,7 +42,26 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_LOG_LEVEL", "ERROR"))
+
+    // Stress-run observability: per-query shuffle-spill deltas from task
+    // metrics, so a bigger-SF run reports WHAT spilled instead of a
+    // guess. Listener-bus posting is async, so attribution can bleed a
+    // few tasks into a neighbor entry — fine for a diagnostic note.
+    val spillMem = new java.util.concurrent.atomic.AtomicLong
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            spillMem.addAndGet(m.memoryBytesSpilled)
+            spillDisk.addAndGet(m.diskBytesSpilled)
+          }
+        }
+      })
 
     // JVM/codegen warmup on the flagship query so the first measured
     // query doesn't absorb one-time JIT + classload cost
@@ -78,23 +97,26 @@ object Bench {
       // Any pass may fail transiently (-1 sentinel); the median is
       // taken over the successful passes, falling back to the warm
       // pass, then to -1 as the per-entry failure signal.
+      val sm0 = spillMem.get(); val sd0 = spillDisk.get()
       val passes = (0 until 3).map(_ => timeOnce(q))
       val ok = passes.filter(_ >= 0).sorted
       val t =
         if (ok.nonEmpty) ok(ok.length / 2)
         else if (warm >= 0) warm
         else -1.0
-      (q.name, t, q.oracle.isDefined, warm, passes)
+      // spill across the 3 measured passes (bytes; 0 = stayed in memory)
+      val spills = (spillMem.get() - sm0, spillDisk.get() - sd0)
+      (q.name, t, q.oracle.isDefined, warm, passes, spills)
     }
     // per-query -1 stays visible as the failure signal; totals clamp it
     // to 0 so a failed entry can never shrink a headline number
-    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map { case (_, v, _, _, _) => math.max(0.0, v) }.sum
-    val adjusted = results.map { case (_, v, _, _, _) => math.max(0.0, v - floor) }.sum
+    val total = results.map { case (_, v, _, _, _, _) => math.max(0.0, v) }.sum
+    val adjusted = results.map { case (_, v, _, _, _, _) => math.max(0.0, v - floor) }.sum
     // the apples-to-apples subtotal: only entries with a DuckDB oracle
     // (rows-only entries have no baseline counterpart to compare against)
-    val oracleMatched = results.collect { case (_, v, true, _, _) => math.max(0.0, v) }.sum
+    val oracleMatched = results.collect { case (_, v, true, _, _, _) => math.max(0.0, v) }.sum
     def r4(x: Double) = math.rint(x * 1e4) / 1e4
     // a name-filtered run is a SUBSET: label it as such and keep it out
     // of BENCH_FULL.json so a targeted rerun can never overwrite the
@@ -106,13 +128,16 @@ object Bench {
     // times that make a contended session detectable (a clean session
     // has tight pass spreads; a noisy one shows outlier passes). Written
     // to a FILE because the driver only captures a bounded stdout tail.
-    val detail = results.map { case (k, v, _, warm, passes) =>
-      s""""$k":{"t":$v,"warm":$warm,"passes":[${passes.mkString(",")}]}"""
+    val detail = results.map { case (k, v, _, warm, passes, (sm, sd)) =>
+      val spill = if (sm > 0 || sd > 0) s""","spill_mem":$sm,"spill_disk":$sd""" else ""
+      s""""$k":{"t":$v,"warm":$warm,"passes":[${passes.mkString(",")}]$spill}"""
     }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"$metricName",$headline,"floor_samples":[${floorSamples.map(r4).mkString(",")}],"queries":$qs,"detail":$detail,"sf":"$sfDir"}"""
-    val outFile = new java.io.File(
-      if (only.isEmpty) "BENCH_FULL.json" else "BENCH_PARTIAL.json")
+    // SPARK_GRAFT_BENCH_OUT redirects the artifact so an off-SF stress
+    // run can never overwrite the recorded sf0.1 full-suite baseline
+    val outFile = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isEmpty) "BENCH_FULL.json" else "BENCH_PARTIAL.json"))
     val w = new java.io.PrintWriter(outFile, "UTF-8")
     try w.println(fullJson) finally w.close()
 
@@ -122,6 +147,13 @@ object Bench {
     // 85-entry query map alone overflows that — the closing line always
     // fits, parses on its own, and points at the full artifact.
     println(fullJson)
-    println(s"""{"metric":"$metricName",$headline,"queries_file":"${outFile.getAbsolutePath}","sf":"$sfDir"}""")
+    // the compact map keeps the closing line inside the captured tail:
+    // the 12 reference KPI queries are the contract's headline set; the
+    // full ~200-entry map lives in queries_file (the full line above
+    // overflows any bounded tail by construction)
+    val kpiQs = results.collect { case (k, v, _, _, _, _) if k.startsWith("fl_q") =>
+      "\"" + k + "\":" + r4(v)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"$metricName",$headline,"queries":$kpiQs,"queries_file":"${outFile.getAbsolutePath}","sf":"$sfDir"}""")
   }
 }
