@@ -37,6 +37,9 @@ private[operators] object Pinned {
   /** Persist `dfs`, releasing the previous invocation's frames pinned
     * under `key`. Returns the persisted frames in order. */
   def swap(s: SparkSession, key: String, dfs: DataFrame*): Seq[DataFrame] = {
+    // scope the slot by session so two live sessions in one JVM (tests +
+    // bench) cannot release each other's pinned frames mid-use
+    val slotKey = s"${java.lang.System.identityHashCode(s)}/$key"
     if (hooked.add(s))
       s.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
@@ -55,9 +58,9 @@ private[operators] object Pinned {
     // first would no-op against the existing CacheManager entry and
     // the subsequent unpersist of the old frames would drop that entry
     // — leaving nothing cached at all
-    Option(slots.remove(key)).foreach(release)
+    Option(slots.remove(slotKey)).foreach(release)
     val persisted = dfs.map(_.persist())
-    slots.put(key, persisted): Unit
+    slots.put(slotKey, persisted): Unit
     persisted
   }
 }

@@ -135,8 +135,17 @@ object Lake {
     * deterministic input ⇒ the layout builds once per corpus and the
     * gate measures the pruned scan, not the rewrite. */
   def optimizedLineitem(spark: SparkSession, sfDir: String): String = {
+    // fold the source's mtime+size signature into the layout key so a
+    // regenerated corpus (CorpusGen rewrites lineitem when columns are
+    // missing) invalidates the cached rewrite instead of serving stale
+    // files that diverge from the oracle's fresh read
+    val srcFile = new java.io.File(s"$sfDir/lineitem.parquet")
+    val parts: Seq[java.io.File] =
+      if (srcFile.isDirectory) Option(srcFile.listFiles()).map(_.toSeq).getOrElse(Seq(srcFile))
+      else Seq(srcFile)
+    val sig = parts.map(f => s"${f.getName}:${f.length}:${f.lastModified}").sorted.mkString("|")
     val key = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(sfDir).toLong & 0xffffffffL)
+      scala.util.hashing.MurmurHash3.stringHash(sfDir + "#" + sig).toLong & 0xffffffffL)
     val dir = s"target/lake_opt/$key/lineitem"
     val marker = new java.io.File(dir + "_manifest/_SUCCESS")
     val ready = new java.io.File(s"target/lake_opt/$key/_OPTIMIZED")

@@ -43,7 +43,12 @@ object Sf1Gen {
 
     /** Round decimal stride above the column's max value. */
     def stride(df: DataFrame, c: String): Long = {
-      val mx = df.agg(max(col(c))).head().getLong(0)
+      val raw = df.agg(max(col(c))).head().get(0)
+      val mx = raw match {
+        case null         => sys.error(s"stride: column $c is empty/all-null in ${df.schema.map(_.name).mkString(",")}")
+        case n: java.lang.Number => n.longValue()
+        case other        => sys.error(s"stride: column $c is non-numeric (${other.getClass.getSimpleName})")
+      }
       var s = 1L; while (s <= mx) s *= 10; s
     }
 
