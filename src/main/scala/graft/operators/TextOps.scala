@@ -234,9 +234,12 @@ object TextOps {
     // and paid ~0.1 s dispatch on every one). Each stage below is the
     // minimum-depth equivalent of the verified operator:
     //  - ONE corpus pass computes (id, source, fp, n_tokens); exact
-    //    dedup is a min-over-fp window on that (Dedup.exact's min-id
-    //    semantics without its second raw-text evaluation + semi-join;
-    //    dup clusters are small, so the window partition is bounded);
+    //    dedup is a min_by(struct, doc_id) hash aggregate on that
+    //    (Dedup.exact's min-id semantics without its second raw-text
+    //    evaluation + semi-join — the tiny fixed-width row rides the
+    //    aggregation buffer, so a massively-duplicated document
+    //    collapses to one row per map partition BEFORE the shuffle;
+    //    the previous per-fp window put every copy on one reducer);
     //  - the temperature budgets fold the remix's broadcast-crossJoin
     //    ladder (src→total→rw→norm→budget, 4 sequential broadcast
     //    stages) into ONE model-sized global window (#sources rows);
@@ -247,10 +250,11 @@ object TextOps {
     //    changes. Lifecycle as Vectors.semDedup: persist the shared
     //    token table, eager localCheckpoint of the manifest, drop the
     //    cache before returning.
-    val wFp = Window.partitionBy($"fp")
     val toks = docTokens(docs)
-      .withColumn("__kid", min($"doc_id").over(wFp))
-      .filter($"doc_id" === $"__kid").drop("__kid")
+      .groupBy($"fp")
+      .agg(min_by(struct($"doc_id", $"source", $"n_tokens"), $"doc_id").as("__r"))
+      .select($"fp", $"__r.doc_id".as("doc_id"), $"__r.source".as("source"),
+        $"__r.n_tokens".as("n_tokens"))
       .persist()
     try {
       val wAll = Window.partitionBy()
