@@ -89,63 +89,248 @@ object StreamingOps {
     }
   }
 
-  /** File-source two-drop feed for the watermarked windowed-counts
-    * gate — the production file-arrival shape of the reference's
-    * trigger-driven ingestion (scripts/07_lambda_functions.py:242-244,
-    * the Kinesis event trigger): each micro-batch is ONE parquet file
-    * MOVED into a watched directory (the atomic-rename idiom file
-    * ingestion pipelines use to make a drop visible all-at-once), read
-    * through `readStream` with maxFilesPerTrigger=1 — NO driver-side
-    * row collection anywhere (the drops are written executor-side by a
-    * DataFrame write; the driver only renames files). Returns the
-    * drained sink table plus the streaming source descriptions so
-    * StreamsSpec can assert the FileStreamSource path end-to-end. */
+  /** Run a streaming gate end-to-end on a genuine [[FileFeed]]: each
+    * DataFrame in `batches` becomes one parquet drop = one micro-batch
+    * (drop → processAllAvailable, so watermark advances match the
+    * batch boundaries exactly). Returns the drained memory-sink table
+    * plus the streaming source descriptions so StreamsSpec can assert
+    * the FileStreamSource path end-to-end. */
+  private[graft] def runFileFed(
+      s: SparkSession, confs: Map[String, String], sinkName: String,
+      batches: Seq[org.apache.spark.sql.DataFrame])(
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Seq[String]) = {
+    val feed = new graft.streaming.FileFeed(s)
+    try {
+      withStreamingHarness(s, confs) { ck =>
+        feed.drop(batches.head)
+        val q = build(feed.source(batches.head.schema))
+          .writeStream.format("memory").queryName(sinkName)
+          .option("checkpointLocation", ck)
+          .outputMode("append").start()
+        val descs = try {
+          q.processAllAvailable()
+          batches.tail.foreach { b => feed.drop(b); q.processAllAvailable() }
+          q.recentProgress.toSeq
+            .flatMap(_.sources.map(_.description)).distinct
+        } finally q.stop()
+        (s.table(sinkName), descs)
+      }
+    } finally feed.close()
+  }
+
+  /** Two-source variant of [[runFileFed]] for the stream-stream joins:
+    * the i-th left and right drops land before the i-th trigger, so one
+    * micro-batch carries both sides — the same batch boundaries the
+    * single-source runner gives. */
+  private[graft] def runFileFed2(
+      s: SparkSession, confs: Map[String, String], sinkName: String,
+      lBatches: Seq[org.apache.spark.sql.DataFrame],
+      rBatches: Seq[org.apache.spark.sql.DataFrame])(
+      build: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)
+        => org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Seq[String]) = {
+    val lFeed = new graft.streaming.FileFeed(s)
+    val rFeed = new graft.streaming.FileFeed(s)
+    try {
+      withStreamingHarness(s, confs) { ck =>
+        lFeed.drop(lBatches.head); rFeed.drop(rBatches.head)
+        val q = build(lFeed.source(lBatches.head.schema),
+            rFeed.source(rBatches.head.schema))
+          .writeStream.format("memory").queryName(sinkName)
+          .option("checkpointLocation", ck)
+          .outputMode("append").start()
+        val descs = try {
+          q.processAllAvailable()
+          lBatches.tail.zip(rBatches.tail).foreach { case (lb, rb) =>
+            lFeed.drop(lb); rFeed.drop(rb); q.processAllAvailable()
+          }
+          q.recentProgress.toSeq
+            .flatMap(_.sources.map(_.description)).distinct
+        } finally q.stop()
+        (s.table(sinkName), descs)
+      }
+    } finally { lFeed.close(); rFeed.close() }
+  }
+
+  /** File-fed watermarked windowed counts — shared by the late-counts
+    * and windowed-topk gates (same stream, different read-side rank). */
   private[graft] def runFileFedWindowedCounts(
-      s: SparkSession, d: String): (org.apache.spark.sql.DataFrame, Seq[String]) = {
+      s: SparkSession, d: String,
+      sinkName: String = "st_late_sink"): (org.apache.spark.sql.DataFrame, Seq[String]) = {
     val ev = Tables.events(s, d)
       .filter(pmod(col("user_id"), lit(5L)) === 0)
       .select(col("user_id").as("key"), col("ts"),
         round(col("value") * 100, 0).cast("long").as("value"),
         pmod(col("event_id"), lit(2L)).as("par"))
-    val feed = ev.drop("par")
-    val watch = java.nio.file.Files.createTempDirectory("graft_drop_")
-    val stage = java.nio.file.Files.createTempDirectory("graft_stage_")
-    def drop(par: Int, name: String): Unit = {
-      val dir = stage.resolve(name)
-      ev.filter(col("par") === par).drop("par")
-        .coalesce(1).write.mode("overwrite").parquet(dir.toString)
-      val part = dir.toFile.listFiles()
-        .filter(f => f.getName.endsWith(".parquet") &&
-          !f.getName.startsWith("_") && !f.getName.startsWith(".")).head
-      java.nio.file.Files.move(part.toPath, watch.resolve(name),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    def batch(par: Int) = ev.filter(col("par") === par).drop("par")
+    runFileFed(s, Map("spark.sql.shuffle.partitions" -> "2"), sinkName,
+      Seq(batch(0), batch(1)))(src => Streams.windowedEventCounts(src, "ts", "key"))
+  }
+
+  /** File-fed stream-stream interval join (inner or left_outer): both
+    * sides split at the 2024-01-16 event-time boundary into two real
+    * micro-batches. Single-partition state (four stores per partition);
+    * the inner form skips no-data micro-batches (output never depends
+    * on eviction), the outer form KEEPS them — eviction is what emits
+    * the null rows. */
+  private[graft] def runFileFedIntervalJoin(
+      s: SparkSession, d: String, joinType: String,
+      sinkName: String): (org.apache.spark.sql.DataFrame, Seq[String]) = {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("event_type"), col("user_id").as("key"),
+        timestamp_millis(unix_millis(col("ts"))).as("ts_ms"), col("event_id"))
+    val split = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+    def side(tpe: String, tsName: String, idName: String, second: Boolean) =
+      ev.filter(col("event_type") === tpe)
+        .filter(if (second) col("ts_ms") >= split else col("ts_ms") < split)
+        .select(col("key"), col("ts_ms").as(tsName), col("event_id").as(idName))
+    val confs =
+      if (joinType == "inner")
+        Map("spark.sql.shuffle.partitions" -> "1",
+          "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
+      else Map("spark.sql.shuffle.partitions" -> "1")
+    runFileFed2(s, confs, sinkName,
+      Seq(side("purchase", "l_ts", "l_id", second = false),
+        side("purchase", "l_ts", "l_id", second = true)),
+      Seq(side("view", "r_ts", "r_id", second = false),
+        side("view", "r_ts", "r_id", second = true))) { (l, r) =>
+      Streams.streamIntervalJoin(l, r, "key", "l_ts", "r_ts",
+        lookback = "4 hours", lateness = "10 minutes", joinType = joinType)
     }
-    try {
-      withStreamingHarness(s,
-        Map("spark.sql.shuffle.partitions" -> "2")) { ck =>
-        drop(0, "drop0.parquet")
-        val src = s.readStream
-          .schema(feed.schema)
-          .option("maxFilesPerTrigger", 1)
-          .parquet(watch.toString)
-        val q = Streams.windowedEventCounts(src, "ts", "key")
-          .writeStream.format("memory").queryName("st_late_sink")
-          .option("checkpointLocation", ck)
-          .outputMode("append").start()
-        val descs = try {
-          q.processAllAvailable()
-          drop(1, "drop1.parquet")
-          q.processAllAvailable()
-          q.recentProgress.toSeq
-            .flatMap(_.sources.map(_.description)).distinct
-        } finally q.stop()
-        (s.table("st_late_sink"), descs)
-      }
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(watch.toFile); rm(stage.toFile)
+  }
+
+  /** File-fed streaming exact dedup: documents (plus the planted
+    * cross-batch duplicates — every 10th doc re-enters with
+    * doc_id + 1000001, flipping parity) arrive as two micro-batches
+    * split on doc_id parity. */
+  private[graft] def runFileFedStreamDedup(
+      s: SparkSession, d: String): (org.apache.spark.sql.DataFrame, Seq[String]) = {
+    import s.implicits._
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val docs = base.unionByName(
+      base.filter(pmod(col("doc_id"), lit(10L)) === 0)
+        .select((col("doc_id") + 1000001L).as("doc_id"), col("text")))
+    def batch(par: Int) = docs.filter(pmod(col("doc_id"), lit(2L)) === par)
+    runFileFed(s,
+      Map("spark.sql.shuffle.partitions" -> "2",
+        // NoTimeout keyed state can't fire on a no-data batch and
+        // append-mode FMGWS emits nothing from one — skip the two
+        // ~0.5 s watermark-advance batches
+        "spark.sql.streaming.noDataMicroBatches.enabled" -> "false"),
+      "st_dedup_sink", Seq(batch(0), batch(1))) { src =>
+      // project to (fp, doc_id) BEFORE the sink so the memory sink
+      // holds two narrow columns, not the full document texts
+      Streams.streamingExactDedup(src.as[Streams.StreamDoc])
+        .select(graft.text.TextFunctions.fingerprint(col("text")).as("fp"),
+          col("doc_id"))
+    }
+  }
+
+  /** File-fed streaming sessionization: two micro-batches split at the
+    * midpoint timestamp (batch 1 strictly earlier, so per-user event
+    * order across batches matches event time — the arrival contract).
+    * The min/max probe is a bounded 2-long aggregate, not a corpus
+    * collect. */
+  private[graft] def runFileFedSessionize(
+      s: SparkSession, d: String): (org.apache.spark.sql.DataFrame, Seq[String]) = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val (lo, hi) = ev.agg(
+      min(unix_millis(col("ts"))), max(unix_millis(col("ts"))))
+      .as[(Long, Long)].head()
+    val cutoff = lo + (hi - lo) / 2
+    def batch(p: Int) =
+      ev.filter(if (p == 0) unix_millis(col("ts")) < cutoff
+                else unix_millis(col("ts")) >= cutoff)
+    runFileFed(s,
+      Map("spark.sql.shuffle.partitions" -> "2",
+        "spark.sql.streaming.noDataMicroBatches.enabled" -> "false"),
+      "st_sessionize_sink", Seq(batch(0), batch(1))) { src =>
+      Streams.streamingSessionize(src.as[Streams.SessionEvent]).toDF()
+    }
+  }
+
+  /** File-fed stream-static enrichment: purchase facts split on
+    * event_id parity (stateless join — two batches prove the dim
+    * re-resolves per batch). */
+  private[graft] def runFileFedEnrich(
+      s: SparkSession, d: String): (org.apache.spark.sql.DataFrame, Seq[String]) = {
+    val facts = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("value_cents"),
+        pmod(col("event_id"), lit(2L)).as("par"))
+    def batch(p: Int) = facts.filter(col("par") === p).drop("par")
+    val dim = Tables.customer(s, d)
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))
+    runFileFed(s, Map("spark.sql.shuffle.partitions" -> "2"),
+      "st_enrich_sink", Seq(batch(0), batch(1))) { src =>
+      Streams.enrichWithDim(src, dim, "user_id")
+    }
+  }
+
+  /** File-fed TTL dedup redelivery drill: batch 1 = the first half of
+    * the stream by event time, batch 2 = the second half PLUS
+    * redelivered copies of every 100th batch-1 row (a DataFrame union
+    * — the redelivery is re-scanned executor-side, never collected). */
+  private[graft] def runFileFedDedupTtl(
+      s: SparkSession, d: String): (org.apache.spark.sql.DataFrame, Seq[String]) = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .filter(pmod(col("user_id"), lit(5L)) === 0)
+      .select(col("event_id").as("key"), col("ts"),
+        round(col("value") * 100, 0).cast("long").as("value"))
+    val mid = ev.agg((min(unix_micros(col("ts")))
+      + max(unix_micros(col("ts")))).as("m2")).first().getLong(0)
+    val b1 = ev.filter(unix_micros(col("ts")) * 2 <= mid)
+    val b2 = ev.filter(unix_micros(col("ts")) * 2 > mid)
+      .unionByName(b1.filter(pmod(col("key"), lit(100L)) === 0))
+    runFileFed(s, Map("spark.sql.shuffle.partitions" -> "2"),
+      "st_ttl_sink", Seq(b1, b2)) { src =>
+      Streams.streamingDedupTtl(src.as[Streams.CentEvent]).toDF()
+    }
+  }
+
+  /** File-fed delivery verification (R1) run as a REAL streaming
+    * query: purchase lookups arrive as two micro-batches (event_id
+    * parity), streaming `dropDuplicates` keeps first-seen per
+    * delivery_id across batches (= the oracle's DISTINCT), and each
+    * batch stream-static joins the status snapshot — the reference's
+    * per-invocation DynamoDB get (07_lambda_functions.py:18-71). */
+  private[graft] def runFileFedDeliveryVerification(
+      s: SparkSession, d: String): (org.apache.spark.sql.DataFrame, Seq[String]) = {
+    val status = Tables.events(s, d)
+      .groupBy(col("user_id").as("delivery_id"))
+      .agg(when(max(col("value")) > 10, "delivered").otherwise("pending")
+        .as("delivery_status"))
+    val requests = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("delivery_id"),
+        pmod(col("event_id"), lit(2L)).as("par"))
+    def batch(p: Int) = requests.filter(col("par") === p).drop("par")
+    runFileFed(s, Map("spark.sql.shuffle.partitions" -> "2"),
+      "st_verify_sink", Seq(batch(0), batch(1))) { src =>
+      Streams.verifyDeliveries(src.dropDuplicates("delivery_id"), status)
+    }
+  }
+
+  /** File-fed ETA updates (R2) run as a REAL streaming query: the GPS
+    * feed split on vehicle_id parity (stateless broadcast join to the
+    * destinations dim, so the split is arbitrary). */
+  private[graft] def runFileFedEta(
+      s: SparkSession, d: String): (org.apache.spark.sql.DataFrame, Seq[String]) = {
+    import s.implicits._
+    val gps = gpsFromEvents(s, d)
+    def batch(p: Int) = gps.filter(pmod(col("vehicle_id"), lit(2L)) === p)
+    val dest = Seq((0L, 0.5, 0.5), (1L, 0.6, 0.1), (2L, 0.2, 0.9))
+      .toDF("route_id", "dest_lat", "dest_lon")
+    runFileFed(s, Map("spark.sql.shuffle.partitions" -> "2"),
+      "st_eta_sink", Seq(batch(0), batch(1))) { src =>
+      Streams.etaUpdates(src, dest)
     }
   }
 
@@ -184,13 +369,10 @@ object StreamingOps {
          |JOIN (VALUES (0, 0.5, 0.5), (1, 0.6, 0.1), (2, 0.2, 0.9))
          |     AS dd(route_id, dest_lat, dest_lon) ON dd.route_id = g.route_id
          |ORDER BY vehicle_id, ts_ms""".stripMargin) { (s, d) =>
-      import s.implicits._
-      val dest = Seq((0L, 0.5, 0.5), (1L, 0.6, 0.1), (2L, 0.2, 0.9))
-        .toDF("route_id", "dest_lat", "dest_lon")
       // travel time surfaces as integer millis: a rounded fractional-hour
       // quotient lands on exact half-boundaries (3-decimal km / 60 km/h)
       // where Spark's decimal-string and DuckDB's binary rounding differ
-      Streams.etaUpdates(gpsFromEvents(s, d), dest)
+      runFileFedEta(s, d)._1
         .withColumn("ts_ms", unix_millis(col("ts")))
         .withColumn("eta_travel_ms",
           // the synthesized feed drives at a constant 60 km/h (the op
@@ -242,29 +424,7 @@ object StreamingOps {
         |       key, n
         |FROM r WHERE rnk <= 3
         |ORDER BY window_start_ms, rnk""".stripMargin) { (s, d) =>
-      implicit val sqlCtx = s.sqlContext
-      import s.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val ev = Tables.events(s, d)
-        .filter(pmod(col("user_id"), lit(5L)) === 0)
-        .select(col("user_id").as("key"), col("ts"),
-          round(col("value") * 100, 0).cast("long").as("value"),
-          pmod(col("event_id"), lit(2L)).as("par"))
-      def batch(par: Int) = ev.filter(col("par") === par).drop("par")
-        .as[Streams.CentEvent].collect().toSeq
-      val mem = MemoryStream[Streams.CentEvent]
-      withStreamingHarness(s,
-        Map("spark.sql.shuffle.partitions" -> "2")) { ck =>
-        val q = Streams.windowedEventCounts(mem.toDF(), "ts", "key")
-          .writeStream.format("memory").queryName("st_topk_sink")
-          .option("checkpointLocation", ck)
-          .outputMode("append").start()
-        try {
-          mem.addData(batch(0)); q.processAllAvailable()
-          mem.addData(batch(1)); q.processAllAvailable()
-        } finally q.stop()
-      }
-      s.table("st_topk_sink")
+      runFileFedWindowedCounts(s, d, sinkName = "st_topk_sink")._1
         .select(unix_millis(col("window_start")).as("window_start_ms"),
           format_string("%018d", col("key")).as("item"),
           col("n").cast("double").as("sc"))
@@ -314,10 +474,9 @@ object StreamingOps {
         |FROM agg
         |WHERE ws_us + 300000000 <= (SELECT wm FROM wmb)
         |ORDER BY window_start_ms, key""".stripMargin) { (s, d) =>
-      // r9: fed from a REAL file source — two parquet drops moved into
-      // a watched directory, one micro-batch each (the MemoryStream
-      // fixture the other harnesses still use is driver-collected;
-      // this one never collects a row)
+      // fed from a REAL file source — two parquet drops moved into a
+      // watched directory, one micro-batch each; never collects a row
+      // (r10: every st_* harness now runs on this feed)
       runFileFedWindowedCounts(s, d)._1
         .select(unix_millis(col("window_start")).as("window_start_ms"),
           unix_millis(col("window_end")).as("window_end_ms"),
@@ -352,51 +511,7 @@ object StreamingOps {
         |FROM l JOIN r ON r.key = l.key
         |  AND r.r_ms BETWEEN l.l_ms - 14400000 AND l.l_ms
         |ORDER BY l.key, l_id, r_id""".stripMargin) { (s, d) =>
-      implicit val sqlCtx = s.sqlContext
-      import s.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      // ONE scan feeds both sides: collect (type, key, ts, id) rows,
-      // split driver-side by side and by the event-time batch boundary
-      val all = Tables.events(s, d)
-        .filter(col("event_type").isin("purchase", "view"))
-        .select(col("event_type"), col("user_id"),
-          timestamp_millis(unix_millis(col("ts"))).as("ts_ms"), col("event_id"))
-        .as[(String, Long, java.sql.Timestamp, Long)]
-        .collect()
-      val split = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
-      def half(tpe: String, second: Boolean) =
-        all.iterator.filter { case (t, _, ts, _) =>
-          t == tpe && (ts.before(split) != second)
-        }.toSeq
-      val (l1, l2) = (
-        half("purchase", second = false).map(e => Streams.LeftEvent(e._2, e._3, e._4)),
-        half("purchase", second = true).map(e => Streams.LeftEvent(e._2, e._3, e._4)))
-      val (r1, r2) = (
-        half("view", second = false).map(e => Streams.RightEvent(e._2, e._3, e._4)),
-        half("view", second = true).map(e => Streams.RightEvent(e._2, e._3, e._4)))
-      val memL = MemoryStream[Streams.LeftEvent]
-      val memR = MemoryStream[Streams.RightEvent]
-      // single-partition: a stream-stream join keeps FOUR state-store
-      // instances per partition (two per side), committed every batch.
-      // No-data micro-batches off: they only advance the watermark to
-      // EVICT join state — an inner join's OUTPUT never depends on
-      // them, and each costs a full ~0.6 s plan execution (measured);
-      // st_windowed keeps them, its append-mode flush needs them.
-      withStreamingHarness(s, Map(
-        "spark.sql.shuffle.partitions" -> "1",
-        "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")) { ck =>
-        val joined = Streams.streamIntervalJoin(
-          memL.toDF(), memR.toDF(), "key", "l_ts", "r_ts",
-          lookback = "4 hours", lateness = "10 minutes")
-        val q = joined.writeStream.format("memory").queryName("st_ij_sink")
-          .option("checkpointLocation", ck)
-          .outputMode("append").start()
-        try {
-          memL.addData(l1); memR.addData(r1); q.processAllAvailable()
-          memL.addData(l2); memR.addData(r2); q.processAllAvailable()
-        } finally q.stop()
-      }
-      s.table("st_ij_sink")
+      runFileFedIntervalJoin(s, d, joinType = "inner", sinkName = "st_ij_sink")._1
         .select(col("key"), col("l_id"), unix_millis(col("l_ts")).as("l_ms"),
           col("r_id"), unix_millis(col("r_ts")).as("r_ms"))
         .orderBy(col("key"), col("l_id"), col("r_id"))
@@ -417,14 +532,10 @@ object StreamingOps {
         |       COALESCE(s.delivery_status = 'delivered', false) AS verified
         |FROM requests r LEFT JOIN status s ON s.delivery_id = r.delivery_id
         |ORDER BY r.delivery_id""".stripMargin) { (s, d) =>
-      val status = Tables.events(s, d)
-        .groupBy(col("user_id").as("delivery_id"))
-        .agg(when(max(col("value")) > 10, "delivered").otherwise("pending")
-          .as("delivery_status"))
-      val requests = Tables.events(s, d)
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id").as("delivery_id")).distinct()
-      Streams.verifyDeliveries(requests, status).orderBy(col("delivery_id"))
+      runFileFedDeliveryVerification(s, d)._1
+        .select(col("delivery_id"), col("delivery_status"),
+          col("found"), col("verified"))
+        .orderBy(col("delivery_id"))
     },
 
     /** Streaming-ingest exact dedup driven END-TO-END through
@@ -462,38 +573,7 @@ object StreamingOps {
         |SELECT fp, doc_id AS keeper_doc_id, CAST(par AS BIGINT) AS first_batch
         |FROM r WHERE rn = 1
         |ORDER BY fp""".stripMargin) { (s, d) =>
-      implicit val sqlCtx = s.sqlContext
-      import s.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val docs = base.unionByName(
-        base.filter(pmod(col("doc_id"), lit(10L)) === 0)
-          .select((col("doc_id") + 1000001L).as("doc_id"), col("text")))
-      def batch(par: Int) = docs
-        .filter(pmod(col("doc_id"), lit(2L)) === par)
-        .as[Streams.StreamDoc]
-        .collect().toSeq
-      val mem = MemoryStream[Streams.StreamDoc]
-      withStreamingHarness(s,
-        Map("spark.sql.shuffle.partitions" -> "2",
-          // NoTimeout keyed state can't fire on a no-data batch and
-          // append-mode FMGWS emits nothing from one — skip the two
-          // ~0.5 s watermark-advance batches (same call as st_interval)
-          "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")) { ck =>
-        // project to (fp, doc_id) BEFORE the sink so the memory sink
-        // holds two narrow columns, not the full document texts
-        val q = Streams.streamingExactDedup(mem.toDS())
-          .select(graft.text.TextFunctions.fingerprint(col("text")).as("fp"),
-            col("doc_id"))
-          .writeStream.format("memory").queryName("st_dedup_sink")
-          .option("checkpointLocation", ck)
-          .outputMode("append").start()
-        try {
-          mem.addData(batch(0)); q.processAllAvailable()
-          mem.addData(batch(1)); q.processAllAvailable()
-        } finally q.stop()
-      }
-      s.table("st_dedup_sink")
+      runFileFedStreamDedup(s, d)._1
         .select(col("fp"), col("doc_id").as("keeper_doc_id"),
           pmod(col("doc_id"), lit(2L)).cast("long").as("first_batch"))
         .orderBy(col("fp"))
@@ -535,37 +615,7 @@ object StreamingOps {
         |FROM (SELECT *, MAX(session_seq) OVER (PARTITION BY user_id) AS mx FROM agg)
         |WHERE session_seq < mx
         |ORDER BY user_id, session_seq""".stripMargin) { (s, d) =>
-      implicit val sqlCtx = s.sqlContext
-      import s.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val ev = Tables.events(s, d)
-        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
-        .as[Streams.SessionEvent]
-      // midpoint split: batch 1 strictly earlier than batch 2, so
-      // per-user event order across batches matches event time (the
-      // arrival contract; untrusted feeds add a watermark)
-      val (lo, hi) = ev.agg(
-        min(unix_millis(col("ts"))), max(unix_millis(col("ts"))))
-        .as[(Long, Long)].head()
-      val cutoff = lo + (hi - lo) / 2
-      def batch(p: Int): Seq[Streams.SessionEvent] =
-        ev.filter(if (p == 0) unix_millis(col("ts")) < cutoff
-                  else unix_millis(col("ts")) >= cutoff)
-          .collect().toSeq
-      val mem = MemoryStream[Streams.SessionEvent]
-      withStreamingHarness(s,
-        Map("spark.sql.shuffle.partitions" -> "2",
-          "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")) { ck =>
-        val q = Streams.streamingSessionize(mem.toDS()).toDF()
-          .writeStream.format("memory").queryName("st_sessionize_sink")
-          .option("checkpointLocation", ck)
-          .outputMode("append").start()
-        try {
-          mem.addData(batch(0)); q.processAllAvailable()
-          mem.addData(batch(1)); q.processAllAvailable()
-        } finally q.stop()
-      }
-      s.table("st_sessionize_sink")
+      runFileFedSessionize(s, d)._1
         .select(col("user_id"), col("session_seq"), col("n_events"),
           col("start_ms"), col("end_ms"), col("total_value"))
         .orderBy(col("user_id"), col("session_seq"))
@@ -586,32 +636,7 @@ object StreamingOps {
         |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
         |WHERE e.event_type = 'purchase'
         |ORDER BY e.event_id""".stripMargin) { (s, d) =>
-      implicit val sqlCtx = s.sqlContext
-      import s.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val facts = Tables.events(s, d)
-        .filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"),
-          round(col("value") * 100, 0).cast("long").as("value_cents"))
-        .as[Streams.FactEvent]
-      def batch(p: Int): Seq[Streams.FactEvent] =
-        facts.filter(pmod(col("event_id"), lit(2L)) === p).collect().toSeq
-      val dim = Tables.customer(s, d)
-        .select(col("c_custkey").as("user_id"),
-          col("c_mktsegment").as("segment"))
-      val mem = MemoryStream[Streams.FactEvent]
-      withStreamingHarness(s,
-        Map("spark.sql.shuffle.partitions" -> "2")) { ck =>
-        val q = Streams.enrichWithDim(mem.toDF(), dim, "user_id")
-          .writeStream.format("memory").queryName("st_enrich_sink")
-          .option("checkpointLocation", ck)
-          .outputMode("append").start()
-        try {
-          mem.addData(batch(0)); q.processAllAvailable()
-          mem.addData(batch(1)); q.processAllAvailable()
-        } finally q.stop()
-      }
-      s.table("st_enrich_sink")
+      runFileFedEnrich(s, d)._1
         .select(col("event_id"), col("user_id"), col("segment"),
           col("value_cents"))
         .orderBy(col("event_id"))
@@ -655,45 +680,8 @@ object StreamingOps {
         |WHERE l.l_id NOT IN (SELECT l_id FROM m)
         |  AND l.l_ms < (SELECT w FROM wm)
         |ORDER BY key, l_id, r_id""".stripMargin) { (s, d) =>
-      implicit val sqlCtx = s.sqlContext
-      import s.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val all = Tables.events(s, d)
-        .filter(col("event_type").isin("purchase", "view"))
-        .select(col("event_type"), col("user_id"),
-          timestamp_millis(unix_millis(col("ts"))).as("ts_ms"), col("event_id"))
-        .as[(String, Long, java.sql.Timestamp, Long)]
-        .collect()
-      val split = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
-      def half(tpe: String, second: Boolean) =
-        all.iterator.filter { case (t, _, ts, _) =>
-          t == tpe && (ts.before(split) != second)
-        }.toSeq
-      val (l1, l2) = (
-        half("purchase", second = false).map(e => Streams.LeftEvent(e._2, e._3, e._4)),
-        half("purchase", second = true).map(e => Streams.LeftEvent(e._2, e._3, e._4)))
-      val (r1, r2) = (
-        half("view", second = false).map(e => Streams.RightEvent(e._2, e._3, e._4)),
-        half("view", second = true).map(e => Streams.RightEvent(e._2, e._3, e._4)))
-      val memL = MemoryStream[Streams.LeftEvent]
-      val memR = MemoryStream[Streams.RightEvent]
-      // unlike the inner gate, no-data micro-batches stay ON: eviction
-      // is what EMITS the null rows
-      withStreamingHarness(s, Map(
-        "spark.sql.shuffle.partitions" -> "1")) { ck =>
-        val joined = Streams.streamIntervalJoin(
-          memL.toDF(), memR.toDF(), "key", "l_ts", "r_ts",
-          lookback = "4 hours", lateness = "10 minutes",
-          joinType = "left_outer")
-        val q = joined.writeStream.format("memory").queryName("st_oij_sink")
-          .option("checkpointLocation", ck)
-          .outputMode("append").start()
-        try {
-          memL.addData(l1); memR.addData(r1); q.processAllAvailable()
-          memL.addData(l2); memR.addData(r2); q.processAllAvailable()
-        } finally q.stop()
-      }
-      s.table("st_oij_sink")
+      runFileFedIntervalJoin(s, d, joinType = "left_outer",
+          sinkName = "st_oij_sink")._1
         .select(col("key"), col("l_id"), unix_millis(col("l_ts")).as("l_ms"),
           col("r_id"), unix_millis(col("r_ts")).as("r_ms"))
         .orderBy(col("key"), col("l_id"), col("r_id"))
@@ -718,33 +706,7 @@ object StreamingOps {
         |       CAST(ROUND(value*100,0) AS BIGINT) AS cents
         |FROM events WHERE user_id % 5 = 0
         |ORDER BY event_id""".stripMargin) { (s, d) =>
-      implicit val sqlCtx = s.sqlContext
-      import s.implicits._
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val ev = Tables.events(s, d)
-        .filter(pmod(col("user_id"), lit(5L)) === 0)
-        .select(col("event_id").as("key"), col("ts"),
-          round(col("value") * 100, 0).cast("long").as("value"))
-      val mid = ev.agg((min(unix_micros(col("ts")))
-        + max(unix_micros(col("ts")))).as("m2")).first().getLong(0)
-      val b1 = ev.filter(unix_micros(col("ts")) * 2 <= mid)
-        .as[Streams.CentEvent].collect().toSeq
-      val b2Fresh = ev.filter(unix_micros(col("ts")) * 2 > mid)
-        .as[Streams.CentEvent].collect().toSeq
-      val redelivered = b1.filter(_.key % 100 == 0)
-      val mem = MemoryStream[Streams.CentEvent]
-      withStreamingHarness(s,
-        Map("spark.sql.shuffle.partitions" -> "2")) { ck =>
-        val q = Streams.streamingDedupTtl(mem.toDS())
-          .writeStream.format("memory").queryName("st_ttl_sink")
-          .option("checkpointLocation", ck)
-          .outputMode("append").start()
-        try {
-          mem.addData(b1); q.processAllAvailable()
-          mem.addData(b2Fresh ++ redelivered); q.processAllAvailable()
-        } finally q.stop()
-      }
-      s.table("st_ttl_sink")
+      runFileFedDedupTtl(s, d)._1
         .select(col("key").as("event_id"),
           unix_millis(col("ts")).as("ts_ms"),
           col("value").as("cents"))

@@ -197,16 +197,39 @@ class StreamsSpec extends GraftSpec {
     } finally q.stop()
   }
 
-  test("windowed-counts gate runs on a genuine FileStreamSource (two parquet drops, no collect)") {
-    // the r9 harness conversion: the gate's feed is a watched
-    // directory read through readStream — assert the source the query
-    // actually ran on IS the file source, and the drained sink is the
-    // same non-empty closed-window set the oracle checks
-    val (sink, descs) = graft.operators.StreamingOps
-      .runFileFedWindowedCounts(spark, sf("sf0.001"))
-    assert(descs.nonEmpty && descs.forall(_.startsWith("FileStreamSource")),
-      descs.mkString("; "))
-    assert(sink.count() > 0)
+  test("every streaming harness runs on a genuine FileStreamSource (parquet drops, no collect)") {
+    // the r9/r10 harness conversion: every gate's feed is a watched
+    // directory read through readStream — assert the source each query
+    // actually ran on IS the file source, per harness; for the feeds
+    // guaranteed non-empty at sf0.001, also assert the sink drained
+    import graft.operators.StreamingOps
+    val d = sf("sf0.001")
+    type Run = () => (org.apache.spark.sql.DataFrame, Seq[String])
+    val harnesses: Seq[(String, Boolean, Run)] = Seq(
+      ("windowed_counts", true,
+        () => StreamingOps.runFileFedWindowedCounts(spark, d)),
+      ("interval_join", false,   // inner join may be empty at sf0.001
+        () => StreamingOps.runFileFedIntervalJoin(spark, d, "inner", "spec_ij_sink")),
+      ("outer_interval_join", true,  // null-emissions guarantee rows
+        () => StreamingOps.runFileFedIntervalJoin(spark, d, "left_outer", "spec_oij_sink")),
+      ("stream_dedup", true,
+        () => StreamingOps.runFileFedStreamDedup(spark, d)),
+      ("sessionize", false,      // only non-final sessions emit
+        () => StreamingOps.runFileFedSessionize(spark, d)),
+      ("enrich", true,
+        () => StreamingOps.runFileFedEnrich(spark, d)),
+      ("dedup_ttl", true,
+        () => StreamingOps.runFileFedDedupTtl(spark, d)),
+      ("delivery_verification", true,
+        () => StreamingOps.runFileFedDeliveryVerification(spark, d)),
+      ("eta", true,
+        () => StreamingOps.runFileFedEta(spark, d)))
+    harnesses.foreach { case (name, nonEmpty, run) =>
+      val (sink, descs) = run()
+      assert(descs.nonEmpty && descs.forall(_.startsWith("FileStreamSource")),
+        s"$name ran on: ${descs.mkString("; ")}")
+      if (nonEmpty) assert(sink.count() > 0, s"$name sink drained empty")
+    }
   }
 
   test("stream-stream interval join pairs purchases with preceding clicks") {
