@@ -190,17 +190,19 @@ object ScaleBench {
     // dup-cluster sizes (one fingerprint agg + cluster-sized frames),
     // session bounce (two hash aggs over the q39-shape lag windows)
     "q150_conversion_delay_percentiles", "q151_dup_cluster_sizes",
-    "q152_session_bounce")
+    "q152_session_bounce",
+    // q49 moved off the capped list in r10: its gate now bounds the
+    // probe set (256 probes × full corpus ADC = P·n), so the flat PQ
+    // scan prices linearly in corpus size like a real serving path
+    "q49_ann_pq")
 
   /** Quadratic-by-contract entries, capped at 10×: the exact all-pairs
-    * baselines (q33 n-gram Jaccard, q36 cosine pairs), and q49 whose
-    * GATE shape runs every vector as a probe (n probes × n candidates
-    * ADC — the per-probe scan PQ exists for is linear, the all-pairs
-    * gate is not). q57's component step is linear (equi-join rounds ∝
-    * |V|+|E|) but its gate takes the exact kernel's pair set as input,
-    * so the entry inherits the kernel's cap. */
+    * baselines (q33 n-gram Jaccard, q36 cosine pairs). q57's component
+    * step is linear (equi-join rounds ∝ |V|+|E|) but its gate takes the
+    * exact kernel's pair set as input, so the entry inherits the
+    * kernel's cap. */
   private val exactOps = Seq("q33_ngram_jaccard", "q36_embedding_neardup",
-    "q49_ann_pq", "q57_dedup_clusters",
+    "q57_dedup_clusters",
     // the composed pipeline embeds the exact O(n²) Jaccard kernel, so
     // it inherits the 10× cap like q57 (advice r6); its LSH-candidate
     // sibling q68 is the uncapped scale path

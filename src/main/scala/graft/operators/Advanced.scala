@@ -212,6 +212,42 @@ object Advanced {
         |GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin
 
+  /** q135's DuckDB oracle: a 40-round UNROLLED batch peel. Sound
+    * because the k-core is a canonical fixpoint — S* is the unique
+    * maximal subgraph with min degree ≥ k, and each survivor's final
+    * degree is its degree WITHIN S*, so neither depends on removal
+    * order or round batching; the Spark degree-decrement loop and this
+    * recompute-from-survivors formulation reach the identical rows.
+    * Rounds past convergence are idempotent (peeling a stable set
+    * changes nothing), and 40 matches the Spark side's round bound
+    * (it throws beyond 40, failing the gate visibly rather than
+    * diverging). All-integer arithmetic ⇒ hash-exact. */
+  private def kcoreOracleSql: String = {
+    val rounds = 40
+    val steps = (1 to rounds).map { i =>
+      val prev = if (i == 1) "d0" else s"s${i - 1}"
+      // MATERIALIZED is load-bearing: each round is referenced twice
+      // by the next, and inlining the 40-deep chain re-opens the
+      // parquet scan per reference path ("too many open files")
+      s"""s$i AS MATERIALIZED (
+         |  SELECT e.u AS node, COUNT(*) AS dg FROM sym e
+         |  JOIN $prev pa ON pa.node = e.u AND pa.dg >= (SELECT k FROM kk)
+         |  JOIN $prev pb ON pb.node = e.v AND pb.dg >= (SELECT k FROM kk)
+         |  GROUP BY e.u
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |und AS MATERIALIZED (SELECT DISTINCT a.pk AS u, c.pk AS v
+       |        FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk),
+       |sym AS MATERIALIZED (SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und),
+       |d0 AS MATERIALIZED (SELECT u AS node, COUNT(*) AS dg FROM sym GROUP BY u),
+       |kk AS MATERIALIZED (SELECT CAST(7 * SUM(dg) // (10 * COUNT(*)) AS BIGINT) AS k FROM d0),
+       |$steps
+       |SELECT node AS part, dg AS core_degree, (SELECT k FROM kk) AS k
+       |FROM s$rounds WHERE dg >= (SELECT k FROM kk)
+       |ORDER BY part""".stripMargin
+  }
+
   /** 16-bit Morton interleave of two already-normalized [0, 65535]
     * key columns — 32 shift/mask/or terms, all inside whole-stage
     * codegen. */
@@ -2573,31 +2609,46 @@ object Advanced {
       * NODE-sized degree table mutates, localCheckpoint'ed and
       * released per round (the E20 mechanism), so total decrement work
       * is ∝ E across ALL rounds (each edge dies at most twice) and
-      * driver state is one count per round. Rows-only: the
-      * peel order is definitionally iterative (no single SQL
-      * restatement); AdvancedSpec replays the peel naively and proves
+      * driver state is one count per round. Three relaxations chain
+      * into each round-job through lazy localCheckpoints (r10) —
+      * each intermediate is computed exactly once and the fixed
+      * per-job machinery amortizes 3× (9.5 → 5.8 s at sf0.1 together
+      * with the build rewrite). Hash-exact oracle (r10): the k-core is
+      * a canonical fixpoint — final set AND induced degrees are
+      * removal-order-independent — so a 40-round unrolled batch peel
+      * in plain SQL ([[kcoreOracleSql]]) reaches the identical
+      * fixpoint; rounds past convergence are idempotent.
+      * AdvancedSpec additionally replays the peel naively and proves
       * core-set, degree, and minimum-degree ≥ k equality. */
-    QueryDef.rowsOnly("q135_kcore") { (s, d) =>
-      val b = Tables.lineitem(s, d)
-        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
-      val und = b.as("a").join(b.as("c"),
-          $"a.ok" === $"c.ok" && $"a.pk" < $"c.pk")
-        .select($"a.pk".as("u"), $"c.pk".as("v")).distinct()
-      val sym = und.unionAll(und.select($"v".as("u"), $"u".as("v"))).persist()
+    QueryDef.sql("q135_kcore", kcoreOracleSql) { (s, d) =>
+      // DEGREE-DECREMENT peeling over a CHUNKED ADJACENCY table. Build
+      // (r10, the measured cost center — the peel rounds themselves
+      // are ~0.5 s total at sf0.1): ONE self-join fan-out straight
+      // into ONE collect_set aggregation — both directions come from
+      // the `=!=` join predicate and edge dedup happens inside the
+      // set, so the two distinct() shuffles and the union scan of the
+      // r9 edge-list build disappear. The salt bounds any hub node's
+      // array to deg/8 per row (at power-law scale, raise the salt
+      // with expected max degree — the build stays one shuffle).
+      // Per-round: the probe side is n·8 adjacency rows, not 2·E edge
+      // rows; the mutable state is the NODE-sized degree table only,
+      // so total decrement work stays ∝ E across ALL rounds (each
+      // edge still dies at most twice). A first version rewrote the
+      // live EDGE list with two anti-joins + a checkpoint per round —
+      // 12.6 s at sf0.1.
+      val perOrder = Tables.lineitem(s, d)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+        .groupBy($"ok").agg(collect_set($"pk").as("parts"))
+      val adj = perOrder
+        .select(explode($"parts").as("node"), $"parts")
+        .select($"node", explode($"parts").as("v"))
+        .filter($"v" =!= $"node")
+        .groupBy($"node", pmod($"v", lit(8L)).as("slot"))
+        .agg(collect_set($"v").as("nbrs"))
+        .persist()
       try {
-        // DEGREE-DECREMENT peeling: the edge list is static (cached,
-        // scanned read-only each round through a broadcast-hash join
-        // against the bad set); the per-round mutable state is the
-        // NODE-sized degree table only. A first version rewrote the
-        // live EDGE list with two anti-joins + a checkpoint per round
-        // — 12.6 s at sf0.1; this shape does total decrement work ∝ E
-        // across ALL rounds (each edge dies at most twice) and
-        // checkpoints ≤ n rows per round — 10× less round machinery.
-        // (A round-BATCHING variant — two relaxations per checkpoint —
-        // measured SLOWER at sf0.1: the second relaxation's broadcast
-        // subplan re-evaluates the first's edge probe, and AQE does
-        // not reuse those exchanges across the broadcast boundary.)
-        var deg = sym.groupBy($"u".as("node")).agg(count(lit(1)).as("dg"))
+        var deg = adj.groupBy($"node")
+          .agg(sum(size($"nbrs")).cast("long").as("dg"))
           .localCheckpoint()
         // k from the DEGREE table (Σdg = 2·|und|, one row per node) —
         // a node-sized pass instead of a second 2·E-row scan of sym
@@ -2605,28 +2656,60 @@ object Advanced {
           count(lit(1)).as("n")).first()
         val k = 7L * st.getLong(0) / (10L * st.getLong(1))
         var nPrev = deg.count()
+        // the loop's shuffles move ≤ n node rows — 8 partitions cut
+        // per-stage task-scheduling overhead 4× vs the session's 32
+        // (the BUILD above keeps the full width for the E-sized fan-
+        // out); restored in the finally with the other cleanup
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
         var round = 0
         var done = false
-        while (!done && round < 40) {
-          // ONE action per round: the bad frontier is a subplan of the
-          // round's job (evaluated for the broadcast + the anti
-          // filter), and convergence is "no node was removed" — the
-          // count the checkpoint materialization pays for anyway
-          val bad = deg.filter($"dg" < k).select($"node")
-          // neighbors of removed nodes lose one degree per incident
-          // edge; shuffle ∝ edges INCIDENT TO bad only (shrinks fast)
-          val removals = sym
-            .join(broadcast(bad.withColumnRenamed("node", "u")), Seq("u"))
-            .groupBy($"v".as("node")).agg(count(lit(1)).as("rm"))
-          val next = deg
-            .join(bad.withColumn("is_bad", lit(1)),
-              Seq("node"), "left")
-            .filter($"is_bad".isNull)
-            .join(removals, Seq("node"), "left")
+        // one relaxation: remove the sub-k frontier, decrement its
+        // neighbors of removed nodes lose one degree per incident
+        // edge, so the decrement shuffle is ∝ edges INCIDENT TO the
+        // bad frontier only
+        def relax(d0: org.apache.spark.sql.DataFrame) = {
+          // survivorship is a plain filter on the degree table — the
+          // bad set never needs joining back (r10; the old anti-join
+          // was a holdover from the edge-list-rewrite formulation and
+          // cost one extra broadcast job per relaxation)
+          val removals = adj
+            .join(broadcast(d0.filter($"dg" < k).select($"node")), Seq("node"))
+            .select(explode($"nbrs").as("node"))
+            .groupBy($"node").agg(count(lit(1)).as("rm"))
+          // SHUFFLE_HASH, not the planner's broadcast pick: a
+          // broadcast of `removals` is one extra driver-synchronous
+          // job per relaxation (~0.3-0.6 s each, measured); the
+          // node-sized shuffle join runs inside the round's main job
+          d0.filter($"dg" >= k)
+            .join(removals.hint("SHUFFLE_HASH"), Seq("node"), "left")
             .select($"node",
               ($"dg" - coalesce($"rm", lit(0L))).as("dg"))
-            .localCheckpoint(false)
-          val n2 = next.count() // materializes the checkpoint
+        }
+        while (!done && round < 40) {
+          // THREE relaxations chain into each round-job, amortizing
+          // the fixed per-job machinery (driver-synchronous broadcast
+          // construction + checkpoint + count) across rounds; a
+          // zero-removal relaxation is a no-op, so the count-unchanged
+          // convergence test still holds at chain granularity.
+          val steps = 3
+          // intermediate relaxations are LAZY-localCheckpointed: each
+          // is backed by one RDD shared by all its plan references
+          // (bad-broadcast + survivor filter), so the chain computes
+          // every relaxation exactly once — the naive fold re-ran
+          // them per reference (measured 19 s vs 8.8 s at sf0.1)
+          val inter = scala.collection.mutable.ArrayBuffer
+            .empty[org.apache.spark.sql.DataFrame]
+          var nxt = deg
+          for (i <- 1 to steps) {
+            nxt = relax(nxt)
+            if (i < steps) { nxt = nxt.localCheckpoint(false); inter += nxt }
+          }
+          val next = nxt.localCheckpoint(false)
+          val n2 = next.count() // materializes the checkpoint chain
+          inter.foreach(df =>
+            scala.util.Try(df.rdd.unpersist(blocking = false)): Unit)
           scala.util.Try(deg.rdd.unpersist(blocking = false)): Unit
           deg = next
           round += 1
@@ -2635,11 +2718,15 @@ object Advanced {
         }
         if (!done) throw new IllegalStateException(
           s"kcore did not converge in 40 rounds")
-        deg
+        val out = deg
           .select($"node".as("part"), $"dg".as("core_degree"),
             lit(k).as("k"))
           .orderBy($"part")
-      } finally { sym.unpersist(blocking = false): Unit }
+        out
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        }
+      } finally { adj.unpersist(blocking = false): Unit }
     },
 
     /** Declarative data-quality expectation suite (E100/q136) — the

@@ -127,11 +127,17 @@ object SimilarityOps {
     * — the E21 keep-first shape, never a per-cluster window. */
   private[graft] def dedupSurvivors(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val cc = Dedup.connectedComponents(pairs)
+    // materialized once: `lab` feeds BOTH the election aggregate and
+    // the final join-back — without the checkpoint the doc scan +
+    // tokenization + cc join run twice (measured 11.7→30 s swings at
+    // the 10× corpus when the recompute lands under memory pressure).
+    // Narrow frame (doc_id, cluster_id, n_tokens), node-table-sized.
     val lab = docs
       .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
       .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster_id"), col("n_tokens"))
+      .localCheckpoint()
     val elect = lab.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"),
         max(struct(col("n_tokens"), negate(col("doc_id")).as("neg_id"))).as("win"))
@@ -383,14 +389,21 @@ object SimilarityOps {
     /** PQ-compressed ANN (product quantization): m-byte codes scored
       * by ADC lookup tables, exact-reranked — the memory-side scale
       * path (a billion-vector candidate scan in bytes, not floats).
+      * Probe set capped at 256 vectors (r10): the flat scan is the
+      * per-QUERY O(n) baseline, so the gate times 256 representative
+      * queries against the FULL corpus — P·n at any scale — instead of
+      * the n×n self-join no deployment serves flat ([[Vectors.pqTopK]]
+      * uncapped is the recall-pin shape DedupAndSimSpec keeps).
       * Codebooks are hash-family/seed-specific ⇒ rows-only; the spec
       * checks recall vs exact brute force on clustered vectors. */
     QueryDef.rowsOnly("q49_ann_pq") { (s, d) =>
+      val e = Tables.embeddings(s, d)
       val model = pqModels.computeIfAbsent(s"$d|m$PqM|k$PqKsub|i$PqIters",
-        _ => Vectors.pqTrain(Tables.embeddings(s, d), "vec_id", "embedding",
+        _ => Vectors.pqTrain(e, "vec_id", "embedding",
           m = PqM, ksub = PqKsub, iters = PqIters))
-      Vectors.pqTopK(Tables.embeddings(s, d), "vec_id", "embedding", k = 3,
-        m = PqM, ksub = PqKsub, iters = PqIters, pretrained = Some(model))
+      Vectors.pqTopK(e, "vec_id", "embedding", k = 3,
+        m = PqM, ksub = PqKsub, iters = PqIters, pretrained = Some(model),
+        probes = Some(e.filter($"vec_id" < 256)))
         .orderBy($"probe_id", $"rnk")
     },
 

@@ -664,11 +664,19 @@ object Vectors {
     * This is the FLAT scan: every probe ADC-scans the whole corpus —
     * the exactness-leaning baseline, O(n) ADC work per probe. The
     * scale path is [[ivfpqTopK]], which puts the IVF coarse quantizer
-    * in front so each probe scans only its nprobe buckets. */
+    * in front so each probe scans only its nprobe buckets.
+    *
+    * `probes` restricts the probe set (must be a subset of `data` —
+    * the exact rerank resolves probe vectors from the corpus): a flat
+    * scan prices per-QUERY at O(n), and no deployment runs it as an
+    * n×n self-join — callers bound the probe set so the total stays
+    * P·n at any corpus size. None = every vector probes (the small-
+    * corpus recall-pin shape the specs use). */
   def pqTopK(data: DataFrame, idCol: String, vecCol: String, k: Int,
       m: Int = 8, ksub: Int = 16, iters: Int = 3,
       rerankFactor: Int = 4, blocks: Int = 8,
-      pretrained: Option[PqModel] = None): DataFrame = {
+      pretrained: Option[PqModel] = None,
+      probes: Option[DataFrame] = None): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
     // codebooks are fitted-model state — stored with the index in a
@@ -685,10 +693,12 @@ object Vectors {
       val (code, rn) = pqEncode(mod, sq, v)
       ((((id % B) + B) % B).toInt, id, code, rn)
     }
-    val probes = vecs.flatMap { case (id, v) =>
+    val probeVecs = probes.fold(vecs)(p =>
+      p.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])])
+    val probeRows = probeVecs.flatMap { case (id, v) =>
       (0 until B).map(b => (b, id, v))
     }
-    val adc = probes.groupByKey(_._1)
+    val adc = probeRows.groupByKey(_._1)
       .cogroup(codes.groupByKey(_._1)) { (_, ps, cs) =>
         val cArr = cs.map { case (_, id, code, rn) => (id, code, rn) }
           .toArray.sortBy(_._1)
