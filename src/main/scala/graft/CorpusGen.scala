@@ -147,7 +147,15 @@ object CorpusGen {
       .write.mode("overwrite").parquet(s"$dir/region.parquet")
     val prios = array(lit("1-URGENT"), lit("2-HIGH"), lit("3-MEDIUM"),
       lit("4-NOT SPECIFIED"), lit("5-LOW"))
-    val base = to_timestamp(lit("2024-01-01 00:00:00"))
+    // The slice mirrors the sf testdata's 1995–2001 calendar (r10):
+    // the curve corpus originally sat at a 2024 base + 400-day span,
+    // which turned the gates' literal date windows degenerate — q43's
+    // `o_orderdate < 1999` matched nothing, `l_shipdate > 1999`
+    // matched everything, and q153's 1996 prune window selected zero
+    // files, so the curve was pricing empty or unpruned scans. Orders
+    // span 6 years, shipdates 6.5 (ship follows order), so every
+    // date-windowed gate keeps its sf selectivity on the corpus too.
+    val base = to_timestamp(lit("1995-01-01 00:00:00"))
     spark.range(nOrders).select(
       id.as("o_orderkey"),
       pmod(h(seed, 30, id), lit(nCust)).as("o_custkey"),
@@ -155,7 +163,7 @@ object CorpusGen {
       ((pmod(h(seed, 36, id), lit(500000L)) + 1).cast("double") / 100.0)
         .as("o_totalprice"),
       timestamp_seconds(unix_timestamp(base)
-        + pmod(h(seed, 37, id), lit(365L * 86400L))).as("o_orderdate"),
+        + pmod(h(seed, 37, id), lit(2190L * 86400L))).as("o_orderdate"),
       element_at(array(lit("O"), lit("F"), lit("P")),
         (pmod(h(seed, 38, id), lit(3L)) + 1).cast("int")).as("o_orderstatus"),
       element_at(prios, (pmod(h(seed, 39, id), lit(5L)) + 1).cast("int"))
@@ -172,7 +180,9 @@ object CorpusGen {
       ((pmod(h(seed, 41, id), lit(500000L)) + 100).cast("double") / 100.0)
         .as("l_extendedprice"),
       timestamp_seconds(unix_timestamp(base)
-        + pmod(h(seed, 42, id), lit(400L * 86400L))).as("l_shipdate"))
+        + pmod(h(seed, 42, id), lit(2373L * 86400L))).as("l_shipdate"),
+      element_at(array(lit("A"), lit("N"), lit("R")),
+        (pmod(h(seed, 43, id), lit(3L)) + 1).cast("int")).as("l_returnflag"))
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
   }
 
@@ -210,8 +220,11 @@ object CorpusGen {
           (try spark.read.parquet(f.getPath).columns.contains(col)
            catch { case _: Exception => false })
       }
+      // l_returnflag is the newest slice column (r10, with the 1995
+      // calendar rebase) — probing for it regenerates any dir built
+      // under the old 2024-base schema
       if (!tableOk("orders.parquet", "o_totalprice") ||
-          !tableOk("lineitem.parquet", "l_partkey"))
+          !tableOk("lineitem.parquet", "l_returnflag"))
         relational(spark, dir, nOrders)
     }
   }

@@ -194,7 +194,17 @@ object ScaleBench {
     // q49 moved off the capped list in r10: its gate now bounds the
     // probe set (256 probes × full corpus ADC = P·n), so the flat PQ
     // scan prices linearly in corpus size like a real serving path
-    "q49_ann_pq")
+    "q49_ann_pq",
+    // r10 newcomers on the curve (r9 verdict item 8): the lakehouse
+    // compaction+manifest-prune gate — the FIRST measured pass prices
+    // the pruned read only (the layout rewrite lands in the warm
+    // pass via optimizedLineitem's marker, matching the serving
+    // shape: OPTIMIZE runs once, reads run forever) — and the
+    // file-fed watermarked streaming gate, whose cost model is
+    // per-micro-batch state ∝ open windows × keys, so the curve
+    // shows the throughput of a genuine FileStreamSource feed as
+    // event volume grows 100×
+    "q153_compaction_prune", "st_windowed_late_counts")
 
   /** Quadratic-by-contract entries, capped at 10×: the exact all-pairs
     * baselines (q33 n-gram Jaccard, q36 cosine pairs). q57's component

@@ -1145,11 +1145,14 @@ class AdvancedSpec extends GraftSpec {
       for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
     }.toSet
     val sampled = {
-      val parity = graft.Tables.lineitem(spark, dir).sparkSession
-        .createDataFrame(edges.toSeq).toDF("u", "v")
-        .filter(pmod(xxhash64($"u", $"v"), lit(2)) === 0)
-        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
-      parity
+      // same portable coin as the gate: first md5 hex nibble of "u:v"
+      // even — replayed here via java MessageDigest, NOT the Spark
+      // expression, so the pin is engine-independent
+      val md = java.security.MessageDigest.getInstance("MD5")
+      edges.filter { case (u, v) =>
+        val h = md.digest(s"$u:$v".getBytes("UTF-8"))
+        ((h(0) >> 4) & 0xF) % 2 == 0
+      }
     }
     assert(r.getAs[Long]("n_edges_sampled") === sampled.size.toLong)
     val adj = sampled.toSeq.flatMap(e => Seq(e, e.swap))
