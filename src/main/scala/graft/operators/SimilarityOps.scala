@@ -161,6 +161,73 @@ object SimilarityOps {
       s"CAST(embedding[$i] AS DOUBLE) * CAST(embedding[$i] AS DOUBLE)")
       .mkString(" + ") + ")"
 
+  /** [[dotSql]] over an arbitrary REAL-list column and width (the
+    * projected 32-dim space of q140). Left-associative like dotD. */
+  private def dotSqlN(a: String, b: String, vec: String, dim: Int): String =
+    (1 to dim).map(i =>
+      s"CAST($a.$vec[$i] AS DOUBLE) * CAST($b.$vec[$i] AS DOUBLE)")
+      .mkString(" + ")
+
+  /** `(a * b) % 2^64` in DuckDB HUGEINT, overflow-safe for any 64-bit
+    * constant `b`: a direct INT128 product overflows once b ≳ 2^63
+    * (mix64's constants are), so b splits into 32-bit halves and the
+    * widest partial product is 96 bits. `a` must already be < 2^64. */
+  private def mulMod64Sql(a: String, b: BigInt): String = {
+    val m = "18446744073709551616::HUGEINT"
+    val lo = b & 0xFFFFFFFFL
+    val hi = b >> 32
+    s"((($a) * $lo::HUGEINT) % $m + (((($a) * $hi::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)) % $m"
+  }
+
+  /** The SQ8 model + quantized-cosine ranking as DuckDB CTE text —
+    * the oracle twin of [[Vectors.sq8Quantize]]/sq8Dot/sq8Cosine/
+    * sq8TopK, shared by the q125 gate and q126's eval side. Every
+    * float step mirrors the Scala fold order textually (the affine
+    * identity's four terms sum left-associatively); the integer MAC
+    * and code sums are order-free by construction. `sq8f` is
+    * MATERIALIZED so the per-vector model computes once instead of
+    * inlining the 64-arg LEAST/GREATEST into every pair. */
+  private def sq8CtesSql: String = {
+    val mn = "LEAST(" + (1 to DIM).map(i =>
+      s"CAST(embedding[$i] AS DOUBLE)").mkString(", ") + ")"
+    val mx = "GREATEST(" + (1 to DIM).map(i =>
+      s"CAST(embedding[$i] AS DOUBLE)").mkString(", ") + ")"
+    val codes = s"list_transform(range(1, ${DIM + 1}), i -> " +
+      "LEAST(255, GREATEST(0, CAST(ROUND((CAST(embedding[i] AS DOUBLE) - mn) / sc, 0) AS BIGINT))))"
+    val idotSelf = s"CAST(CAST(list_sum(list_transform(range(1, ${DIM + 1}), i -> cd[i] * cd[i])) AS BIGINT) AS DOUBLE)"
+    val idotPair = s"CAST(CAST(list_sum(list_transform(range(1, ${DIM + 1}), i -> p.cd[i] * c.cd[i])) AS BIGINT) AS DOUBLE)"
+    s"""sq8a AS (
+       |  SELECT vec_id, embedding, $mn AS mn, $mx AS mx FROM embeddings
+       |), sq8b AS (
+       |  SELECT vec_id, embedding, mn,
+       |         CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS sc
+       |  FROM sq8a
+       |), sq8c AS (
+       |  SELECT vec_id, mn, sc, $codes AS cd FROM sq8b
+       |), sq8d AS (
+       |  SELECT vec_id, mn, sc, cd, CAST(list_sum(cd) AS BIGINT) AS sm FROM sq8c
+       |), sq8e AS (
+       |  SELECT vec_id, mn, sc, cd, sm,
+       |         mn * mn * ${DIM}.0 + mn * sc * CAST(sm AS DOUBLE)
+       |           + mn * sc * CAST(sm AS DOUBLE) + sc * sc * $idotSelf AS dd
+       |  FROM sq8d
+       |), sq8f AS MATERIALIZED (
+       |  SELECT vec_id, mn, sc, cd, sm, sqrt(dd) AS nr FROM sq8e
+       |), sq8p AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |         CASE WHEN p.nr * c.nr = 0 THEN -2.0
+       |              ELSE (p.mn * c.mn * ${DIM}.0 + p.mn * c.sc * CAST(c.sm AS DOUBLE)
+       |                    + c.mn * p.sc * CAST(p.sm AS DOUBLE) + p.sc * c.sc * $idotPair)
+       |                   / (p.nr * c.nr) END AS qcos
+       |  FROM sq8f p JOIN sq8f c ON c.vec_id <> p.vec_id
+       |  WHERE p.vec_id < 20
+       |), sq8r AS (
+       |  SELECT probe_id, neighbor_id, qcos,
+       |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY qcos DESC, neighbor_id) AS rnk
+       |  FROM sq8p
+       |)""".stripMargin
+  }
+
   /** Exact word-3-gram Jaccard pair CTEs (declarative shingle-join
     * formulation) — shared by the q33 oracle and q57's cluster oracle
     * so both verify against the identical pair set. */
@@ -654,11 +721,21 @@ object SimilarityOps {
       * (4× smaller than float32), cosine computed via the integer-MAC
       * affine identity, top-k through the same block-cogroup kernel as
       * q37 (one shuffle, blocks×k rows per probe, no driver collect).
-      * Rows-only: the quantized score is quantizer-specific;
-      * VectorsSpec pins quantize→dot→rank to a naive JVM reference and
-      * measures recall ≥ 0.8 against the exact kernel; q126 carries
-      * the measured ranking-quality numbers as a gate. */
-    QueryDef.rowsOnly("q125_ann_sq8") { (s, d) =>
+      * Hash-exact since r10: the affine quantizer trains NOTHING (per-
+      * vector min/max, round, clamp — all closed-form), so unlike the
+      * k-means families (IVF/PQ) the whole pipeline is expressible in
+      * SQL — [[sq8CtesSql]] re-quantizes, re-MACs and re-ranks in
+      * DuckDB with the identical IEEE fold order and tie-break.
+      * VectorsSpec additionally pins quantize→dot→rank to a naive JVM
+      * reference and measures recall ≥ 0.8 against the exact kernel;
+      * q126 carries the measured ranking-quality numbers as a gate. */
+    QueryDef.sql(
+      "q125_ann_sq8",
+      s"""WITH $sq8CtesSql
+         |SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id,
+         |       CAST(CAST(ROUND((qcos) * 1e4, 0) AS BIGINT) / 1e4 AS DOUBLE) AS qcos
+         |FROM sq8r WHERE rnk <= 10
+         |ORDER BY probe_id, rnk""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
       Vectors.sq8TopK(e.filter($"vec_id" < 20), e, "vec_id", "embedding", 10)
         .orderBy($"probe_id", $"rnk")
@@ -669,11 +746,64 @@ object SimilarityOps {
       * from 64 to 32 dims, then the exact block-cogroup kernel runs in
       * the HALVED space — the cheap-first-pass pattern in front of any
       * rerank stage, and the third compression family next to PQ (E19)
-      * and SQ8 (E88). Rows-only: projected scores are
-      * projection-specific; VectorsSpec pins the projection bit-exactly
-      * to a naive JVM reference and measures recall against the exact
-      * kernel (JL bound: ~1/√32 cosine error). */
-    QueryDef.rowsOnly("q140_ann_randproj") { (s, d) =>
+      * and SQ8 (E88). Hash-exact since r10: the sign derivation is
+      * pure arithmetic (FNV-1a of "i:j" → splitmix64 → LSB), so the
+      * oracle rebuilds the whole 64×32 Rademacher matrix IN SQL —
+      * FNV as a char fold, splitmix64 via 32-bit-split multiplies in
+      * HUGEINT (mod-2^64 wraparound; MATERIALIZED CTEs stop DuckDB
+      * from textually inlining the chained steps, which blows up
+      * exponentially on the doubled xor references) — then replays
+      * projection (same left fold, same toFloat narrowing) and the
+      * 32-dim kernel with identical IEEE order. VectorsSpec
+      * additionally pins the projection bit-exactly to a naive JVM
+      * reference and measures recall against the exact kernel
+      * (JL bound: ~1/√32 cosine error). */
+    QueryDef.sql(
+      "q140_ann_randproj", {
+        val m = "18446744073709551616::HUGEINT"
+        val ijStr = "CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)"
+        val fnv = "list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
+          s"list_transform(range(1, length($ijStr) + 1), k -> unicode(($ijStr)[k:k])::HUGEINT)), " +
+          s"(acc, c) -> (xor(acc, c) * 1099511628211::HUGEINT) % $m)"
+        val mixA = mulMod64Sql("xor(h, h >> 30)", BigInt("bf58476d1ce4e5b9", 16))
+        val mixB = mulMod64Sql("xor(x1, x1 >> 27)", BigInt("94d049bb133111eb", 16))
+        val proj32 = "CAST(list_reduce(list_prepend(0.0, list_transform(range(1, 65), " +
+          "i -> CAST(e.embedding[i] AS DOUBLE) * t.sv[i])), (a, b) -> a + b) AS REAL)"
+        val selfDot = (1 to 32).map(i =>
+          s"CAST(proj[$i] AS DOUBLE) * CAST(proj[$i] AS DOUBLE)").mkString(" + ")
+        s"""WITH ij AS (
+           |  SELECT i, j FROM range(0, 64) t1(i), range(0, 32) t2(j)
+           |), fh AS MATERIALIZED (
+           |  SELECT i, j, $fnv AS h FROM ij
+           |), mxa AS MATERIALIZED (
+           |  SELECT i, j, $mixA AS x1 FROM fh
+           |), mxb AS MATERIALIZED (
+           |  SELECT i, j, $mixB AS x2 FROM mxa
+           |), sg AS MATERIALIZED (
+           |  SELECT i, j, CASE WHEN xor(x2, x2 >> 31) % 2 = 0 THEN 1.0 ELSE -1.0 END AS s FROM mxb
+           |), sv AS (
+           |  SELECT j, list(s ORDER BY i) AS sv FROM sg GROUP BY j
+           |), pr AS (
+           |  SELECT e.vec_id, t.j, $proj32 AS y FROM embeddings e CROSS JOIN sv t
+           |), pv AS MATERIALIZED (
+           |  SELECT vec_id, list(y ORDER BY j) AS proj FROM pr GROUP BY vec_id
+           |), pn AS MATERIALIZED (
+           |  SELECT vec_id, proj, sqrt($selfDot) AS nrm FROM pv
+           |), ps AS (
+           |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+           |         (${dotSqlN("a", "b", "proj", 32)}) / (a.nrm * b.nrm) AS cos
+           |  FROM pn a JOIN pn b ON b.vec_id <> a.vec_id
+           |  WHERE a.vec_id < 20
+           |), rk AS (
+           |  SELECT probe_id, neighbor_id, cos,
+           |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+           |  FROM ps
+           |)
+           |SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id,
+           |       CAST(CAST(ROUND((cos) * 1e4, 0) AS BIGINT) / 1e4 AS DOUBLE) AS proj_cosine
+           |FROM rk WHERE rnk <= 10
+           |ORDER BY probe_id, rnk""".stripMargin
+      }) { (s, d) =>
       val e = Tables.embeddings(s, d)
       val proj = Vectors.randomProject(e, "vec_id", "embedding", 32)
       Vectors.bruteForceTopKKernel(
@@ -691,8 +821,35 @@ object SimilarityOps {
       * metrics). One (probe, neighbor) equi-join + one probe-grain
       * agg; eval volume ∝ probes×k, corpus-independent. Rows-only
       * because the approximate side is quantizer-specific; VectorsSpec
-      * recomputes both metrics naively from the two rankings. */
-    QueryDef.rowsOnly("q126_ranking_eval") { (s, d) =>
+      * recomputes both metrics naively from the two rankings.
+      * Hash-exact since r10 (rode q125's conversion): the oracle
+      * recomputes BOTH rankings — the SQ8 side via [[sq8CtesSql]],
+      * the exact side via the q37 dot chains — and replays the
+      * integer eval join in SQL. */
+    QueryDef.sql(
+      "q126_ranking_eval",
+      s"""WITH $sq8CtesSql, exn AS (
+         |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings
+         |), exs AS (
+         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+         |         (${dotSql("a", "b")}) / (a.nrm * b.nrm) AS cos
+         |  FROM exn a JOIN exn b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 20
+         |), exr AS (
+         |  SELECT probe_id, neighbor_id,
+         |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM exs
+         |), ev AS (
+         |  SELECT e.probe_id, e.rnk AS e_rnk, a.rnk AS a_rnk
+         |  FROM (SELECT * FROM exr WHERE rnk <= 10) e
+         |  LEFT JOIN (SELECT * FROM sq8r WHERE rnk <= 10) a
+         |    ON a.probe_id = e.probe_id AND a.neighbor_id = e.neighbor_id
+         |)
+         |SELECT probe_id, CAST(COUNT(a_rnk) AS BIGINT) AS n_hits,
+         |       CAST(CAST(ROUND((CAST(COUNT(a_rnk) AS DOUBLE) / 10) * 1e4, 0) AS BIGINT) / 1e4 AS DOUBLE) AS recall_at_k,
+         |       CAST(MAX(CASE WHEN e_rnk = 1 AND a_rnk IS NOT NULL THEN 2520 // a_rnk ELSE 0 END) AS BIGINT) AS mrr_scaled
+         |FROM ev GROUP BY probe_id
+         |ORDER BY probe_id""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
       val probes = e.filter($"vec_id" < 20)
       val approx = Vectors.sq8TopK(probes, e, "vec_id", "embedding", 10)
