@@ -77,17 +77,55 @@ object Dedup {
       "left_semi")
   }
 
-  /** MinHash family: hash each shingle ONCE (xxhash64 over the string),
-    * then derive the i-th hash by re-hashing the resulting LONG with a
-    * seed column — k long-input hashes per shingle instead of k string
-    * hashes, codegen'd, and overflow-free under ANSI mode (a raw
-    * multiply-mix would trip Spark 4's checked arithmetic). */
-  private def mix(h: Column, i: Int): Column = xxhash64(lit(i), h)
+  /** MinHash family (ENGINE-PORTABLE since r10): hash each shingle
+    * ONCE to a 60-bit base (the top 15 hex nibbles of md5 — an md5
+    * built-in exists in every engine an oracle might run on), then
+    * derive the i-th hash with a universal permutation
+    * hᵢ(x) = (aᵢ·(x mod p) + bᵢ) mod p over the Mersenne prime
+    * p = 2³¹−1 — plain checked-arithmetic-safe integer math (products
+    * stay under 2⁶²), k multiply-adds per shingle instead of k string
+    * hashes, codegen'd. The (aᵢ, bᵢ) are CODE-time constants
+    * ([[minhashPerms]]), so the DuckDB oracle replays the identical
+    * signatures and the LSH gates verify hash-exact; the previous
+    * xxhash64 family was engine-specific and capped them at
+    * rows-only. The permutation's 31-bit range is ample for min-over-
+    * shingles: a per-document min collision needs ~2³¹ shingles. */
+  private[graft] val MinhashP = 2147483647L
+
+  /** Fixed multipliers of the universal permutation family, generated
+    * once from a splitmix64 stream in plain Scala (no engine hash
+    * involved) — the Spark plan and the oracle SQL bake in identical
+    * constants. */
+  private[graft] val minhashPerms: IndexedSeq[(Long, Long)] = {
+    var s = 0x9E3779B97F4A7C15L
+    def next(): Long = {
+      s += 0x9E3779B97F4A7C15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    (0 until 32).map { _ =>
+      val a = java.lang.Math.floorMod(next(), MinhashP - 1) + 1
+      val b = java.lang.Math.floorMod(next(), MinhashP)
+      (a, b)
+    }
+  }
+
+  private def mix(h: Column, i: Int): Column = {
+    val (a, b) = minhashPerms(i)
+    pmod(lit(a) * pmod(h, lit(MinhashP)) + lit(b), lit(MinhashP))
+  }
+
+  /** Column form of the portable 60-bit base hash (the kernel twin is
+    * [[shingleHashesPortable]]): top 15 md5 hex nibbles as a long. */
+  private def md5Base60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
   /** MinHash signature as `numHashes` array-min aggregations over the
     * shingle set — pure column expressions, one pass, no explode. */
   def minhashSignature(shingles: Column, numHashes: Int): Seq[Column] = {
-    val hashed = transform(shingles, s => xxhash64(s))
+    val hashed = transform(shingles, s => md5Base60(s))
     (0 until numHashes).map(i => array_min(transform(hashed, h => mix(h, i))))
   }
 
@@ -130,7 +168,7 @@ object Dedup {
     // cheaper than the write+read round trip.
     val shingled = df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
-      .flatMap { case (id, t) => shingleHashes(t, shingleLen).map(h => (id, h)) }
+      .flatMap { case (id, t) => shingleHashesPortable(t, shingleLen).map(h => (id, h)) }
       .toDF("id", "h")
     val hashed =
       if (df.queryExecution.optimizedPlan.stats.sizeInBytes < spillThresholdBytes)
@@ -170,8 +208,13 @@ object Dedup {
       .map(i => min(mix(col("h"), i)).as(s"mh_$i")) :+
       count(lit(1)).as("n_sh")
     val sigs = hashed.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
+    // ':'-joined VALUE key, not a hash of the values: collision keys
+    // must be oracle-replayable, and the band tuple is tiny (4 longs
+    // < 2³¹ each) — the string costs a few bytes per band row and
+    // buys the cross-engine join key
     val bandKeys = (0 until bands).map { b =>
-      xxhash64((lit(b) +: (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))): _*)
+      concat_ws(":",
+        (lit(b) +: (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))): _*)
         .as(s"band_$b")
     }
     val bandRows = sigs.select((col("id") +: bandKeys): _*)
@@ -202,7 +245,7 @@ object Dedup {
     import spark.implicits._
     val hashed = df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
-      .flatMap { case (id, t) => shingleHashes(t, shingleLen).map(h => (id, h)) }
+      .flatMap { case (id, t) => shingleHashesPortable(t, shingleLen).map(h => (id, h)) }
       .toDF("id", "h")
     val (bandRows, sizes) = bandedIndex(hashed, bands, rowsPerBand)
     MinHashIndex(bandRows, hashed, sizes)
@@ -258,7 +301,7 @@ object Dedup {
   def emptyMinhashIndex(spark: org.apache.spark.sql.SparkSession): MinHashIndex = {
     import spark.implicits._
     MinHashIndex(
-      Seq.empty[(Long, Int, Long)].toDF("id", "band_idx", "band_key"),
+      Seq.empty[(Long, Int, String)].toDF("id", "band_idx", "band_key"),
       Seq.empty[(Long, Long)].toDF("id", "h"),
       Seq.empty[(Long, Long)].toDF("id", "n_sh"))
   }
@@ -267,6 +310,32 @@ object Dedup {
     * Jaccard kernel and the MinHash shingling (collision argument in
     * [[ngramJaccardPairsKernel]]'s doc). */
   private[dedup] def fnv1a(s: String): Long = graft.functions.FnvHash64.hash(s)
+
+  /** Distinct, sorted PORTABLE 60-bit shingle hashes — the MinHash
+    * base since r10: the first 15 hex nibbles of md5(shingle), i.e.
+    * the digest's top 60 bits, so the signature pipeline (base →
+    * [[minhashPerms]] permutations → banded keys) replays in any
+    * engine with an md5 built-in and the LSH gates verify hash-exact.
+    * ~2× the FNV kernel's per-shingle hash cost; the shingle string
+    * assembly dominates both, and the non-minhash gram consumers
+    * (decontamination, winnowing) keep the cheaper FNV kernel
+    * [[shingleHashes]] — their oracles match on gram STRINGS, never
+    * on hash values, so they never needed portability. */
+  private[dedup] def shingleHashesPortable(text: String, n: Int): Array[Long] = {
+    val toks = text.trim.split("\\s+")
+    if (toks.length < n) Array.emptyLongArray
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 to toks.length - n).iterator.map { i =>
+        val d = md.digest(toks.slice(i, i + n).mkString(" ").getBytes("UTF-8"))
+        // big-endian first 8 bytes, low nibble dropped == 15 hex chars
+        var v = 0L
+        var j = 0
+        while (j < 8) { v = (v << 8) | (d(j) & 0xFFL); j += 1 }
+        v >>> 4
+      }.toArray.distinct.sorted
+    }
+  }
 
   /** Distinct, sorted hashes of the word n-gram shingles of `text` —
     * a tight-loop kernel; the column-expression shingler

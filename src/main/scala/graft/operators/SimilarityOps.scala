@@ -245,6 +245,65 @@ object SimilarityOps {
       |  GROUP BY a.doc_id, b.doc_id
       |)""".stripMargin
 
+  /** Banded-MinHash candidate pairs + exact-Jaccard verification as
+    * DuckDB CTE text — the oracle twin of [[Dedup.minhashNearDups]]
+    * under the r10 portable family: base hash = top 60 bits of
+    * md5(shingle) (a 15-nibble fold, the q59 ascii arithmetic),
+    * permutations = the identical (a, b) universal-hash constants
+    * baked from [[Dedup.minhashPerms]], band keys = the same
+    * ':'-joined value strings. Ends with CTE `mdup`
+    * (id_a, id_b, jaccard rounded to 4) — callers filter at the
+    * threshold and/or chain components/election on top exactly as
+    * the exact-kernel oracles do. */
+  private val minhashCtes: String = {
+    val p = graft.dedup.Dedup.MinhashP
+    def nib(k: Int) =
+      s"CAST(CASE WHEN ascii(mh[$k:$k]) >= 97 THEN ascii(mh[$k:$k]) - 87 ELSE ascii(mh[$k:$k]) - 48 END AS BIGINT)"
+    val h60 = (1 to 15).map(nib).reduce((a, b) => s"($a * 16 + $b)")
+    val sigCols = (0 until 32).map { i =>
+      val (a, b) = graft.dedup.Dedup.minhashPerms(i)
+      s"MIN(($a * (h % $p) + $b) % $p) AS mh_$i"
+    }.mkString(",\n       |         ")
+    def bandKey(b: Int) =
+      s"CAST($b AS VARCHAR)" +
+        (0 until 4).map(r => s" || ':' || CAST(mh_${b * 4 + r} AS VARCHAR)").mkString
+    val bandArms = (0 until 8).map(b => s"WHEN $b THEN ${bandKey(b)}").mkString("\n       |           ")
+    s"""mtk AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+       |), mshs AS (
+       |  SELECT DISTINCT doc_id AS id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+       |  FROM mtk, UNNEST(generate_series(1, len(toks) - 2)) AS g(i)
+       |), msh AS MATERIALIZED (
+       |  SELECT DISTINCT id, $h60 AS h FROM (SELECT id, md5(s) AS mh FROM mshs)
+       |), msig AS MATERIALIZED (
+       |  SELECT id, COUNT(*) AS n_sh,
+       |         $sigCols
+       |  FROM msh GROUP BY id
+       |), mband AS (
+       |  SELECT id, bi AS band_idx,
+       |         CASE bi
+       |           $bandArms
+       |         END AS band_key
+       |  FROM msig CROSS JOIN (SELECT UNNEST(range(0, 8)) AS bi) bb
+       |), mcand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM mband a JOIN mband b
+       |    ON b.band_idx = a.band_idx AND b.band_key = a.band_key AND a.id < b.id
+       |), mint AS (
+       |  SELECT c.id_a, c.id_b, COUNT(*) AS inter
+       |  FROM mcand c
+       |  JOIN msh x ON x.id = c.id_a
+       |  JOIN msh y ON y.id = c.id_b AND y.h = x.h
+       |  GROUP BY c.id_a, c.id_b
+       |), mdup AS (
+       |  SELECT c.id_a, c.id_b,
+       |         CAST(ROUND((c.inter * 1.0 / (na.n_sh + nb.n_sh - c.inter)) * 1e4, 0) AS BIGINT) / 1e4 AS jaccard
+       |  FROM mint c
+       |  JOIN msig na ON na.id = c.id_a
+       |  JOIN msig nb ON nb.id = c.id_b
+       |)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     /** Exact word-3-gram Jaccard near-dup pairs (threshold 0.5) — the
@@ -415,11 +474,40 @@ object SimilarityOps {
       * kernel feeding q66 is infeasible. Every stage is an equi-join
       * shuffle (bands, verification, component rounds), so the chain
       * stays ~linear where q66 inherits the kernel's O(n²) (measured:
-      * ScaleBench runs this uncapped). MinHash is hash-family-specific
-      * ⇒ rows-only; DedupSpec proves the composed pipeline resolves
+      * ScaleBench runs this uncapped). Hash-exact since r10 (the
+      * portable MinHash family): the oracle chains q66's recursive
+      * component closure and kept-corpus accounting onto
+      * [[minhashCtes]]'s replayed LSH pairs — the full production
+      * chain verified end-to-end against an independent engine.
+      * DedupSpec additionally proves the composed pipeline resolves
       * exactly the exact-pair pipeline's clusters on planted
       * duplicates. */
-    QueryDef.rowsOnly("q68_cluster_dedup_lsh") { (s, d) =>
+    QueryDef.sql(
+      "q68_cluster_dedup_lsh",
+      s"""WITH RECURSIVE $minhashCtes, dup AS (
+         |  SELECT id_a, id_b FROM mdup WHERE jaccard >= 0.5
+         |), edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM dup
+         |  UNION
+         |  SELECT id_b, id_a FROM dup
+         |), reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |), comp AS (
+         |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+         |), kept AS (
+         |  SELECT d.doc_id, d.source,
+         |         length(regexp_split_to_array(trim(d.text), '\\s+')) AS n_tokens
+         |  FROM documents d LEFT JOIN comp c USING (doc_id)
+         |  WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+         |)
+         |SELECT source,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |FROM kept
+         |GROUP BY source
+         |ORDER BY source""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       keptCorpusBySource(docs,
         Dedup.minhashNearDups(docs, "doc_id", "text").select($"id_a", $"id_b"))
@@ -435,10 +523,43 @@ object SimilarityOps {
       * pairs (q34's kernel), keeping every stage an equi-join shuffle
       * (bands → verify → component rounds → max-struct election), so
       * the full keep-WHICH policy chain runs uncapped like q68.
-      * MinHash is hash-family-specific ⇒ rows-only; DedupAndSimSpec
-      * proves the LSH-sourced election emits EXACTLY the exact-sourced
+      * Hash-exact since r10 (the portable MinHash family): the oracle
+      * chains q76's closure + window election onto [[minhashCtes]]'s
+      * replayed LSH pairs. DedupAndSimSpec additionally proves the
+      * LSH-sourced election emits EXACTLY the exact-sourced
       * election's rows on planted near-dup clusters. */
-    QueryDef.rowsOnly("q79_dedup_survivors_lsh") { (s, d) =>
+    QueryDef.sql(
+      "q79_dedup_survivors_lsh",
+      s"""WITH RECURSIVE $minhashCtes, dup AS (
+         |  SELECT id_a, id_b FROM mdup WHERE jaccard >= 0.5
+         |), edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM dup
+         |  UNION
+         |  SELECT id_b, id_a FROM dup
+         |), reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |), comp AS (
+         |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+         |), lab AS (
+         |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         |         length(regexp_split_to_array(trim(d.text), '\\s+')) AS n_tokens
+         |  FROM documents d LEFT JOIN comp c USING (doc_id)
+         |), ranked AS (
+         |  SELECT doc_id, cluster_id, n_tokens,
+         |         COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |         ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |                            ORDER BY n_tokens DESC, doc_id) AS rk
+         |  FROM lab
+         |)
+         |SELECT doc_id, cluster_id,
+         |       CAST(cluster_size AS BIGINT) AS cluster_size,
+         |       CAST(n_tokens AS INTEGER) AS n_tokens,
+         |       (rk = 1) AS is_kept,
+         |       CAST(${roundPortableSql("1.0 / cluster_size", 4)} AS DOUBLE) AS repeat_weight
+         |FROM ranked
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       dedupSurvivors(docs,
           Dedup.minhashNearDups(docs, "doc_id", "text").select($"id_a", $"id_b"))
@@ -446,9 +567,18 @@ object SimilarityOps {
     },
 
     /** MinHash+LSH near-dups (banded signatures → candidate equi-join →
-      * exact verify). Hash family is engine-specific ⇒ rows-only here;
-      * the ScalaTest spec checks recall against q33's exact pairs. */
-    QueryDef.rowsOnly("q34_minhash_lsh") { (s, d) =>
+      * exact verify). Hash-exact since r10: the portable family
+      * (md5-60 base + baked universal permutations + value band keys —
+      * [[Dedup.minhashPerms]]) lets the oracle recompute the ENTIRE
+      * pipeline in SQL ([[minhashCtes]]): signatures, band collisions,
+      * candidate set, exact-Jaccard verification. The ScalaTest spec
+      * additionally checks recall against q33's exact pairs. */
+    QueryDef.sql(
+      "q34_minhash_lsh",
+      s"""WITH $minhashCtes
+         |SELECT id_a, id_b, CAST(jaccard AS DOUBLE) AS jaccard
+         |FROM mdup WHERE jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text")
         .orderBy($"id_a", $"id_b")
     },
@@ -486,8 +616,20 @@ object SimilarityOps {
       * incremental candidate joins. It does NOT time per-batch
       * shingling, which a real incremental ingest pays once per
       * arriving batch against already-stored index tables; the
-      * per-batch indexing cost itself is measured by q34's build. */
-    QueryDef.rowsOnly("q48_minhash_incremental") { (s, d) =>
+      * per-batch indexing cost itself is measured by q34's build.
+      *
+      * Hash-exact since r10: the output CONTRACT is exactly q34's
+      * pair set (batch-invariance, proven in DedupSpec), so the
+      * oracle IS q34's SQL — the gate verifies that the incremental
+      * composition reproduces the one-shot result against an
+      * independent engine, which is precisely the invariant the
+      * incremental workflow relies on. */
+    QueryDef.sql(
+      "q48_minhash_incremental",
+      s"""WITH $minhashCtes
+         |SELECT id_a, id_b, CAST(jaccard AS DOUBLE) AS jaccard
+         |FROM mdup WHERE jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       // ONE shingling pass: the index tables (bands/shingles/sizes) are
       // all per-id rows, so each batch's index piece is a filter over
       // the full-corpus build — identical rows to building per batch
