@@ -652,14 +652,31 @@ object Dedup {
         col("kept_text"))
   }
 
-  /** 64-bit SimHash signature from token hashes: per-bit ±1 voting over
-    * xxhash64(token), bit set where the vote is positive. Pure column
-    * expressions (64 array aggregates — wide but shuffle-free). */
+  /** 64-bit SimHash signature from token hashes: per-bit ±1 voting,
+    * bit set where the vote is positive. Pure column expressions
+    * (64 array aggregates — wide but shuffle-free).
+    *
+    * ENGINE-PORTABLE since r10 (the q34 move applied to SimHash): the
+    * token hash is the first 64 bits of md5, carried as two 32-bit
+    * halves (`hi` = hex chars 1–8, `lo` = 9–16) because a 64-bit
+    * unsigned hex parse overflows a signed long under checked
+    * arithmetic — bit j of the conceptual h64 is bit j of `lo` for
+    * j < 32, bit j−32 of `hi` above. The DuckDB oracle replays the
+    * identical votes via nibble folds, which moved q35 from
+    * rows-only to hash-exact. */
   def simhash(text: Column): Column = {
-    val hashes = transform(tokens(text), t => xxhash64(t))
+    val hashes = transform(tokens(text), t => {
+      val m = md5(t)
+      struct(
+        conv(substring(m, 1, 8), 16, 10).cast("long").as("hi"),
+        conv(substring(m, 9, 8), 16, 10).cast("long").as("lo"))
+    })
     val bits = (0 until 64).map { j =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1))
+      val vote = aggregate(hashes, lit(0L), (acc, h) => {
+        val half = if (j < 32) shiftright(h.getField("lo"), j)
+                   else shiftright(h.getField("hi"), j - 32)
+        acc + (half.bitwiseAND(lit(1L)) * 2 - 1)
+      })
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

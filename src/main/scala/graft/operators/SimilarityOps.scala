@@ -650,8 +650,56 @@ object SimilarityOps {
     },
 
     /** SimHash 64-bit signatures + block keys (pigeonhole candidate
-      * scheme). Signature values are hash-family-specific ⇒ rows-only. */
-    QueryDef.rowsOnly("q35_simhash_signatures") { (s, d) =>
+      * scheme). Hash-exact since r10 ([[Dedup.simhash]]'s portable
+      * md5-based votes): the oracle re-tokenizes, re-hashes each token
+      * to the same hi/lo 32-bit halves via nibble folds, replays the
+      * 64 per-bit votes as SUM columns, and assembles the signed
+      * signature and the four 16-bit blocks FROM THE BITS (block b =
+      * Σ bit_{16b+j}·2^j) — bit arithmetic, so no dependence on
+      * engine shift semantics over negative longs. */
+    QueryDef.sql(
+      "q35_simhash_signatures", {
+        def nibAt(k: Int) =
+          s"CAST(CASE WHEN ascii(mh[$k:$k]) >= 97 THEN ascii(mh[$k:$k]) - 87 ELSE ascii(mh[$k:$k]) - 48 END AS BIGINT)"
+        def fold(from: Int, to: Int) =
+          (from to to).map(nibAt).reduce((a, b) => s"($a * 16 + $b)")
+        val voteCols = (0 until 64).map { j =>
+          val bitExpr = if (j < 32) s"(lo >> $j) % 2" else s"(hi >> ${j - 32}) % 2"
+          s"SUM(CASE WHEN $bitExpr = 1 THEN 1 ELSE -1 END) AS v$j"
+        }.mkString(",\n        |         ")
+        val bitCols = (0 until 64).map(j =>
+          s"CASE WHEN v$j > 0 THEN 1::HUGEINT ELSE 0::HUGEINT END AS b$j")
+          .mkString(",\n        |         ")
+        val sigExpr = "CAST(" + (0 until 63).map(j =>
+          s"b$j * ${1L << j}::HUGEINT").mkString(" + ") +
+          " - b63 * 9223372036854775808::HUGEINT AS BIGINT)"
+        def blockExpr(b: Int) = "CAST(" + (0 until 16).map(j =>
+          s"b${b * 16 + j} * ${1L << j}::HUGEINT").mkString(" + ") + " AS BIGINT)"
+        s"""WITH stok AS (
+           |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+           |  FROM documents
+           |), sht AS (
+           |  SELECT doc_id, md5(tok) AS mh FROM stok
+           |), shv AS MATERIALIZED (
+           |  SELECT doc_id, ${fold(1, 8)} AS hi, ${fold(9, 16)} AS lo FROM sht
+           |), votes AS (
+           |  SELECT doc_id,
+           |         $voteCols
+           |  FROM shv GROUP BY doc_id
+           |), sbits AS (
+           |  SELECT doc_id,
+           |         $bitCols
+           |  FROM votes
+           |)
+           |SELECT doc_id,
+           |       $sigExpr AS simhash,
+           |       ${blockExpr(0)} AS block0,
+           |       ${blockExpr(1)} AS block1,
+           |       ${blockExpr(2)} AS block2,
+           |       ${blockExpr(3)} AS block3
+           |FROM sbits
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
       Tables.documents(s, d)
         .select($"doc_id", Dedup.simhash($"text").as("simhash"))
         .withColumn("block0", shiftrightunsigned($"simhash", 0).bitwiseAND(lit(0xFFFFL)))
@@ -704,10 +752,66 @@ object SimilarityOps {
     },
 
     /** LSH-bucketed ANN (random-hyperplane signatures, multi-table) —
-      * the 100 TB path: equi-join on bucket, exact rerank inside. Hash-
-      * family-specific buckets ⇒ rows-only; the spec measures recall
-      * against q37. */
-    QueryDef.rowsOnly("q38_ann_lsh") { (s, d) =>
+      * the 100 TB path: equi-join on bucket, exact rerank inside.
+      * Hash-exact since r10: the hyperplane matrix became a CODE-time
+      * splitmix64 constant ([[Vectors.planeVal]]), so the oracle
+      * rebuilds all 48×64 components with the same integer chain,
+      * replays the sign signatures and bucket joins, and reranks the
+      * candidate set with the exact q37 dot chains. The spec
+      * additionally measures recall against q37. */
+    QueryDef.sql(
+      "q38_ann_lsh", {
+        val m = "18446744073709551616::HUGEINT"
+        val gold = BigInt("9E3779B97F4A7C15", 16)
+        val mix1 = mulMod64Sql("xor(z0, z0 >> 30)", BigInt("bf58476d1ce4e5b9", 16))
+        val mix2 = mulMod64Sql("xor(z1, z1 >> 27)", BigInt("94d049bb133111eb", 16))
+        s"""WITH pg AS (
+           |  SELECT t1.k, t2.i, CAST(t1.k * 4096 + t2.i + 1 AS HUGEINT) AS n
+           |  FROM range(0, 48) t1(k), range(0, 64) t2(i)
+           |), p0 AS MATERIALIZED (
+           |  SELECT k, i, ${mulMod64Sql("n", gold)} AS z0 FROM pg
+           |), p1 AS MATERIALIZED (
+           |  SELECT k, i, $mix1 AS z1 FROM p0
+           |), p2 AS MATERIALIZED (
+           |  SELECT k, i, $mix2 AS z2 FROM p1
+           |), pw AS MATERIALIZED (
+           |  SELECT k, i,
+           |         CAST(xor(z2, z2 >> 31) >> 11 AS DOUBLE) / 9007199254740992.0 * 2.0 - 1.0 AS w
+           |  FROM p2
+           |), pvv AS (
+           |  SELECT k, list(w ORDER BY i) AS wv FROM pw GROUP BY k
+           |), pj AS (
+           |  SELECT e.vec_id, p.k,
+           |         list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+           |           i -> CAST(e.embedding[i] AS DOUBLE) * p.wv[i])), (a, b) -> a + b) AS proj
+           |  FROM embeddings e CROSS JOIN pvv p
+           |), sg AS MATERIALIZED (
+           |  SELECT vec_id, k // 12 AS tbl,
+           |         SUM(CASE WHEN proj > 0 THEN (1::BIGINT << (k % 12)) ELSE 0 END) AS sig
+           |  FROM pj GROUP BY vec_id, k // 12
+           |), lcand AS (
+           |  SELECT DISTINCT a.vec_id AS probe_id, b.vec_id AS neighbor_id
+           |  FROM sg a JOIN sg b
+           |    ON b.tbl = a.tbl AND b.sig = a.sig AND b.vec_id <> a.vec_id
+           |  WHERE a.vec_id < 20
+           |), exn AS (
+           |  SELECT vec_id, embedding, $normSql AS nrm FROM embeddings
+           |), rr AS (
+           |  SELECT c.probe_id, c.neighbor_id,
+           |         (${dotSql("x", "y")}) / (x.nrm * y.nrm) AS cos
+           |  FROM lcand c
+           |  JOIN exn x ON x.vec_id = c.probe_id
+           |  JOIN exn y ON y.vec_id = c.neighbor_id
+           |), rk AS (
+           |  SELECT probe_id, neighbor_id, cos,
+           |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+           |  FROM rr
+           |)
+           |SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id,
+           |       CAST(CAST(ROUND((cos) * 1e4, 0) AS BIGINT) / 1e4 AS DOUBLE) AS cosine
+           |FROM rk WHERE rnk <= 3
+           |ORDER BY probe_id, rnk""".stripMargin
+      }) { (s, d) =>
       Vectors.annTopK(Tables.embeddings(s, d), "vec_id", "embedding", k = 3)
         .filter($"probe_id" < 20)
         .orderBy($"probe_id", $"rnk")

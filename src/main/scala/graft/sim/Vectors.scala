@@ -425,11 +425,28 @@ object Vectors {
         col("deg_a"), col("deg_b"))
   }
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1) for
-    * (plane, dim), derived from xxhash64 — reproducible across runs and
-    * cluster sizes, no driver-side RNG state to ship. */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (xxhash64(lit(plane), dim).cast("double") / lit(Long.MaxValue.toDouble))
+  /** Deterministic hyperplane component in [-1, 1) for (plane k,
+    * dim i) — a CODE-time constant since r10: splitmix64 of the flat
+    * index, top-53-bit mantissa ((z >>> 11) / 2⁵³ · 2 − 1, every step
+    * exactly representable), computed in plain Scala with wrapping
+    * longs. The Spark plan multiplies by literal arrays and the q38
+    * oracle rebuilds the identical matrix in SQL with the same
+    * integer chain — reproducible across runs, cluster sizes, AND
+    * engines (the previous xxhash64 derivation kept the gate
+    * rows-only). */
+  private[graft] def planeVal(k: Int, i: Int): Double = {
+    var z = (k.toLong * 4096 + i + 1) * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / 9007199254740992.0 * 2.0 - 1.0
+  }
+
+  /** [[planeVal]] row k as a 64-element literal array column (the
+    * embedding width every gate uses); `element_at(_, i + 1)` stays
+    * inside whole-stage codegen. */
+  private def planeRow(k: Int): Column =
+    array((0 until 64).map(i => lit(planeVal(k, i))): _*)
 
   /** Random-hyperplane LSH signature: `numPlanes` sign bits packed into
     * a long. Vectors in the same bucket are likely cosine-close. */
@@ -438,7 +455,7 @@ object Vectors {
     val bits = (0 until numPlanes).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
+          (x, i) => x.cast("double") * element_at(planeRow(p), i.cast("int") + 1)),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }
@@ -461,7 +478,7 @@ object Vectors {
       posexplode(col(vecCol)).as(Seq("i", "x")))
     val projCols = (for (t <- 0 until tables; p <- 0 until planes) yield
       sum(col("x").cast("double") *
-        planeComponent(t * planes + p, col("i").cast("long")))
+        element_at(planeRow(t * planes + p), col("i").cast("int") + 1))
         .as(s"proj_${t}_$p")).toSeq
     val projs = elems.groupBy(col("id")).agg(projCols.head, projCols.tail: _*)
     val sigs = (0 until tables).map { t =>
