@@ -317,10 +317,10 @@ object Dedup {
     * [[minhashPerms]] permutations → banded keys) replays in any
     * engine with an md5 built-in and the LSH gates verify hash-exact.
     * ~2× the FNV kernel's per-shingle hash cost; the shingle string
-    * assembly dominates both, and the non-minhash gram consumers
-    * (decontamination, winnowing) keep the cheaper FNV kernel
-    * [[shingleHashes]] — their oracles match on gram STRINGS, never
-    * on hash values, so they never needed portability. */
+    * assembly dominates both. [[gramHashRows]] (decontamination)
+    * shares this base since the q71 Bloom conversion; winnowing keeps
+    * the cheaper FNV kernel [[shingleHashes]] — its oracle matches on
+    * positions, never hash values, so it never needed portability. */
   private[dedup] def shingleHashesPortable(text: String, n: Int): Array[Long] = {
     val toks = text.trim.split("\\s+")
     if (toks.length < n) Array.emptyLongArray
@@ -351,18 +351,22 @@ object Dedup {
 
   /** (id, gram-hash) rows of the DISTINCT word n-gram shingles of each
     * document — the kernel-shingled building block shared by MinHash
-    * indexing and the decontamination join (q65). Same FNV-1a 64-bit
-    * hash, same collision argument as [[ngramJaccardPairsKernel]]: a
-    * cross-doc gram collision needs ~2³² distinct grams to become
-    * likely. The column-expression shingler evaluates interpreted and
-    * measured ~4× slower at 13-gram width. */
+    * indexing and the decontamination joins (q65/q71). PORTABLE md5-60
+    * hash since r10 (the q34 family move): q65's equi-join is
+    * hash-value-transparent (its oracle matches gram STRINGS), but
+    * q71's Bloom positions derive from this value, and the portable
+    * base is what lets its oracle re-set the identical bits. Same
+    * collision argument as [[ngramJaccardPairsKernel]]: a cross-doc
+    * gram collision needs ~2³⁰ distinct grams to become likely. The
+    * column-expression shingler evaluates interpreted and measured
+    * ~4× slower at 13-gram width. */
   def gramHashRows(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
-      .flatMap { case (id, t) => shingleHashes(t, n).map(h => (id, h)) }
+      .flatMap { case (id, t) => shingleHashesPortable(t, n).map(h => (id, h)) }
       .toDF("doc_id", "h")
   }
 

@@ -892,10 +892,75 @@ object SimilarityOps {
     /** Greedy MMR selection (E79/q116) — diversity-aware exemplar
       * picking: 8 vectors maximizing λ·(cosine to corpus centroid) −
       * (1−λ)·(max cosine to already-selected), λ = 0.7. Greedy
-      * iteration is inherently sequential ⇒ rows-only; VectorsSpec
-      * replays the exact greedy naively on the driver and matches the
-      * full selection sequence, scores included. */
-    QueryDef.rowsOnly("q116_mmr_select") { (s, d) =>
+      * iteration is inherently sequential, but k is a CONSTANT (8),
+      * so since r10 the oracle UNROLLS the eight rounds as chained
+      * CTEs — the q135 fixed-depth-unroll trick applied to an argmax
+      * recurrence: the centroid comes from the same integer-micro
+      * quantized sums, relevance/pair cosines mirror the JVM fold
+      * order term by term, each round's winner is a 1-row
+      * ORDER BY mmr DESC, id LIMIT 1, and the next round's max-sim
+      * joins against the union of prior winners. VectorsSpec
+      * additionally replays the greedy naively on the driver. */
+    QueryDef.sql(
+      "q116_mmr_select", {
+        // centroid: c_i = CAST(s_i AS DOUBLE) / n / 1e6 over the
+        // quantized component sums — mirrors Vectors.mmrSelect
+        val sumCols = (1 to DIM).map(i =>
+          s"SUM(CAST(ROUND(CAST(embedding[$i] AS DOUBLE) * 1e6, 0) AS BIGINT)) AS s$i")
+          .mkString(",\n       |         ")
+        def c(i: Int) = s"(CAST(s$i AS DOUBLE) / n / 1e6)"
+        val cNorm = "sqrt(" + (1 to DIM).map(i => s"${c(i)} * ${c(i)}").mkString(" + ") + ")"
+        val acc = (1 to DIM).map(i =>
+          s"CAST(e.embedding[$i] AS DOUBLE) * ${c(i)}").mkString(" + ")
+        val n2 = (1 to DIM).map(i =>
+          s"CAST(e.embedding[$i] AS DOUBLE) * CAST(e.embedding[$i] AS DOUBLE)").mkString(" + ")
+        val pairDot = (1 to DIM).map(i =>
+          s"CAST(m.embedding[$i] AS DOUBLE) * CAST(s.embedding[$i] AS DOUBLE)").mkString(" + ")
+        // per-round CTEs: scored_r (max sim to the selected set),
+        // win_r (argmax), sel_r (union of winners so far)
+        val rounds = (1 to 8).map { r =>
+          val ms =
+            if (r == 1) "0.0"
+            else s"""(SELECT MAX(($pairDot) / (sqrt(m.n2) * sqrt(s.n2)))
+               |            FROM sel${r - 1} s)""".stripMargin
+          val notIn =
+            if (r == 1) "" else s"WHERE m.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})"
+          val selBody =
+            if (r == 1) s"SELECT * FROM win$r"
+            else s"SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM win$r"
+          s"""scored$r AS (
+             |  SELECT m.vec_id, m.embedding, m.n2, m.rel, $ms AS ms
+             |  FROM mrel m
+             |  $notIn
+             |), win$r AS (
+             |  SELECT $r AS rnk, vec_id, embedding, n2, rel, ms,
+             |         0.7 * rel - (1.0 - 0.7) * ms AS mmr
+             |  FROM scored$r
+             |  ORDER BY 0.7 * rel - (1.0 - 0.7) * ms DESC, vec_id
+             |  LIMIT 1
+             |), sel$r AS MATERIALIZED (
+             |  $selBody
+             |)""".stripMargin
+        }.mkString(", ")
+        s"""WITH cent AS (
+           |  SELECT COUNT(*) AS n,
+           |         $sumCols
+           |  FROM embeddings
+           |), cn AS MATERIALIZED (
+           |  SELECT n, ${(1 to DIM).map(i => s"s$i").mkString(", ")}, $cNorm AS cnorm FROM cent
+           |), mrel AS MATERIALIZED (
+           |  SELECT e.vec_id, e.embedding, ($n2) AS n2,
+           |         CASE WHEN ($n2) = 0 OR cnorm = 0 THEN -2.0
+           |              ELSE ($acc) / (sqrt($n2) * cnorm) END AS rel
+           |  FROM embeddings e CROSS JOIN cn
+           |), $rounds
+           |SELECT CAST(rnk AS INTEGER) AS rnk, vec_id,
+           |       CAST(CAST(ROUND((rel) * 1e6, 0) AS BIGINT) / 1e6 AS DOUBLE) AS relevance,
+           |       CAST(CAST(ROUND((ms) * 1e6, 0) AS BIGINT) / 1e6 AS DOUBLE) AS max_sim_selected,
+           |       CAST(CAST(ROUND((mmr) * 1e6, 0) AS BIGINT) / 1e6 AS DOUBLE) AS mmr_score
+           |FROM sel8
+           |ORDER BY rnk""".stripMargin
+      }) { (s, d) =>
       Vectors.mmrSelect(Tables.embeddings(s, d), "vec_id", "embedding", k = 8)
         .orderBy($"rnk")
     },

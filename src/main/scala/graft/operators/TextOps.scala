@@ -1359,38 +1359,114 @@ object TextOps {
       * models), broadcast it, and flag training docs by a membership
       * scan. The corpus side never shuffles its grams — q65's
       * equi-join exchanges every training gram, the exchange that
-      * dominates at 100 TB; here the corpus cost is one codegen'd
-      * scan + filter. False positives at the fpp rate can inflate a
-      * doc's candidate-gram count but can never MISS a contaminated
-      * doc (Bloom filters have no false negatives) — the TextFunctionsSpec
-      * contract pins flagged ⊇ q65-exact per doc and bounds the
-      * false-positive overshoot. Production reruns the exact join on
-      * the candidates only. Rows-only: the filter's bit layout and
-      * hash family are implementation-specific. */
-    QueryDef.rowsOnly("q71_bloom_decontaminate") { (s, d) =>
+      * dominates at 100 TB; here the corpus cost is one scan +
+      * filter. False positives at the fpp rate can inflate a doc's
+      * candidate-gram count but can never MISS a contaminated doc
+      * (Bloom filters have no false negatives) — the
+      * TextFunctionsSpec contract pins flagged ⊇ q65-exact per doc
+      * and bounds the false-positive overshoot. Production reruns
+      * the exact join on the candidates only.
+      *
+      * Hash-exact since r10 (the q147 own-sketch move applied to
+      * membership): OUR OWN partitioned Bloom replaces Spark's
+      * opaque `bloomFilter` — K = 11 rows of m = 2n bits each, row
+      * hashes = the portable universal family over the md5-60 gram
+      * base (constants rows 21–31 of [[graft.dedup.Dedup.minhashPerms]],
+      * bit index i·m + posᵢ), fpp = (1 − e^(−n/m))^K ≈ 3·10⁻⁵ — on
+      * par with the ~4·10⁻⁵ floor Spark's sketch measured, at
+      * 22 bits/gram. The DuckDB oracle re-derives the eval set's bit
+      * positions and flags exactly the grams whose 11 bits are all
+      * set — bit-for-bit the broadcast filter's decision. */
+    QueryDef.sql(
+      "q71_bloom_decontaminate", {
+        val p = graft.dedup.Dedup.MinhashP
+        def nibAt(k: Int) =
+          s"CAST(CASE WHEN ascii(mh[$k:$k]) >= 97 THEN ascii(mh[$k:$k]) - 87 ELSE ascii(mh[$k:$k]) - 48 END AS BIGINT)"
+        val h60 = (1 to 15).map(nibAt).reduce((a, b) => s"($a * 16 + $b)")
+        val posArms = (0 until 11).map { i =>
+          val (a, b) = graft.dedup.Dedup.minhashPerms(21 + i)
+          s"WHEN $i THEN (($a * (h % $p) + $b) % $p) % (SELECT m FROM bm)"
+        }.mkString(" ")
+        s"""WITH btr AS (
+           |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           |  FROM documents WHERE doc_id % 50 <> 0
+           |), bev AS (
+           |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+           |  FROM documents WHERE doc_id % 50 = 0
+           |), btrg AS (
+           |  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 12), ' ') AS gram
+           |  FROM btr, UNNEST(generate_series(1, len(toks) - 12)) AS g(i)
+           |), bevg AS (
+           |  SELECT DISTINCT array_to_string(list_slice(toks, i, i + 12), ' ') AS gram
+           |  FROM bev, UNNEST(generate_series(1, len(toks) - 12)) AS g(i)
+           |), bevh AS MATERIALIZED (
+           |  SELECT DISTINCT $h60 AS h FROM (SELECT md5(gram) AS mh FROM bevg)
+           |), bm AS (
+           |  SELECT 2 * GREATEST(COUNT(*), 1) AS m FROM bevh
+           |), bpos AS MATERIALIZED (
+           |  SELECT DISTINCT i, CASE i $posArms END AS pos
+           |  FROM bevh CROSS JOIN (SELECT UNNEST(range(0, 11)) AS i) ii
+           |), btrh AS MATERIALIZED (
+           |  SELECT doc_id, $h60 AS h
+           |  FROM (SELECT doc_id, md5(gram) AS mh FROM btrg)
+           |), btrp AS (
+           |  SELECT doc_id, h, i, CASE i $posArms END AS pos
+           |  FROM btrh CROSS JOIN (SELECT UNNEST(range(0, 11)) AS i) ii
+           |), bhit AS (
+           |  SELECT t.doc_id, t.h
+           |  FROM btrp t JOIN bpos b ON b.i = t.i AND b.pos = t.pos
+           |  GROUP BY t.doc_id, t.h
+           |  HAVING COUNT(*) = 11
+           |)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_candidate_grams
+           |FROM bhit GROUP BY doc_id
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
       val docs = Tables.documents(s, d)
+      val P = graft.dedup.Dedup.MinhashP
+      val K = 11
       val evalGrams = graft.dedup.Dedup.gramHashRows(
           docs.filter($"doc_id" % 50 === 0), "doc_id", "text", 13)
         .select($"h").distinct()
       // exact probe-side cardinality sizes the filter; the probe side
-      // is the tiny one (benchmark suites), so the count job is cheap.
-      // fpp is per GRAM — a doc with g grams is spuriously flagged
-      // with ~g·fpp probability (1e-6 ⇒ ~29 bits/gram, ~3.6 GB
-      // broadcast even for a 10⁹-gram eval suite). Spark's sketch
-      // saturates near ~4e-5 observed regardless of lower requests
-      // (32-bit Murmur double-hashing floor, measured) ⇒ doc-level
-      // overshoot ~ grams/doc · 4e-5 ≈ 1%, absorbed by the exact
-      // rerun on candidates that production does anyway
+      // is the tiny one (benchmark suites), so the count job is cheap
       val nGrams = math.max(evalGrams.count(), 1L)
-      val bf = evalGrams.stat.bloomFilter("h", nGrams, 1e-6)
-      val bfB = s.sparkContext.broadcast(bf)
+      val m = 2L * nGrams
+      def jvmPos(h: Long, i: Int): Long = {
+        val (a, b) = graft.dedup.Dedup.minhashPerms(21 + i)
+        (a * (h % P) + b) % P % m
+      }
+      // build the K·m-bit partitioned array on the driver from the
+      // distinct eval positions — the filter IS driver/broadcast
+      // model state, same bound as the ANN centroid/codebook models
+      val bits = new Array[Long](((K * m + 63) / 64).toInt)
+      evalGrams.collect().foreach { r =>
+        val h = r.getLong(0)
+        var i = 0
+        while (i < K) {
+          val bit = i * m + jvmPos(h, i)
+          bits((bit >> 6).toInt) |= 1L << (bit & 63)
+          i += 1
+        }
+      }
+      val bcBits = s.sparkContext.broadcast(bits)
       val pairEnc = org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.scalaLong)
       graft.dedup.Dedup.gramHashRows(
           docs.filter($"doc_id" % 50 =!= 0), "doc_id", "text", 13)
         .as[(Long, Long)](pairEnc)
-        .filter(r => bfB.value.mightContainLong(r._2))
+        .filter { case (_, h) =>
+          val arr = bcBits.value
+          var i = 0
+          var all = true
+          while (all && i < K) {
+            val bit = i * m + jvmPos(h, i)
+            all = (arr((bit >> 6).toInt) & (1L << (bit & 63))) != 0L
+            i += 1
+          }
+          all
+        }
         .toDF("doc_id", "h")
         .groupBy($"doc_id").agg(count(lit(1)).as("n_candidate_grams"))
         .orderBy($"doc_id")
@@ -1495,12 +1571,49 @@ object TextOps {
       * expression ([[graft.functions.FnvHash64]]) instead of the
       * md5-prefix parse — ~2 md5 invocations per token was 5.6× the
       * DuckDB baseline, and a real fastText scorer uses exactly this
-      * kind of cheap integer hash. Rows-only gate (DuckDB has no
-      * FNV-1a); the score semantics are pinned bit-exact against a
-      * naive JVM reference — including hash collisions — in
-      * TextOpsSpec, and the md5 twin q73 stays the hash-exact oracle
-      * for the operator's arithmetic. */
-    QueryDef.rowsOnly("q73b_quality_classifier_fnv") { (s, d) =>
+      * kind of cheap integer hash. Hash-exact since r10: DuckDB has
+      * no FNV-1a built-in, but the fold is three HUGEINT ops per
+      * char and only DISTINCT features need hashing (vocab + seen
+      * bigrams — thousands of rows, not the token stream), so the
+      * oracle computes FNV itself on the distinct-feature table and
+      * joins it back; the bucket is the hash's low 10 bits, which
+      * signed pmod and unsigned mod agree on. The score semantics
+      * stay pinned bit-exact (incl. collisions) against a naive JVM
+      * reference in TextOpsSpec. */
+    QueryDef.sql(
+      "q73b_quality_classifier_fnv", {
+        val m = "18446744073709551616::HUGEINT"
+        val fnv = "list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
+          "list_transform(range(1, length(f) + 1), k -> unicode(f[k:k])::HUGEINT)), " +
+          s"(acc, c) -> (xor(acc, c) * 1099511628211::HUGEINT) % $m)"
+        s"""WITH weights AS (
+           |  SELECT j AS bucket, ((j + 1) * 2654435761) % 2000001 - 1000000 AS w_ppm
+           |  FROM range(1024) t(j)
+           |), tok AS (
+           |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+           |  FROM documents
+           |), feat AS (
+           |  SELECT doc_id,
+           |         unnest(list_concat(ts,
+           |           CASE WHEN len(ts) >= 2
+           |                THEN list_transform(range(1, len(ts)), i -> ts[i] || '_' || ts[i + 1])
+           |                ELSE [] END)) AS f
+           |  FROM tok
+           |), fh AS MATERIALIZED (
+           |  SELECT f, CAST($fnv % 1024 AS BIGINT) AS bucket
+           |  FROM (SELECT DISTINCT f FROM feat)
+           |), b AS (
+           |  SELECT feat.doc_id, fh.bucket FROM feat JOIN fh USING (f)
+           |)
+           |SELECT b.doc_id,
+           |       CAST(count(*) AS INTEGER) AS n_features,
+           |       CAST(sum(w.w_ppm) AS BIGINT) AS score_ppm_sum,
+           |       CAST(${roundPortableSql("sum(w.w_ppm) / 1e6 / count(*)", 4)} AS DOUBLE) AS mean_logit,
+           |       sum(w.w_ppm) > 50000 * count(*) AS keep
+           |FROM b JOIN weights w USING (bucket)
+           |GROUP BY b.doc_id
+           |ORDER BY b.doc_id""".stripMargin
+      }) { (s, d) =>
       qualityClassifier(Tables.documents(s, d),
           classifierWeights(s, 1024), dim = 1024, thresholdPpm = 50000L,
           bucketOf = f => pmod(graft.functions.FnvHash64.column(s, f), lit(1024L)))
@@ -2063,35 +2176,87 @@ object TextOps {
       * mergeable point-frequency sketch completing the sketch family
       * (E42 Misra–Gries: candidates with a LOWER bound; E59 HLL:
       * distincts; E33 Bloom: membership; E94 histograms: quantiles):
-      * ONE `count_min_sketch` aggregate over the token stream (KB of
-      * state, map-side combining — never the token space), then point
-      * estimates for a BOUNDED candidate set read driver-side from the
-      * model-sized sketch (the stored-index pattern; at corpus scale
-      * the candidates come from the q81 MG sketch, and the estimate's
-      * guarantee is one-sided: estimate ≥ exact, ≤ exact + ε·N w.h.p.
-      * — the opposite bound of MG's). Rows-only: the counter layout is
-      * implementation-specific; the spec pins both CMS bounds against
-      * the exact counts. */
-    QueryDef.rowsOnly("q147_cms_frequencies") { (s, d) =>
+      * ONE bounded hash aggregate over the token stream builds the
+      * d=5 × w=2048 counter array (KB of mergeable state, map-side
+      * combining — never the token space), then point estimates for
+      * the candidate set probe it with a d-row equi-join + MIN (at
+      * corpus scale the candidates come from the q81 MG sketch, and
+      * the estimate's guarantee is one-sided: estimate ≥ exact,
+      * ≤ exact + ε·N w.h.p., ε = 2/w — the opposite bound of MG's).
+      * Hash-exact since r10: the counters are OUR OWN layout under
+      * the portable universal row hashes over the md5-60 token base,
+      * so the oracle rebuilds the identical array in SQL — Spark's
+      * opaque `count_min_sketch` bytes (and the r8 driver-side
+      * estimate loop that went with them) are gone. The spec pins
+      * both CMS bounds against the exact counts. */
+    QueryDef.sql(
+      "q147_cms_frequencies", {
+        val p = graft.dedup.Dedup.MinhashP
+        def nibAt(k: Int) =
+          s"CAST(CASE WHEN ascii(mh[$k:$k]) >= 97 THEN ascii(mh[$k:$k]) - 87 ELSE ascii(mh[$k:$k]) - 48 END AS BIGINT)"
+        val h60 = (1 to 15).map(nibAt).reduce((a, b) => s"($a * 16 + $b)")
+        val bktArms = (0 until 5).map { i =>
+          val (a, b) = graft.dedup.Dedup.minhashPerms(16 + i)
+          s"WHEN $i THEN (($a * (h % $p) + $b) % $p) % 2048"
+        }.mkString(" ")
+        s"""WITH ctok AS (
+           |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents
+           |), cbase AS MATERIALIZED (
+           |  SELECT tok, $h60 AS h FROM (SELECT tok, md5(tok) AS mh FROM ctok)
+           |), crow AS (
+           |  SELECT h, i AS row_i, CASE i $bktArms END AS bkt
+           |  FROM cbase CROSS JOIN (SELECT UNNEST(range(0, 5)) AS i) ii
+           |), ccnt AS MATERIALIZED (
+           |  SELECT row_i, bkt, COUNT(*) AS c FROM crow GROUP BY row_i, bkt
+           |), cex AS MATERIALIZED (
+           |  SELECT tok, MIN(h) AS h, COUNT(*) AS exact_count FROM cbase GROUP BY tok
+           |), cpr AS (
+           |  SELECT tok, i AS row_i, CASE i $bktArms END AS bkt
+           |  FROM cex CROSS JOIN (SELECT UNNEST(range(0, 5)) AS i) ii
+           |), cest AS (
+           |  SELECT tok, MIN(c) AS estimate
+           |  FROM cpr JOIN ccnt USING (row_i, bkt) GROUP BY tok
+           |)
+           |SELECT e.tok, CAST(e.exact_count AS BIGINT) AS exact_count,
+           |       CAST(s.estimate AS BIGINT) AS estimate,
+           |       CAST(s.estimate - e.exact_count AS BIGINT) AS overcount
+           |FROM cex e JOIN cest s USING (tok)
+           |ORDER BY tok""".stripMargin
+      }) { (s, d) =>
+      // d=5 rows × w=2048 counters; row hashes = the portable
+      // universal family over the md5-60 token base (constants rows
+      // 16–20 of Dedup.minhashPerms — baked at code time, so the
+      // oracle rebuilds the identical counter array). Counters are
+      // ONE map-side-combined hash agg with bounded 5·2048 state
+      // (mergeable — the q98 HLL posture applied to frequencies);
+      // estimates probe the counters via a vocab×5 equi-join + MIN.
+      // Replaces the r8 driver-side loop (sketch bytes collected,
+      // exact vocab collected, estimates computed on the driver) —
+      // nothing leaves the cluster, and the gate is hash-exact where
+      // the engine-internal sketch layout could only be rows-only.
+      val p = graft.dedup.Dedup.MinhashP
       val tok = Tables.documents(s, d)
         .select(explode(tokens($"text")).as("tok"))
-      val exact = tok.groupBy($"tok").agg(count(lit(1)).as("exact_count"))
-      val skBytes = tok
-        .agg(expr("count_min_sketch(tok, 0.001d, 0.99d, 42)").as("sk"))
-        .head.getAs[Array[Byte]](0)
-      val cms = org.apache.spark.util.sketch.CountMinSketch
-        .readFrom(new java.io.ByteArrayInputStream(skBytes))
-      // local import in a nested scope: s.implicits' own $-interpolator
-      // would clash with the package one
-      val est = {
-        import s.implicits.{localSeqToDatasetHolder, newProductEncoder}
-        exact.collect().toSeq
-          .map(r => (r.getString(0), r.getLong(1),
-            cms.estimateCount(r.getString(0))))
-          .toDF("tok", "exact_count", "estimate")
+        .select($"tok",
+          conv(substring(md5($"tok"), 1, 15), 16, 10).cast("long").as("h"))
+      def bucket(h: Column, i: Int): Column = {
+        val (a, b) = graft.dedup.Dedup.minhashPerms(16 + i)
+        pmod(pmod(lit(a) * pmod(h, lit(p)) + lit(b), lit(p)), lit(2048L))
       }
-      est.withColumn("overcount", col("estimate") - col("exact_count"))
-        .orderBy(col("tok"))
+      def buckets(h: Column) =
+        posexplode(array((0 until 5).map(i => bucket(h, i)): _*))
+          .as(Seq("row_i", "bkt"))
+      val counters = tok.select(buckets($"h"))
+        .groupBy($"row_i", $"bkt").agg(count(lit(1)).as("c"))
+      val exact = tok.groupBy($"tok")
+        .agg(min($"h").as("h"), count(lit(1)).as("exact_count"))
+      val est = exact.select($"tok", buckets($"h"))
+        .join(counters, Seq("row_i", "bkt"))
+        .groupBy($"tok").agg(min($"c").as("estimate"))
+      exact.join(est, Seq("tok"))
+        .select($"tok", $"exact_count", $"estimate",
+          ($"estimate" - $"exact_count").as("overcount"))
+        .orderBy($"tok")
     },
 
     /** Collocation mining (E106/q142) — the corpus-linguistics staple
