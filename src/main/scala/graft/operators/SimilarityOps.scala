@@ -304,6 +304,217 @@ object SimilarityOps {
        |)""".stripMargin
   }
 
+  /** Spark's xxhash64(BIGINT, seed 42) as chained MATERIALIZED CTEs —
+    * XXH64.hashLong: one 8-byte block + avalanche, every multiply via
+    * [[mulMod64Sql]]'s 32-bit-split form. Input CTE `prev` must
+    * provide HUGEINT `x` (the value, already ≥ 0) plus carry columns;
+    * emits CTE text whose LAST cte exposes carry + `out`
+    * (the UNSIGNED hash — compare/order as Spark's signed long via
+    * [[signedSql]]). */
+  private def xxh64Ctes(prev: String, out: String, carry: Seq[String]): (String, String) = {
+    val m = "18446744073709551616::HUGEINT"
+    val P1 = BigInt("9E3779B185EBCA87", 16)
+    val P2 = BigInt("C2B2AE3D27D4EB4F", 16)
+    val P3 = BigInt("165667B19E3779F9", 16)
+    val P4 = BigInt("85EBCA77C2B2AE63", 16)
+    def rotl(x: String, r: Int) =
+      s"((($x) % ${BigInt(1) << (64 - r)}::HUGEINT) * ${BigInt(1) << r}::HUGEINT + (($x) >> ${64 - r})) % $m"
+    // each step's expression references the PREVIOUS cte's temp column
+    // (t1..t8) and emits its own; only carry + x + the new temp survive
+    // into the next layer. seed 42: hash0 = seed + P5 + 8 =
+    // 42 + 2870177450012600261 + 8 = 2870177450012600311.
+    val steps = Seq(
+      (s"${out}_s1", s"${mulMod64Sql("x", P2)} AS t1"),
+      (s"${out}_s2", s"${rotl("t1", 31)} AS t2"),
+      (s"${out}_s3", s"${mulMod64Sql("t2", P1)} AS t3"),
+      (s"${out}_s4", s"xor(2870177450012600311::HUGEINT, t3) AS t4"),
+      (s"${out}_s5", s"${rotl("t4", 27)} AS t5"),
+      (s"${out}_s6", s"(${mulMod64Sql("t5", P1)} + $P4::HUGEINT) % $m AS t6"),
+      (s"${out}_s7", s"${mulMod64Sql("xor(t6, t6 >> 33)", P2)} AS t7"),
+      (s"${out}_s8", s"${mulMod64Sql("xor(t7, t7 >> 29)", P3)} AS t8"),
+      (out, s"xor(t8, t8 >> 32) AS $out"))
+    var cur = prev
+    val keep = (carry :+ "x").mkString(", ")
+    val ctes = steps.map { case (name, expr) =>
+      val t = s"$name AS MATERIALIZED (SELECT $keep, $expr FROM $cur)"
+      cur = name
+      t
+    }
+    (ctes.mkString(",\n"), cur)
+  }
+
+  /** Signed-long view of an unsigned HUGEINT hash (two's complement):
+    * Spark orders xxhash64 as a SIGNED long. */
+  private def signedSql(h: String): String =
+    s"(CASE WHEN $h >= 9223372036854775808::HUGEINT THEN $h - 18446744073709551616::HUGEINT ELSE $h END)"
+
+  /** The IVF coarse quantizer + bucket search as DuckDB CTE text —
+    * the oracle twin of [[Vectors.ivfTrain]]/ivfTopK, possible since
+    * r10's determinism fix (Lloyd component sums quantized to integer
+    * micros — associative, partition-order-free, SQL-replayable):
+    * seeding = the `nlist` smallest (SIGNED xxhash64(id), id) vectors
+    * (the xxh chain above), then `iters` UNROLLED Lloyd rounds (argmax
+    * cosine assignment with the exact fold order, 64 micro-quantized
+    * SUM columns per round, empty clusters keep their centroid), then
+    * the index-side 1-bucket assignment and probe-side nprobe fanout.
+    * Emits CTEs ending in `ivfasg` (bucket, vec_id, embedding, n2)
+    * and `ivfprb` (bucket, vec_id, embedding, n2, limited to probe
+    * ids < 20 when `probeFilter` says so). */
+  /** nlist may be a literal ("16") or SQL (the adaptive √n scalar
+    * subquery — ceil/sqrt are correctly-rounded IEEE in both engines,
+    * so the size agrees). */
+  private def ivfCtesSql(nlistSql: String, iters: Int, nprobe: Int,
+      probeFilter: String): String = {
+    val n2 = (1 to DIM).map(i =>
+      s"CAST(e.embedding[$i] AS DOUBLE) * CAST(e.embedding[$i] AS DOUBLE)").mkString(" + ")
+    val (hashCtes, hashLast) = xxh64Ctes(
+      "(SELECT vec_id, embedding, CAST(vec_id AS HUGEINT) AS x FROM embeddings)",
+      "hh", Seq("vec_id", "embedding"))
+    val toDoubles = s"list_transform(range(1, ${DIM + 1}), i -> CAST(embedding[i] AS DOUBLE))"
+    def cosExpr(centAlias: String) =
+      s"""CASE WHEN e.n2 = 0.0 OR $centAlias.cn = 0.0 THEN -2.0
+         |ELSE list_reduce(list_prepend(0.0, list_transform(range(1, ${DIM + 1}),
+         |  i -> CAST(e.embedding[i] AS DOUBLE) * $centAlias.cv[i])), (a, b) -> a + b)
+         |  / (sqrt(e.n2) * $centAlias.cn) END""".stripMargin.replace("\n", " ")
+    val sumCols = (1 to DIM).map(i =>
+      s"SUM(CAST(ROUND(CAST(embedding[$i] AS DOUBLE) * 1e6, 0) AS BIGINT)) AS s$i")
+      .mkString(", ")
+    val newCv = "list_value(" +
+      (1 to DIM).map(i => s"CAST(st.s$i AS DOUBLE) / 1e6 / st.n").mkString(", ") + ")"
+    val cvNorm = "sqrt(list_reduce(list_prepend(0.0, " +
+      s"list_transform(range(1, ${DIM + 1}), i -> cv[i] * cv[i])), (a, b) -> a + b))"
+    val rounds = (1 to iters).map { r =>
+      s"""stat$r AS MATERIALIZED (
+         |  SELECT cid, COUNT(*) AS n, $sumCols
+         |  FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosExpr("c")} DESC, c.cid) AS rk
+         |    FROM vemb e CROSS JOIN centn${r - 1} c
+         |  ) WHERE rk = 1 GROUP BY cid
+         |), cent$r AS MATERIALIZED (
+         |  SELECT p.cid,
+         |         CASE WHEN st.n IS NULL OR st.n = 0 THEN p.cv ELSE $newCv END AS cv
+         |  FROM centn${r - 1} p LEFT JOIN stat$r st USING (cid)
+         |), centn$r AS MATERIALIZED (
+         |  SELECT cid, cv, $cvNorm AS cn FROM cent$r
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""$hashCtes, seedv AS (
+       |  SELECT vec_id, embedding,
+       |         ROW_NUMBER() OVER (ORDER BY ${signedSql("hh")}, vec_id) AS cid
+       |  FROM $hashLast
+       |), centn0 AS MATERIALIZED (
+       |  SELECT cid, cv, $cvNorm AS cn
+       |  FROM (SELECT cid, $toDoubles AS cv FROM seedv WHERE cid <= $nlistSql)
+       |), vemb AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding, ($n2) AS n2 FROM embeddings e
+       |), $rounds, ivfasg AS MATERIALIZED (
+       |  SELECT vec_id, embedding, n2, cid AS bucket FROM (
+       |    SELECT e.vec_id, e.embedding, e.n2, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosExpr("c")} DESC, c.cid) AS rk
+       |    FROM vemb e CROSS JOIN centn$iters c
+       |  ) WHERE rk = 1
+       |), ivfprb AS MATERIALIZED (
+       |  SELECT vec_id, embedding, n2, cid AS bucket FROM (
+       |    SELECT e.vec_id, e.embedding, e.n2, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosExpr("c")} DESC, c.cid) AS rk
+       |    FROM vemb e CROSS JOIN centn$iters c
+       |    $probeFilter
+       |  ) WHERE rk <= $nprobe
+       |)""".stripMargin
+  }
+
+  /** The PQ codebooks + encode + per-probe ADC lookup tables as
+    * DuckDB CTE text — the oracle twin of [[Vectors.pqTrain]]/
+    * pqEncode/adcScan under the r10 micro-quantized Lloyd sums.
+    * m=8 × ksub=16 × 3 unrolled per-subspace L2 rounds (ties →
+    * lowest code, matching nearestCode's strict-less), then
+    * `pq_codes` (vec_id, embedding, n2, code list, reconstructed
+    * norm — the Σ sq(s)(code) fold runs s-ascending like pqEncode)
+    * and `pq_lut` (probe_id restricted by `probeFilter`, the 128-slot
+    * s-major lookup list + the probe norm). Callers join the two —
+    * flat (q49) or bucket-restricted (q67) — and fold the m adds in
+    * s order. With `standalone = false` the builder assumes `seedv`
+    * and `vemb` already exist (composed after [[ivfCtesSql]]). */
+  private def pqCtesSql(probeFilter: String, standalone: Boolean): String = {
+    val n2 = (1 to DIM).map(i =>
+      s"CAST(e.embedding[$i] AS DOUBLE) * CAST(e.embedding[$i] AS DOUBLE)").mkString(" + ")
+    val head = if (standalone) {
+      val (hashCtes, hashLast) = xxh64Ctes(
+        "(SELECT vec_id, embedding, CAST(vec_id AS HUGEINT) AS x FROM embeddings)",
+        "hh", Seq("vec_id", "embedding"))
+      s"""$hashCtes, seedv AS (
+         |  SELECT vec_id, embedding,
+         |         ROW_NUMBER() OVER (ORDER BY ${signedSql("hh")}, vec_id) AS cid
+         |  FROM $hashLast
+         |), vemb AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding, ($n2) AS n2 FROM embeddings e
+         |), """.stripMargin
+    } else ""
+    val slice8 = "list_transform(range(1, 9), i -> CAST(embedding[s * 8 + i] AS DOUBLE))"
+    val distFold = "list_reduce(list_prepend(0.0, list_transform(range(1, 9), " +
+      "i -> (CAST(e.embedding[t.s * 8 + i] AS DOUBLE) - t.cb[i]) * " +
+      "(CAST(e.embedding[t.s * 8 + i] AS DOUBLE) - t.cb[i]))), (a, b) -> a + b)"
+    val sumCols = (1 to 8).map(i =>
+      s"SUM(CAST(ROUND(CAST(embedding[s * 8 + $i] AS DOUBLE) * 1e6, 0) AS BIGINT)) AS s$i")
+      .mkString(", ")
+    val newCb = "list_value(" +
+      (1 to 8).map(i => s"CAST(st.s$i AS DOUBLE) / 1e6 / st.n").mkString(", ") + ")"
+    val rounds = (1 to 3).map { r =>
+      s"""pqst$r AS MATERIALIZED (
+         |  SELECT s, c, COUNT(*) AS n, $sumCols
+         |  FROM (
+         |    SELECT e.vec_id, e.embedding, t.s, t.c,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id, t.s
+         |             ORDER BY $distFold ASC, t.c) AS rk
+         |    FROM vemb e CROSS JOIN pqcb${r - 1} t
+         |  ) WHERE rk = 1 GROUP BY s, c
+         |), pqcb$r AS MATERIALIZED (
+         |  SELECT p.s, p.c,
+         |         CASE WHEN st.n IS NULL OR st.n = 0 THEN p.cb ELSE $newCb END AS cb
+         |  FROM pqcb${r - 1} p LEFT JOIN pqst$r st USING (s, c)
+         |)""".stripMargin
+    }.mkString(", ")
+    val sqFold = "list_reduce(list_prepend(0.0, list_transform(range(1, 9), " +
+      "i -> cb[i] * cb[i])), (a, b) -> a + b)"
+    val lutFold = "list_reduce(list_prepend(0.0, list_transform(range(1, 9), " +
+      "i -> CAST(e.embedding[t.s * 8 + i] AS DOUBLE) * t.cb[i])), (a, b) -> a + b)"
+    s"""${head}pqcb0 AS MATERIALIZED (
+       |  SELECT t.s, sd.cid - 1 AS c, $slice8 AS cb
+       |  FROM (SELECT vec_id, embedding, cid FROM seedv WHERE cid <= 16) sd
+       |  CROSS JOIN (SELECT UNNEST(range(0, 8)) AS s) t
+       |), $rounds, pqsq AS MATERIALIZED (
+       |  SELECT s, c, cb, $sqFold AS sqn FROM pqcb3
+       |), pqasg AS MATERIALIZED (
+       |  SELECT vec_id, s, c FROM (
+       |    SELECT e.vec_id, t.s, t.c,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id, t.s
+       |             ORDER BY $distFold ASC, t.c) AS rk
+       |    FROM vemb e CROSS JOIN pqcb3 t
+       |  ) WHERE rk = 1
+       |), pq_codes AS MATERIALIZED (
+       |  SELECT a.vec_id, e.embedding, e.n2, a.code,
+       |         sqrt(a.rn2) AS rn
+       |  FROM (
+       |    SELECT g.vec_id, list(g.c ORDER BY g.s) AS code,
+       |           list_reduce(list_prepend(0.0, list(q.sqn ORDER BY g.s)), (a, b) -> a + b) AS rn2
+       |    FROM pqasg g JOIN pqsq q ON q.s = g.s AND q.c = g.c
+       |    GROUP BY g.vec_id
+       |  ) a JOIN vemb e USING (vec_id)
+       |), pq_lut AS MATERIALIZED (
+       |  SELECT vec_id AS probe_id, sqrt(n2) AS qn,
+       |         list(lv ORDER BY s, c) AS lut
+       |  FROM (
+       |    SELECT e.vec_id, e.n2, t.s, t.c, $lutFold AS lv
+       |    FROM (SELECT * FROM vemb $probeFilter) e CROSS JOIN pqsq t
+       |  )
+       |  GROUP BY vec_id, n2
+       |)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     /** Exact word-3-gram Jaccard near-dup pairs (threshold 0.5) — the
@@ -591,9 +802,42 @@ object SimilarityOps {
       * queries against the FULL corpus — P·n at any scale — instead of
       * the n×n self-join no deployment serves flat ([[Vectors.pqTopK]]
       * uncapped is the recall-pin shape DedupAndSimSpec keeps).
-      * Codebooks are hash-family/seed-specific ⇒ rows-only; the spec
-      * checks recall vs exact brute force on clustered vectors. */
-    QueryDef.rowsOnly("q49_ann_pq") { (s, d) =>
+      * Hash-exact since r10: with the Lloyd sums micro-quantized the
+      * per-subspace codebooks are a fixed-depth recurrence too, so
+      * [[pqCtesSql]] re-trains all 8 codebooks, re-encodes the corpus,
+      * rebuilds each probe's 128-slot ADC table and replays the
+      * scan → top-R → exact-rerank tail. The spec keeps recall vs
+      * exact brute force on clustered vectors as the semantic check. */
+    QueryDef.sql(
+      "q49_ann_pq",
+      s"""WITH ${pqCtesSql("WHERE vec_id < 256", standalone = true)}, pqsc AS (
+         |  SELECT p.probe_id, c.vec_id AS neighbor_id,
+         |         list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+         |           s -> p.lut[(s - 1) * 16 + c.code[s] + 1])), (a, b) -> a + b)
+         |           / (p.qn * c.rn) AS adc
+         |  FROM pq_lut p JOIN pq_codes c ON c.vec_id <> p.probe_id
+         |  WHERE c.rn > 0 AND p.qn > 0
+         |), pqcand AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT probe_id, neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adc DESC, neighbor_id) AS rk
+         |    FROM pqsc
+         |  ) WHERE rk <= 12
+         |), pqrr AS (
+         |  SELECT cd.probe_id, cd.neighbor_id,
+         |         (${dotSql("a", "b")}) / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+         |  FROM pqcand cd
+         |  JOIN vemb a ON a.vec_id = cd.probe_id
+         |  JOIN vemb b ON b.vec_id = cd.neighbor_id
+         |), pqrk AS (
+         |  SELECT probe_id, neighbor_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM pqrr
+         |)
+         |SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id,
+         |       CAST(CAST(ROUND((cos) * 1e4, 0) AS BIGINT) / 1e4 AS DOUBLE) AS cosine
+         |FROM pqrk WHERE rnk <= 3
+         |ORDER BY probe_id, rnk""".stripMargin) { (s, d) =>
       val e = Tables.embeddings(s, d)
       val model = pqModels.computeIfAbsent(s"$d|m$PqM|k$PqKsub|i$PqIters",
         _ => Vectors.pqTrain(e, "vec_id", "embedding",
@@ -823,13 +1067,42 @@ object SimilarityOps {
       * IVFPQ ([[adaptiveIvfModel]]) — nlist ∝ √corpus bounds the
       * within-bucket pair space to n^1.5 at ANY scale, making the r6
       * fixed-nlist caveat (pair space grew with the corpus) moot;
-      * ScaleBench now runs this uncapped. k-means-specific buckets ⇒
-      * rows-only; VectorsSpec proves the keep contract on planted
-      * duplicate clusters. Threshold is corpus-calibrated as in
+      * ScaleBench now runs this uncapped. Hash-exact since r10 (the
+      * q44 Lloyd-unroll applied under the ADAPTIVE quantizer — nlist
+      * = max(16, ⌈√n⌉) computed by the same correctly-rounded
+      * ceil/sqrt in both engines): the oracle trains the identical
+      * centroids, buckets every vector, scores within-bucket pairs
+      * with the exact fold order, closes components via the q57
+      * recursive CTE, and keeps each component's minimum id.
+      * VectorsSpec keeps the planted-cluster keep contract as the
+      * semantic check. Threshold is corpus-calibrated as in
       * practice: this synthetic corpus's near-dup band tops out near
       * cosine 0.5 (q36 pairs at > 0.4), so 0.45 marks its semantic
       * duplicates. */
-    QueryDef.rowsOnly("q61_semdedup") { (s, d) =>
+    QueryDef.sql(
+      "q61_semdedup",
+      s"""WITH RECURSIVE ${ivfCtesSql(
+             "(SELECT GREATEST(16, CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) FROM embeddings)",
+             3, 1, "WHERE FALSE")}, sdp AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM ivfasg a JOIN ivfasg b
+         |    ON b.bucket = a.bucket AND a.vec_id < b.vec_id
+         |  WHERE (${dotSql("a", "b")}) / (sqrt(a.n2) * sqrt(b.n2)) > 0.45
+         |), edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM sdp
+         |  UNION
+         |  SELECT id_b, id_a FROM sdp
+         |), reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |), comp AS (
+         |  SELECT u AS vec_id, LEAST(u, MIN(v)) AS label FROM reach GROUP BY u
+         |)
+         |SELECT a.vec_id, CAST(a.bucket - 1 AS INTEGER) AS bucket,
+         |       (COALESCE(c.label, a.vec_id) = a.vec_id) AS kept
+         |FROM ivfasg a LEFT JOIN comp c USING (vec_id)
+         |ORDER BY vec_id""".stripMargin) { (s, d) =>
       Vectors.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.45, iters = IvfIters,
         pretrained = Some(adaptiveIvfModel(s, d)))
@@ -845,9 +1118,48 @@ object SimilarityOps {
       * all-probes gate totals O(n^1.5) where the flat q49 scan is
       * O(n²) (and a single query is O(√n), the number that matters in
       * serving). Both models are memoized stored-index artifacts like
-      * q44/q49's. Quantizer- and codebook-specific output ⇒ rows-only;
-      * VectorsSpec measures clustered recall. */
-    QueryDef.rowsOnly("q67_ann_ivfpq") { (s, d) =>
+      * q44/q49's. Hash-exact since r10 — the COMPOSITION of the two
+      * unrolled trainings: [[ivfCtesSql]] (adaptive √n quantizer)
+      * supplies the bucket assignment + nprobe fanout, [[pqCtesSql]]
+      * (standalone = false, sharing seedv/vemb) the codebooks, codes
+      * and per-probe ADC tables; the oracle joins them on bucket and
+      * replays scan → top-R → exact rerank. VectorsSpec keeps the
+      * clustered-recall pin. */
+    QueryDef.sql(
+      "q67_ann_ivfpq",
+      s"""WITH ${ivfCtesSql(
+             "(SELECT GREATEST(16, CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) FROM embeddings)",
+             3, 4, "")}, ${pqCtesSql("", standalone = false)}, ipsc AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |         list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+         |           s -> l.lut[(s - 1) * 16 + k.code[s] + 1])), (a, b) -> a + b)
+         |           / (l.qn * k.rn) AS adc
+         |  FROM ivfprb p
+         |  JOIN ivfasg c USING (bucket)
+         |  JOIN pq_codes k ON k.vec_id = c.vec_id
+         |  JOIN pq_lut l ON l.probe_id = p.vec_id
+         |  WHERE c.vec_id <> p.vec_id AND k.rn > 0 AND l.qn > 0
+         |), ipcand AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT probe_id, neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adc DESC, neighbor_id) AS rk
+         |    FROM ipsc
+         |  ) WHERE rk <= 12
+         |), iprr AS (
+         |  SELECT cd.probe_id, cd.neighbor_id,
+         |         (${dotSql("a", "b")}) / (sqrt(a.n2) * sqrt(b.n2)) AS cos
+         |  FROM ipcand cd
+         |  JOIN vemb a ON a.vec_id = cd.probe_id
+         |  JOIN vemb b ON b.vec_id = cd.neighbor_id
+         |), iprk AS (
+         |  SELECT probe_id, neighbor_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM iprr
+         |)
+         |SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id,
+         |       CAST(CAST(ROUND((cos) * 1e4, 0) AS BIGINT) / 1e4 AS DOUBLE) AS cosine
+         |FROM iprk WHERE rnk <= 3
+         |ORDER BY probe_id, rnk""".stripMargin) { (s, d) =>
       val ivf = adaptiveIvfModel(s, d)
       val pq = pqModels.computeIfAbsent(s"$d|m$PqM|k$PqKsub|i$PqIters",
         _ => Vectors.pqTrain(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -860,9 +1172,31 @@ object SimilarityOps {
 
     /** IVF-bucketed ANN (coarse k-means quantizer, nprobe-bucket
       * search) — the second scale path: one bucket equi-join, exact
-      * rerank inside, no pair space. Quantizer-specific buckets ⇒
-      * rows-only; the spec measures recall against the exact baseline. */
-    QueryDef.rowsOnly("q44_ann_ivf") { (s, d) =>
+      * rerank inside, no pair space. Hash-exact since r10: the Lloyd
+      * component sums are quantized to integer micros (associative ⇒
+      * the fitted centroids no longer depend on partition layout —
+      * a latent fragility fixed in its own right), which makes the
+      * 3-round training a FIXED-DEPTH recurrence the oracle unrolls
+      * in SQL ([[ivfCtesSql]]): xxhash64 seeding via the HUGEINT
+      * chain, per-round argmax assignment with the exact fold order,
+      * micro-quantized centroid updates, then the same bucket join +
+      * rerank. VectorsSpec recall pins stay as the semantic check. */
+    QueryDef.sql(
+      "q44_ann_ivf",
+      s"""WITH ${ivfCtesSql("16", 3, 4, "WHERE e.vec_id < 20")}, ivrr AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |         (${dotSql("p", "c")}) / (sqrt(p.n2) * sqrt(c.n2)) AS cos
+         |  FROM ivfprb p JOIN ivfasg c USING (bucket)
+         |  WHERE c.vec_id <> p.vec_id
+         |), ivrk AS (
+         |  SELECT probe_id, neighbor_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM ivrr
+         |)
+         |SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id,
+         |       CAST(CAST(ROUND((cos) * 1e4, 0) AS BIGINT) / 1e4 AS DOUBLE) AS cosine
+         |FROM ivrk WHERE rnk <= 3
+         |ORDER BY probe_id, rnk""".stripMargin) { (s, d) =>
       val model = ivfModels.computeIfAbsent(s"$d|n$IvfNlist|i$IvfIters",
         _ => Vectors.ivfTrain(Tables.embeddings(s, d), "vec_id", "embedding",
           nlist = IvfNlist, iters = IvfIters))
@@ -879,10 +1213,44 @@ object SimilarityOps {
       * degrees — the input graph for agglomerative clustering /
       * NN-descent-style dedup. Candidate generation is the IVF bucket
       * equi-join under the corpus-adaptive √n quantizer, so the sweep
-      * is O(n^1.5) like q67, never the n² pair space. IVF-specific
-      * edge set ⇒ rows-only; VectorsSpec pins [[Vectors.mutualKnn]]'s
+      * is O(n^1.5) like q67, never the n² pair space. Hash-exact
+      * since r10 (the q44 Lloyd-unroll under the adaptive quantizer):
+      * the oracle re-trains the centroids, re-runs the full-corpus
+      * nprobe sweep, takes each probe's top-3 (cosine rounded to 4,
+      * as the kNN edge frame carries it), and replays the reciprocity
+      * join + endpoint degrees. VectorsSpec keeps the
       * reciprocity/degree contract on exact edges. */
-    QueryDef.rowsOnly("q88_mutual_knn") { (s, d) =>
+    QueryDef.sql(
+      "q88_mutual_knn",
+      s"""WITH ${ivfCtesSql(
+             "(SELECT GREATEST(16, CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) FROM embeddings)",
+             3, 4, "")}, mkr AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |         (${dotSql("p", "c")}) / (sqrt(p.n2) * sqrt(c.n2)) AS cos
+         |  FROM ivfprb p JOIN ivfasg c USING (bucket)
+         |  WHERE c.vec_id <> p.vec_id
+         |), mkk AS MATERIALIZED (
+         |  SELECT probe_id, neighbor_id,
+         |         CAST(ROUND((cos) * 1e4, 0) AS BIGINT) / 1e4 AS cosine
+         |  FROM (
+         |    SELECT probe_id, neighbor_id, cos,
+         |           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |    FROM mkr
+         |  ) WHERE rnk <= 3
+         |), mut AS MATERIALIZED (
+         |  SELECT e.probe_id AS id_a, e.neighbor_id AS id_b, e.cosine
+         |  FROM mkk e JOIN mkk r
+         |    ON r.probe_id = e.neighbor_id AND r.neighbor_id = e.probe_id
+         |  WHERE e.probe_id < e.neighbor_id
+         |), mdeg AS (
+         |  SELECT id, CAST(COUNT(*) AS INTEGER) AS deg FROM (
+         |    SELECT id_a AS id FROM mut UNION ALL SELECT id_b FROM mut
+         |  ) GROUP BY id
+         |)
+         |SELECT m.id_a, m.id_b, CAST(m.cosine AS DOUBLE) AS cosine,
+         |       da.deg AS deg_a, db.deg AS deg_b
+         |FROM mut m JOIN mdeg da ON da.id = m.id_a JOIN mdeg db ON db.id = m.id_b
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       val ivf = adaptiveIvfModel(s, d)
       val knn = Vectors.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 3, nprobe = IvfNprobe, iters = IvfIters, pretrained = Some(ivf))

@@ -310,12 +310,23 @@ object Vectors {
   private def componentSums(rows: Dataset[(Int, Array[Double])],
       width: Int): Array[(Int, Long, Array[Double])] = {
     val df = rows.toDF("key", "x")
+    // component sums QUANTIZED to integer micro-units (r10): a plain
+    // SUM(double) accumulates in partition order, so the fitted
+    // centroids — and every bucket assignment downstream — depended on
+    // partition layout. Long sums are associative, so the model is now
+    // bit-identical under ANY partitioning (and replayable in SQL —
+    // what converted the k-means gates' oracles). The micro grid loses
+    // nothing real: float32 embeddings carry ~7 significant digits,
+    // and sub-1e-6 centroid drift is far inside a Lloyd round's own
+    // movement (VectorsSpec recall pins unchanged). Same round(·1e6)
+    // pairing the q113 centroid gate proves hash-exact cross-engine.
     val aggs = count(lit(1)).as("n") +:
-      (0 until width).map(i => sum(element_at(col("x"), i + 1)).as(s"s_$i"))
+      (0 until width).map(i =>
+        sum(round(element_at(col("x"), i + 1) * 1e6, 0).cast("long")).as(s"s_$i"))
     df.groupBy(col("key")).agg(aggs.head, aggs.tail: _*)
       .collect() // ≤ |keys| rows of model state
       .map(r => (r.getInt(0), r.getLong(1),
-        Array.tabulate(width)(i => r.getDouble(2 + i))))
+        Array.tabulate(width)(i => r.getLong(2 + i).toDouble / 1e6)))
   }
 
   /** Train the coarse quantizer: deterministic seeding (the `nlist`
