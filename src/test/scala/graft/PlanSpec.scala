@@ -540,6 +540,27 @@ class PlanSpec extends GraftSpec {
       p146.linesIterator.take(30).mkString("\n"))
   }
 
+  test("r10 own-sketch redesigns keep their intended physical shapes (q147, q71)") {
+    // q147 CMS: the counters come from a DISTRIBUTED partial-
+    // aggregating plan — HashAggregate with map-side combining over
+    // the (row, bucket) stream — and the r8 driver-side estimate loop
+    // is gone, so the plan contains no LocalTableScan of collected
+    // estimates (the old shape materialized the whole vocab on the
+    // driver and re-entered it as a local relation)
+    val p147 = plan(q("q147_cms_frequencies"))
+    assert(p147.contains("HashAggregate"),
+      p147.linesIterator.take(25).mkString("\n"))
+    assert(!p147.contains("LocalTableScan"),
+      p147.linesIterator.take(25).mkString("\n"))
+    // q71 Bloom: the corpus side stays a scan + broadcast-bitmap
+    // FILTER — its gram rows reach exactly ONE hash Exchange (the
+    // final per-doc count), never a pre-filter shuffle, which is the
+    // whole point vs q65's corpus-gram exchange
+    val p71 = plan(q("q71_bloom_decontaminate"))
+    assert("Exchange hashpartitioning".r.findAllIn(p71).size === 1,
+      p71.linesIterator.take(30).mkString("\n"))
+  }
+
   test("q127 broadcast-overflow fallback: shuffle-join closure plans shuffled and counts identically") {
     // the declared past-broadcast-size behavior, MEASURED: with the
     // hint off and autoBroadcastJoinThreshold disabled, the two
