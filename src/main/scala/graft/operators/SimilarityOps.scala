@@ -1005,7 +1005,6 @@ object SimilarityOps {
       * additionally measures recall against q37. */
     QueryDef.sql(
       "q38_ann_lsh", {
-        val m = "18446744073709551616::HUGEINT"
         val gold = BigInt("9E3779B97F4A7C15", 16)
         val mix1 = mulMod64Sql("xor(z0, z0 >> 30)", BigInt("bf58476d1ce4e5b9", 16))
         val mix2 = mulMod64Sql("xor(z1, z1 >> 27)", BigInt("94d049bb133111eb", 16))
