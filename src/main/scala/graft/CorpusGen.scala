@@ -153,8 +153,11 @@ object CorpusGen {
     // `o_orderdate < 1999` matched nothing, `l_shipdate > 1999`
     // matched everything, and q153's 1996 prune window selected zero
     // files, so the curve was pricing empty or unpruned scans. Orders
-    // span 6 years, shipdates 6.5 (ship follows order), so every
-    // date-windowed gate keeps its sf selectivity on the corpus too.
+    // span 6 years; l_shipdate is drawn INDEPENDENTLY from the same
+    // 1995 base over a 6.5-year span (per-row shipdate >= orderdate
+    // does NOT hold — only the aggregate span extends past the order
+    // span), so every date-windowed gate keeps its sf selectivity on
+    // the corpus too.
     val base = to_timestamp(lit("1995-01-01 00:00:00"))
     spark.range(nOrders).select(
       id.as("o_orderkey"),

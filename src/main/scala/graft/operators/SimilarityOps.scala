@@ -310,8 +310,13 @@ object SimilarityOps {
     * provide HUGEINT `x` (the value, already ≥ 0) plus carry columns;
     * emits CTE text whose LAST cte exposes carry + `out`
     * (the UNSIGNED hash — compare/order as Spark's signed long via
-    * [[signedSql]]). */
-  private def xxh64Ctes(prev: String, out: String, carry: Seq[String]): (String, String) = {
+    * [[signedSql]]). `seedHashSql`, when given, is an UNSIGNED
+    * HUGEINT column/expression used as the seed instead of 42 — the
+    * chaining rule of Spark's multi-argument xxhash64 (each value's
+    * hash seeds the next); it must be in `carry` so it survives to
+    * the mixing step. */
+  private[operators] def xxh64Ctes(prev: String, out: String, carry: Seq[String],
+      seedHashSql: Option[String] = None): (String, String) = {
     val m = "18446744073709551616::HUGEINT"
     val P1 = BigInt("9E3779B185EBCA87", 16)
     val P2 = BigInt("C2B2AE3D27D4EB4F", 16)
@@ -322,12 +327,17 @@ object SimilarityOps {
     // each step's expression references the PREVIOUS cte's temp column
     // (t1..t8) and emits its own; only carry + x + the new temp survive
     // into the next layer. seed 42: hash0 = seed + P5 + 8 =
-    // 42 + 2870177450012600261 + 8 = 2870177450012600311.
+    // 42 + 2870177450012600261 + 8 = 2870177450012600311; a column
+    // seed folds the same P5 + 8 = 2870177450012600269 offset mod 2^64.
+    val hash0 = seedHashSql match {
+      case None => "2870177450012600311::HUGEINT"
+      case Some(sd) => s"((($sd) + 2870177450012600269::HUGEINT) % $m)"
+    }
     val steps = Seq(
       (s"${out}_s1", s"${mulMod64Sql("x", P2)} AS t1"),
       (s"${out}_s2", s"${rotl("t1", 31)} AS t2"),
       (s"${out}_s3", s"${mulMod64Sql("t2", P1)} AS t3"),
-      (s"${out}_s4", s"xor(2870177450012600311::HUGEINT, t3) AS t4"),
+      (s"${out}_s4", s"xor($hash0, t3) AS t4"),
       (s"${out}_s5", s"${rotl("t4", 27)} AS t5"),
       (s"${out}_s6", s"(${mulMod64Sql("t5", P1)} + $P4::HUGEINT) % $m AS t6"),
       (s"${out}_s7", s"${mulMod64Sql("xor(t6, t6 >> 33)", P2)} AS t7"),
@@ -347,6 +357,24 @@ object SimilarityOps {
     * Spark orders xxhash64 as a SIGNED long. */
   private def signedSql(h: String): String =
     s"(CASE WHEN $h >= 9223372036854775808::HUGEINT THEN $h - 18446744073709551616::HUGEINT ELSE $h END)"
+
+  /** Spark's two-argument `xxhash64(u, v)` (both BIGINT, seed 42) as
+    * chained MATERIALIZED CTEs: hash(u, 42) seeds hash(v, ·) — the
+    * exact chaining rule of Spark's HashExpression. `srcCte` must
+    * expose non-negative integer columns `uCol`, `vCol`; the returned
+    * LAST cte exposes both plus `out` (UNSIGNED — low bits agree with
+    * the signed Spark long, so `$out % 2` replays
+    * `xxhash64(u, v) & 1`). Powers the q127b edge coin. */
+  private[operators] def xxh64PairCtes(srcCte: String, uCol: String,
+      vCol: String, out: String): (String, String) = {
+    val (c1, l1) = xxh64Ctes(
+      s"(SELECT $uCol, $vCol, CAST($uCol AS HUGEINT) AS x FROM $srcCte)",
+      s"${out}_a", Seq(uCol, vCol))
+    val (c2, l2) = xxh64Ctes(
+      s"(SELECT $uCol, $vCol, ${out}_a, CAST($vCol AS HUGEINT) AS x FROM $l1)",
+      out, Seq(uCol, vCol, s"${out}_a"), seedHashSql = Some(s"${out}_a"))
+    (s"$c1,\n$c2", l2)
+  }
 
   /** The IVF coarse quantizer + bucket search as DuckDB CTE text —
     * the oracle twin of [[Vectors.ivfTrain]]/ivfTopK, possible since

@@ -1577,7 +1577,12 @@ object TextOps {
       * bigrams — thousands of rows, not the token stream), so the
       * oracle computes FNV itself on the distinct-feature table and
       * joins it back; the bucket is the hash's low 10 bits, which
-      * signed pmod and unsigned mod agree on. The score semantics
+      * signed pmod and unsigned mod agree on. BMP-corpus assumption
+      * (the standing portable-hash caveat): the oracle folds unicode()
+      * CODEPOINTS while FnvHash64 folds UTF-16 code units (charAt) —
+      * identical on the BMP, divergent on surrogate pairs (emoji), and
+      * length()/String.length differ the same way; the generated
+      * corpus is ASCII. The score semantics
       * stay pinned bit-exact (incl. collisions) against a naive JVM
       * reference in TextOpsSpec. */
     QueryDef.sql(

@@ -812,7 +812,15 @@ object Vectors {
       val sums = new Array[Long](dim); var n = 0L
       it.foreach { case (_, v) =>
         var i = 0
-        while (i < dim) { sums(i) += math.round(v(i).toDouble * 1e6); i += 1 }
+        // HALF_UP away-from-zero micros, the same rule as componentSums'
+        // Spark round and the q116 oracle's ROUND — math.round is
+        // half-toward-+infinity and rounds negative exact-halves apart
+        // (advice r10).
+        while (i < dim) {
+          sums(i) += java.math.BigDecimal.valueOf(v(i).toDouble * 1e6)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+          i += 1
+        }
         n += 1
       }
       Iterator((sums, n))

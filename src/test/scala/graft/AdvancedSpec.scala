@@ -1145,13 +1145,25 @@ class AdvancedSpec extends GraftSpec {
       for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
     }.toSet
     val sampled = {
-      // same portable coin as the gate: first md5 hex nibble of "u:v"
-      // even — replayed here via java MessageDigest, NOT the Spark
-      // expression, so the pin is engine-independent
-      val md = java.security.MessageDigest.getInstance("MD5")
+      // same portable coin as the gate: low bit of the chained
+      // XXH64(u, then v, seed 42) — replayed here via a hand-written
+      // fold, NOT the Spark expression, so the pin is
+      // engine-independent (the DuckDB oracle replays the identical
+      // arithmetic in HUGEINT CTEs)
+      def xxh64Long(l: Long, seed: Long): Long = {
+        val P1 = -7046029288634856825L; val P2 = -4417276706812531889L
+        val P3 = 1609587929392839161L; val P4 = -8796714831421723037L
+        val P5 = 2870177450012600261L
+        var hash = seed + P5 + 8L
+        val k1 = java.lang.Long.rotateLeft(l * P2, 31) * P1
+        hash ^= k1
+        hash = java.lang.Long.rotateLeft(hash, 27) * P1 + P4
+        hash ^= hash >>> 33; hash *= P2
+        hash ^= hash >>> 29; hash *= P3
+        hash ^ (hash >>> 32)
+      }
       edges.filter { case (u, v) =>
-        val h = md.digest(s"$u:$v".getBytes("UTF-8"))
-        ((h(0) >> 4) & 0xF) % 2 == 0
+        (xxh64Long(v, xxh64Long(u, 42L)) & 1L) == 0L
       }
     }
     assert(r.getAs[Long]("n_edges_sampled") === sampled.size.toLong)
