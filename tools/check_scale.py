@@ -1,0 +1,119 @@
+#!/usr/bin/env python3
+"""Scale-corpus variant of check.py: same rows+schema+value-hash compare
+against the DuckDB oracle, but each entry runs in its OWN subprocess with
+a wall timeout and a bounded DuckDB memory/temp budget, so one quadratic
+oracle (the known O(n^2) kernels at 10x/100x) cannot stall or disk-fill
+the whole sweep. Results are aggregated to a JSON report.
+
+Usage:
+  python3 tools/check_scale.py <sfDir> <verifyOutDir> \
+      [--timeout SEC] [--mem LIMIT] [--tmp DIR] [--tmp-size LIMIT] \
+      [--only a,b] [--skip a,b] [--json report.json]
+
+Child mode (internal): ... --entry NAME  -> one compare, exit 0/1.
+"""
+import sys, os, json, glob, time, argparse, subprocess
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from check import canon, table_hash, TABLES
+
+
+def compare_one(sf_dir, out_dir, name, mem, tmp, tmp_size):
+    import duckdb
+    import pyarrow.parquet as pq
+    con = duckdb.connect()
+    con.execute(f"SET memory_limit='{mem}'")
+    if tmp:
+        os.makedirs(tmp, exist_ok=True)
+        con.execute(f"SET temp_directory='{tmp}'")
+        con.execute(f"SET max_temp_directory_size='{tmp_size}'")
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        if glob.glob(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not files:
+        print(f"  {name}: NO OUTPUT"); return 1
+    st = pq.read_table(files)
+    s_names = st.column_names
+    s_rows = [tuple(r) for r in zip(*(st.column(c).to_pylist() for c in s_names))] if st.num_rows else []
+    if name not in oracles:
+        ok = st.num_rows > 0
+        print(f"  {name}: rows-only {'OK' if ok else 'EMPTY'} ({st.num_rows} rows)")
+        return 0 if ok else 1
+    try:
+        res = con.execute(oracles[name])
+        d_names = [c[0] for c in res.description]
+        d_rows = res.fetchall()
+    except Exception as e:
+        print(f"  {name}: ORACLE SQL ERROR: {e}"); return 1
+    problems = []
+    if sorted(s_names) != sorted(d_names):
+        problems.append(f"schema spark={sorted(s_names)} duck={sorted(d_names)}")
+    if st.num_rows != len(d_rows):
+        problems.append(f"rows spark={st.num_rows} duck={len(d_rows)}")
+    if not problems:
+        hs, hd = table_hash(s_names, s_rows), table_hash(d_names, d_rows)
+        if hs != hd:
+            problems.append("hash mismatch")
+    if problems:
+        print(f"  {name}: FAIL " + "; ".join(problems)); return 1
+    print(f"  {name}: OK ({st.num_rows} rows)")
+    return 0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir"); ap.add_argument("out_dir")
+    ap.add_argument("--timeout", type=int, default=900)
+    ap.add_argument("--mem", default="48GB")
+    ap.add_argument("--tmp", default="target/duck_tmp")
+    ap.add_argument("--tmp-size", default="40GB")
+    ap.add_argument("--only", default=""); ap.add_argument("--skip", default="")
+    ap.add_argument("--json", dest="json_out", default="")
+    ap.add_argument("--entry", default="")
+    a = ap.parse_args()
+    if a.entry:
+        sys.exit(compare_one(a.sf_dir, a.out_dir, a.entry, a.mem, a.tmp, a.tmp_size))
+    only = set(filter(None, a.only.split(",")))
+    skip = set(filter(None, a.skip.split(",")))
+    names = sorted(os.path.basename(d.rstrip("/"))
+                   for d in glob.glob(f"{a.out_dir}/*/"))
+    names = [n for n in names if (not only or n in only) and n not in skip]
+    report, failed = {}, []
+    for n in names:
+        t0 = time.time()
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), a.sf_dir, a.out_dir,
+                 "--entry", n, "--mem", a.mem, "--tmp", a.tmp,
+                 "--tmp-size", a.tmp_size],
+                timeout=a.timeout, capture_output=True, text=True)
+            line = (r.stdout.strip().splitlines() or ["(no output)"])[-1]
+            print(line, flush=True)
+            status = "pass" if r.returncode == 0 else "fail"
+            if r.returncode != 0 and ("ORACLE SQL ERROR" in line or r.stderr):
+                status = "oracle_error" if "ORACLE SQL ERROR" in line else "fail"
+            report[n] = {"status": status, "sec": round(time.time() - t0, 1),
+                         "detail": line.strip()}
+        except subprocess.TimeoutExpired:
+            print(f"  {n}: TIMEOUT after {a.timeout}s", flush=True)
+            report[n] = {"status": "timeout", "sec": a.timeout}
+        # clean any spill the child left behind
+        for f in glob.glob(f"{a.tmp}/*"):
+            try: os.remove(f)
+            except OSError: pass
+        if report[n]["status"] != "pass":
+            failed.append(n)
+    npass = sum(1 for v in report.values() if v["status"] == "pass")
+    print(f"== {npass}/{len(names)} pass; non-pass: {failed} ==")
+    if a.json_out:
+        json.dump(report, open(a.json_out, "w"), indent=1)
+    sys.exit(0)
+
+
+if __name__ == "__main__":
+    main()
