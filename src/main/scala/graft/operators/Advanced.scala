@@ -231,12 +231,28 @@ object Advanced {
     (agg, tri)
   }
 
+  /** Broadcast-edge cap for the oriented closure's physical-strategy
+    * choice: past this many edges the collected edge list approaches
+    * spark.driver.maxResultSize (the sf10 dump failed the hardcoded
+    * broadcast plan at ~1 GiB of collected edges) and a broadcast
+    * that large is the wrong plan on a real cluster anyway — every
+    * executor holds the full list. The decision is priced by ONE
+    * count job over the already-pinned (persisted) edge leaf, which
+    * the closure then reuses materialized. */
+  private[graft] val BroadcastEdgeCap = 8L * 1000 * 1000
+
+  private[graft] def broadcastEdgesFor(nEdges: Long): Boolean =
+    nEdges <= BroadcastEdgeCap
+
   /** q127's full census — shared by the gate entry and the PlanSpec
-    * broadcast-fallback proof. */
+    * broadcast-fallback proof. `broadcastEdges = None` (the gate's
+    * spelling) sizes the choice from the pinned edge count. */
   private[graft] def triangleCensus(s: SparkSession, d: String,
-      broadcastEdges: Boolean): org.apache.spark.sql.DataFrame = {
-    val (agg, tri) = orientedClosure(s, basketPairs(s, d),
-      "q127_oriented", broadcastEdges)
+      broadcastEdges: Option[Boolean]): org.apache.spark.sql.DataFrame = {
+    val pairs = basketPairs(s, d)
+    val bc = broadcastEdges.getOrElse(broadcastEdgesFor(pairs.count()))
+    val (agg, tri) = orientedClosure(s, pairs,
+      "q127_oriented", bc)
     broadcast(agg).crossJoin(broadcast(tri))
       .select($"n_parts", $"n_edges", $"wedges".as("n_wedges"),
         $"t".as("n_triangles"),
@@ -2350,7 +2366,7 @@ object Advanced {
         |       CAST(t AS BIGINT) AS n_triangles,
         |       CAST(ROUND((CAST(3 * t AS DOUBLE) / CAST(wedges AS DOUBLE)) * 1e6, 0) AS BIGINT) / 1e6 AS clustering_coeff
         |FROM agg, tri""".stripMargin) { (s, d) =>
-      triangleCensus(s, d, broadcastEdges = true)
+      triangleCensus(s, d, broadcastEdges = None)
     },
 
     /** Sampled triangle estimate (E118/q127b) — the DECLARED 100 TB
@@ -2398,8 +2414,11 @@ object Advanced {
       }) { (s, d) =>
       val e = basketPairs(s, d)
       val eSamp = e.filter(xxhCoin($"u", $"v") === 0)
+      // same size-adaptive strategy choice as the exact census: the
+      // sampled list is p=1/2 of the pinned leaf, so the count job is
+      // a filter over the persisted frames
       val (agg, tri) = orientedClosure(s, eSamp, "q127b_oriented",
-        broadcastEdges = true)
+        broadcastEdges = broadcastEdgesFor(eSamp.count()))
       broadcast(agg).crossJoin(broadcast(tri))
         .select($"n_edges".as("n_edges_sampled"),
           $"t".as("t_sampled"),

@@ -561,6 +561,16 @@ class PlanSpec extends GraftSpec {
       p71.linesIterator.take(30).mkString("\n"))
   }
 
+  test("q127 adaptive strategy choice flips exactly at the broadcast-edge cap") {
+    // the gate passes broadcastEdges = None and sizes the choice from
+    // the pinned edge count (the sf10 dump failed the hardcoded
+    // broadcast plan at ~1 GiB of collected edges)
+    assert(operators.Advanced.broadcastEdgesFor(
+      operators.Advanced.BroadcastEdgeCap))
+    assert(!operators.Advanced.broadcastEdgesFor(
+      operators.Advanced.BroadcastEdgeCap + 1))
+  }
+
   test("q127 broadcast-overflow fallback: shuffle-join closure plans shuffled and counts identically") {
     // the declared past-broadcast-size behavior, MEASURED: with the
     // hint off and autoBroadcastJoinThreshold disabled, the two
@@ -568,7 +578,7 @@ class PlanSpec extends GraftSpec {
     // oriented edge list anywhere) and produce the exact same census
     val dir = sf("sf0.001")
     val hinted = operators.Advanced
-      .triangleCensus(spark, dir, broadcastEdges = true).collect()
+      .triangleCensus(spark, dir, broadcastEdges = Some(true)).collect()
     val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val aqeThr = scala.util.Try(
       spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold"))
@@ -577,7 +587,7 @@ class PlanSpec extends GraftSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       val df = operators.Advanced
-        .triangleCensus(spark, dir, broadcastEdges = false)
+        .triangleCensus(spark, dir, broadcastEdges = Some(false))
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("BroadcastHashJoin"),
         p.linesIterator.take(40).mkString("\n"))
