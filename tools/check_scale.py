@@ -22,6 +22,7 @@ def compare_one(sf_dir, out_dir, name, mem, tmp, tmp_size):
     import duckdb
     import pyarrow.parquet as pq
     con = duckdb.connect()
+    con.execute(f"SET threads={os.environ.get('DUCK_THREADS', '8')}")
     con.execute(f"SET memory_limit='{mem}'")
     if tmp:
         os.makedirs(tmp, exist_ok=True)
