@@ -438,9 +438,14 @@ class StreamsSpec extends GraftSpec {
     assert(src.isStreaming)
     assert(src.schema.fieldNames.toSet === Set("timestamp", "value"))
     val ck = java.nio.file.Files.createTempDirectory("graft_rate_ck_")
+    // a 5 s trigger leaves a wide idle window between micro-batches, so
+    // the finally-stop lands while no commit is in flight — stopping a
+    // default-trigger rate query mid-commit aborts the epoch and dumps
+    // CANNOT_COMMIT state-store ERROR traces into an otherwise clean log
     val q = src.groupBy().count()
       .writeStream.format("memory").queryName("rate_smoke_sink")
       .option("checkpointLocation", ck.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 seconds"))
       .outputMode("complete").start()
     try {
       val deadline = System.currentTimeMillis() + 30000
