@@ -12,10 +12,10 @@ Usage:
 
 Child mode (internal): ... --entry NAME  -> one compare, exit 0/1.
 """
-import sys, os, json, glob, time, argparse, subprocess
+import sys, os, json, glob, time, argparse, subprocess, shutil
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from check import canon, table_hash, TABLES
+from check import table_hash, TABLES
 
 
 def compare_one(sf_dir, out_dir, name, mem, tmp, tmp_size):
@@ -95,25 +95,27 @@ def main():
                 timeout=a.timeout, capture_output=True, text=True)
             line = (r.stdout.strip().splitlines() or ["(no output)"])[-1]
             print(line, flush=True)
-            status = "pass" if r.returncode == 0 else "fail"
-            if r.returncode != 0 and ("ORACLE SQL ERROR" in line or r.stderr):
-                status = "oracle_error" if "ORACLE SQL ERROR" in line else "fail"
+            status = ("oracle_error" if "ORACLE SQL ERROR" in line
+                      else ("pass" if r.returncode == 0 else "fail"))
             report[n] = {"status": status, "sec": round(time.time() - t0, 1),
                          "detail": line.strip()}
+            # a child that died before printing (import error, OOM kill)
+            # leaves '(no output)' — keep a stderr tail for diagnosis
+            if r.returncode != 0 and not r.stdout.strip() and r.stderr:
+                report[n]["stderr_tail"] = r.stderr.strip()[-500:]
         except subprocess.TimeoutExpired:
             print(f"  {n}: TIMEOUT after {a.timeout}s", flush=True)
             report[n] = {"status": "timeout", "sec": a.timeout}
-        # clean any spill the child left behind
-        for f in glob.glob(f"{a.tmp}/*"):
-            try: os.remove(f)
-            except OSError: pass
+        # clean any spill the child left behind (incl. temp subdirectories)
+        shutil.rmtree(a.tmp, ignore_errors=True)
+        os.makedirs(a.tmp, exist_ok=True)
         if report[n]["status"] != "pass":
             failed.append(n)
     npass = sum(1 for v in report.values() if v["status"] == "pass")
     print(f"== {npass}/{len(names)} pass; non-pass: {failed} ==")
     if a.json_out:
         json.dump(report, open(a.json_out, "w"), indent=1)
-    sys.exit(0)
+    sys.exit(1 if failed else 0)
 
 
 if __name__ == "__main__":
