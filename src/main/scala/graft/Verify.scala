@@ -8,11 +8,6 @@ object Verify {
     // optional trailing args: entry names to restrict the dump to
     // (driver passes none → full dump)
     val (sfDir, outDir, only) = (args(0), args(1), args.drop(2).toSet)
-    // a typo'd entry name would otherwise dump nothing and read as a
-    // clean (empty) verify — fail fast instead (advice r6)
-    val unknown = only -- SparkEntry.queries.keySet
-    require(unknown.isEmpty,
-      s"unknown entry name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,6 +15,19 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    dump(spark, sfDir, outDir, only)
+    spark.stop()
+  }
+
+  /** The dump loop behind [[main]], session-reusable (tools.Fuzz runs
+    * it once per generated corpus inside one session). */
+  def dump(spark: SparkSession, sfDir: String, outDir: String,
+           only: Set[String]): Unit = {
+    // a typo'd entry name would otherwise dump nothing and read as a
+    // clean (empty) verify — fail fast instead (advice r6)
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown entry name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // A thrown entry must leave a visible trace: r7's events schema break
@@ -58,6 +66,5 @@ object Verify {
     if (failures.nonEmpty)
       System.err.println(s"[verify] ${failures.size} entries FAILED: " +
         failures.keys.mkString(", "))
-    spark.stop()
   }
 }

@@ -1189,14 +1189,22 @@ object Advanced {
 
     /** Table statistics (the ANALYZE / metastore-stats primitive every
       * CBO and data-skipping layer feeds on): per column, row count,
-      * null count, EXACT distinct count, and min/max, unpivoted with
-      * `stack`. Two scan-shaped aggregate branches — plain stats in
-      * one, the multi-column exact NDV (a single Expand) in the other
-      * — joined as 1-row broadcasts; the exactness gate. q84b is the
-      * production twin: HLL NDV, no Expand, ONE pass. String-cast
-      * min/max keeps one uniform schema across column types (the
-      * columns chosen are integer/string, where both engines' casts
-      * agree byte-for-byte). */
+      * null count, EXACT distinct count, and min/max. ONE scan: each
+      * row explodes into (column, typed value) pairs, a partial
+      * aggregate collapses them to the per-column VALUE HISTOGRAM
+      * (map-side combine bounds the shuffle at Σ per-column NDV, the
+      * same volume countDistinct's internal rewrite shuffles), and a
+      * second tiny aggregate derives every statistic from the
+      * histogram at once — n_rows = Σcnt, n_nulls = cnt at the null
+      * value, NDV = non-null histogram size, min/max over the keys.
+      * Replaces the r10 two-branch shape (plain-stats scan + Expand
+      * countDistinct scan + 1-row crossJoin): one scan instead of
+      * two, no Expand, two exchanges total (r11 job-floor pass, 6→4
+      * jobs). Values are kept in a typed (long, string) column pair —
+      * numeric columns order numerically, string columns lexically —
+      * so min/max match DuckDB's typed MIN/MAX then VARCHAR cast
+      * byte-for-byte. q84b is the production twin: HLL NDV, no row
+      * multiplication at all. */
     QueryDef.sql(
       "q84_table_stats", {
         def one(c: String) =
@@ -1209,28 +1217,35 @@ object Advanced {
         Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
           .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
       }) { (s, d) =>
-      val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
-      // TWO 1-row aggregate branches joined back, NOT one mixed agg:
-      // mixing distinct and plain aggregates makes Catalyst evaluate
-      // every plain update over the Expand's k+1× row stream (measured
-      // 6.8 s vs 1.3 + 1.6 s split at sf0.1). Each branch is
-      // scan-shaped and map-side combining; the join is two 1-row
-      // broadcasts.
       val li = Tables.lineitem(s, d)
-      val plainAggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
-        Seq(
-          sum(col(c).isNull.cast("long")).as(s"nn_$c"),
-          min(col(c)).cast("string").as(s"mn_$c"),
-          max(col(c)).cast("string").as(s"mx_$c"))
-      }
-      val ndAggs = cols.map(c => countDistinct(col(c)).as(s"nd_$c"))
-      val plain = li.agg(plainAggs.head, plainAggs.tail: _*)
-      val nd = li.agg(ndAggs.head, ndAggs.tail: _*)
-      val stacked = cols.map(c =>
-        s"'$c', n_rows, nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
-      plain.crossJoin(broadcast(nd))
-        .select(expr(s"stack(${cols.size}, $stacked) AS " +
-          "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)"))
+      // (column, typed value) pair stream: numeric columns ride v_num
+      // (numeric min/max), string columns ride v_str — exactly one of
+      // the two is non-null per pair, so the histogram key is unambiguous
+      val nullL = lit(null).cast("long")
+      val nullS = lit(null).cast("string")
+      val pairs = li.select(explode(array(
+        struct(lit("l_orderkey").as("col_name"),
+          $"l_orderkey".cast("long").as("v_num"), nullS.as("v_str")),
+        struct(lit("l_linenumber").as("col_name"),
+          $"l_linenumber".cast("long").as("v_num"), nullS.as("v_str")),
+        struct(lit("l_returnflag").as("col_name"),
+          nullL.as("v_num"), $"l_returnflag".cast("string").as("v_str")),
+        struct(lit("l_linestatus").as("col_name"),
+          nullL.as("v_num"), $"l_linestatus".cast("string").as("v_str"))))
+        .as("e"))
+        .select($"e.col_name", $"e.v_num", $"e.v_str")
+      pairs
+        .groupBy($"col_name", $"v_num", $"v_str")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy($"col_name")
+        .agg(
+          sum($"cnt").as("n_rows"),
+          coalesce(sum(when($"v_num".isNull && $"v_str".isNull, $"cnt")),
+            lit(0L)).as("n_nulls"),
+          count(when($"v_num".isNotNull || $"v_str".isNotNull, lit(1)))
+            .as("n_distinct"),
+          coalesce(min($"v_num").cast("string"), min($"v_str")).as("min_val"),
+          coalesce(max($"v_num").cast("string"), max($"v_str")).as("max_val"))
         .orderBy($"col_name")
     },
 
@@ -2900,11 +2915,17 @@ object Advanced {
       * referential integrity) evaluated with per-rule checked/violation
       * counts and a PASS/FAIL status. The single-table rules fold into
       * ONE conditional-sum hash agg per table (never one scan per
-      * rule); uniqueness is a groupBy-count; orphans are an anti-join
-      * (J6's idiom). All counts exact integers; the only rounded
-      * output is the violation share (rp6). Scale: 2 table scans + 1
-      * key join + 1 anti-join regardless of how many rules the suite
-      * carries. */
+      * rule); uniqueness folds into the same orders agg (a single
+      * countDistinct plans WITHOUT Expand, so the plain sums are not
+      * re-evaluated over a duplicated stream); the cross-table date
+      * rule and the FK orphan rule share ONE left join (matched rows
+      * carry the non-null join key; orphans are the null side — J6's
+      * anti-join as a conditional count). The six rules then unfold
+      * from the three 1-row aggregates with `stack` — no 6-branch
+      * union re-scanning its inputs. Scale: 2 lineitem + 2 orders
+      * scans and 1 key join TOTAL, regardless of how many rules the
+      * suite carries (r11 job-floor pass: 4+4 scans / 2 joins / 10
+      * jobs before). */
     QueryDef.sql(
       "q136_quality_expectations",
       """WITH li AS (
@@ -2940,42 +2961,39 @@ object Advanced {
         |       CASE WHEN v = 0 THEN 'PASS' ELSE 'FAIL' END AS status
         |FROM rules ORDER BY rule""".stripMargin) { (s, d) =>
       val liAgg = Tables.lineitem(s, d).agg(
-        count(lit(1)).as("n"),
+        count(lit(1)).as("n_li"),
         sum(when($"l_quantity".isNull || $"l_quantity" <= 0, 1L).otherwise(0L)).as("v_qty"),
         sum(when($"l_discount" < 0 || $"l_discount" > 1, 1L).otherwise(0L)).as("v_disc"))
       val ordAgg = Tables.orders(s, d).agg(
-        count(lit(1)).as("n"),
-        sum(when($"o_totalprice" <= 0, 1L).otherwise(0L)).as("v_price"))
-      val ship = Tables.lineitem(s, d)
+        count(lit(1)).as("n_ord"),
+        sum(when($"o_totalprice" <= 0, 1L).otherwise(0L)).as("v_price"),
+        (count(lit(1)) - countDistinct($"o_orderkey")).as("v_uniq"))
+      // one left join serves BOTH cross-table rules: matched rows (the
+      // non-null join key) are r3's checked set; the null side is r5's
+      // orphan count — the inner-join count and the anti-join count of
+      // the old two-join shape, bit-identically, in one pass
+      val joint = Tables.lineitem(s, d)
         .select($"l_orderkey", to_date($"l_shipdate").as("sd"))
         .join(Tables.orders(s, d)
           .select($"o_orderkey", to_date($"o_orderdate").as("od")),
-          $"l_orderkey" === $"o_orderkey")
-        .agg(count(lit(1)).as("n"),
-          sum(when($"sd" < $"od", 1L).otherwise(0L)).as("v"))
-      val uniq = Tables.orders(s, d).agg(
-        count(lit(1)).as("n"),
-        (count(lit(1)) - countDistinct($"o_orderkey")).as("v"))
-      val liN = Tables.lineitem(s, d).agg(count(lit(1)).as("n"))
-      val orphans = Tables.lineitem(s, d).select($"l_orderkey")
-        .join(Tables.orders(s, d).select($"o_orderkey"),
-          $"l_orderkey" === $"o_orderkey", "left_anti")
-        .agg(count(lit(1)).as("v"))
-        .crossJoin(broadcast(liN))
-      def rule(name: String, df: org.apache.spark.sql.DataFrame,
-               vCol: String): org.apache.spark.sql.DataFrame =
-        df.select(lit(name).as("rule"), $"n", col(vCol).as("v"))
-      Seq(
-          rule("r1_quantity_positive", liAgg, "v_qty"),
-          rule("r2_discount_range", liAgg, "v_disc"),
-          rule("r3_ship_after_order", ship, "v"),
-          rule("r4_orderkey_unique", uniq, "v"),
-          rule("r5_lineitem_fk", orphans, "v"),
-          rule("r6_price_positive", ordAgg, "v_price"))
-        .reduce(_ unionByName _)
-        .select($"rule", $"n".as("n_checked"), $"v".as("n_violations"),
-          round2($"v".cast("double") / $"n", 6).as("violation_share"),
-          when($"v" === 0, "PASS").otherwise("FAIL").as("status"))
+          $"l_orderkey" === $"o_orderkey", "left")
+        .agg(
+          count($"o_orderkey").as("n_ship"),
+          sum(when($"sd" < $"od", 1L).otherwise(0L)).as("v_ship"),
+          sum($"o_orderkey".isNull.cast("long")).as("v_orphan"))
+      liAgg.crossJoin(broadcast(ordAgg)).crossJoin(broadcast(joint))
+        .select(expr(
+          "stack(6, " +
+            "'r1_quantity_positive', n_li, v_qty, " +
+            "'r2_discount_range', n_li, v_disc, " +
+            "'r3_ship_after_order', n_ship, v_ship, " +
+            "'r4_orderkey_unique', n_ord, v_uniq, " +
+            "'r5_lineitem_fk', n_li, v_orphan, " +
+            "'r6_price_positive', n_ord, v_price) " +
+            "AS (rule, n_checked, n_violations)"))
+        .select($"rule", $"n_checked", $"n_violations",
+          round2($"n_violations".cast("double") / $"n_checked", 6).as("violation_share"),
+          when($"n_violations" === 0, "PASS").otherwise("FAIL").as("status"))
         .orderBy($"rule")
     },
 

@@ -49,6 +49,48 @@ class PinnedSpec extends GraftSpec {
     assert(a.head.storageLevel.useMemory && b.head.storageLevel.useMemory)
   }
 
+  test("memo: obtained frames stay usable across a sibling displacement") {
+    // the fast path (Pinned.scala:80-81) hands out frames without a lock,
+    // so a sibling-key displacement can unpersist them while a reader still
+    // holds them. Safety argument: unpersist only drops cached blocks — the
+    // DataFrame's plan recomputes, so the reader gets correct (uncached)
+    // results. Sequential proof first, then an actual race.
+    val df = spark.range(1000).select(col("id"), (col("id") % 13).as("k"))
+    // kernels carry a per-dir literal so the two dirs have DISTINCT
+    // logical plans: storageLevel is a CacheManager lookup BY PLAN, and
+    // plan-identical siblings would read each other's cache entries
+    def kernel(t: Int) = Seq(
+      df.groupBy("k").agg(sum("id").as("s")).filter(col("k") > lit(-1 - t)))
+    val a = Pinned.memo(spark, "pinnedspec_race|dirX")(kernel(0))
+    val expected = a.head.count()
+    Pinned.memo(spark, "pinnedspec_race|dirY")(kernel(1))
+    assert(!a.head.storageLevel.useMemory, "sibling must displace dirX")
+    assert(a.head.count() === expected,
+      "displaced frames must still evaluate correctly (recompute)")
+
+    // race: readers repeatedly obtain-and-count while a displacer flips
+    // the family between two dirs, unpersisting whatever readers hold
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val bad = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val iters = 15
+    def guard(body: => Unit): Runnable = () =>
+      try body catch { case t: Throwable => bad.compareAndSet(null, t): Unit }
+    val displacer = guard {
+      for (i <- 0 until iters)
+        Pinned.memo(spark, s"pinnedspec_race2|dir${i % 2}")(kernel(i % 2))
+    }
+    val reader = guard {
+      for (i <- 0 until iters) {
+        val f = Pinned.memo(spark, s"pinnedspec_race2|dir${i % 2}")(kernel(i % 2))
+        assert(f.head.count() === expected)
+      }
+    }
+    Seq(displacer, reader, reader).foreach(pool.submit)
+    pool.shutdown()
+    assert(pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS))
+    if (bad.get() != null) throw bad.get()
+  }
+
   test("swap: each invocation releases the previous frames and re-pins") {
     val df = spark.range(20).select(col("id"))
     val Seq(a) = Pinned.swap(spark, "pinnedspec_swap", df.select(col("id")))

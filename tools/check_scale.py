@@ -12,13 +12,96 @@ Usage:
 
 Child mode (internal): ... --entry NAME  -> one compare, exit 0/1.
 """
-import sys, os, json, glob, time, argparse, subprocess, shutil
+import sys, os, json, glob, time, argparse, subprocess, shutil, re
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from check import table_hash, TABLES
 
 
-def compare_one(sf_dir, out_dir, name, mem, tmp, tmp_size):
+def split_ctes(sql):
+    """Split a `WITH a AS (...), b AS (...) SELECT ...` into its
+    top-level CTEs and the final statement, paren- and string-aware.
+    For WITH RECURSIVE, the maximal flat PREFIX of CTEs is staged and
+    the tail (from the first self-referencing CTE on) is re-wrapped as
+    an inline WITH RECURSIVE over the staged temp tables. Returns
+    (ctes, final) or None when nothing is stageable."""
+    s = sql.strip()
+    m = re.match(r"(?is)^WITH\s+(RECURSIVE\s+)?", s)
+    if not m:
+        return None
+    recursive = bool(m.group(1))
+    i, n, ctes = m.end(), len(s), []
+    while True:
+        m2 = re.match(
+            r"(?is)\s*([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*"
+            r"(?:NOT\s+MATERIALIZED\s*|MATERIALIZED\s*)?\(", s[i:])
+        if not m2:
+            return None
+        name, j = m2.group(1), i + m2.end()
+        depth, k = 1, j
+        while depth > 0 and k < n:
+            c = s[k]
+            if c == "'":
+                k += 1
+                while k < n:
+                    if s[k] == "'":
+                        if k + 1 < n and s[k + 1] == "'":
+                            k += 2; continue
+                        break
+                    k += 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            k += 1
+        if depth != 0:
+            return None
+        body = s[j:k - 1]
+        # a CTE shadowing a base table breaks sequential temp-table
+        # semantics (its own body would read the temp table, not the
+        # view); self-reference is impossible in a non-RECURSIVE WITH
+        if name in TABLES:
+            return None
+        ctes.append((name, body))
+        m3 = re.match(r"\s*,", s[k:])
+        if m3:
+            i = k + m3.end(); continue
+        final = s[k:].strip()
+        break
+    if not recursive:
+        return ctes, final
+    # RECURSIVE: stage the flat prefix; keep everything from the first
+    # genuinely self-referencing CTE onward inline (FROM/JOIN self-ref
+    # is how recursion appears; column-name collisions are harmless
+    # false positives that only shorten the staged prefix)
+    cut = len(ctes)
+    for idx, (nm, bd) in enumerate(ctes):
+        if re.search(rf"(?is)\b(from|join)\s+{nm}\b", bd):
+            cut = idx; break
+    if cut == 0:
+        return None
+    staged, tail = ctes[:cut], ctes[cut:]
+    if tail:
+        final = ("WITH RECURSIVE " +
+                 ", ".join(f"{nm} AS ({bd})" for nm, bd in tail) +
+                 " " + final)
+    return staged, final
+
+
+def run_oracle(con, sql, staged):
+    """Execute the oracle; with staged=True, materialize each top-level
+    CTE as a TEMP TABLE first so DuckDB holds one stage's pipeline at a
+    time instead of the whole CTE DAG (the sf10 memory/temp-cap fix)."""
+    plan = split_ctes(sql) if staged else None
+    if plan is None:
+        return con.execute(sql)
+    ctes, final = plan
+    for name, body in ctes:
+        con.execute(f'CREATE TEMP TABLE "{name}" AS {body}')
+    return con.execute(final)
+
+
+def compare_one(sf_dir, out_dir, name, mem, tmp, tmp_size, staged=False):
     import duckdb
     import pyarrow.parquet as pq
     con = duckdb.connect()
@@ -46,7 +129,7 @@ def compare_one(sf_dir, out_dir, name, mem, tmp, tmp_size):
         print(f"  {name}: rows-only {'OK' if ok else 'EMPTY'} ({st.num_rows} rows)")
         return 0 if ok else 1
     try:
-        res = con.execute(oracles[name])
+        res = run_oracle(con, oracles[name], staged)
         d_names = [c[0] for c in res.description]
         d_rows = res.fetchall()
     except Exception as e:
@@ -76,9 +159,12 @@ def main():
     ap.add_argument("--only", default=""); ap.add_argument("--skip", default="")
     ap.add_argument("--json", dest="json_out", default="")
     ap.add_argument("--entry", default="")
+    ap.add_argument("--staged", action="store_true",
+                    help="materialize oracle CTEs as sequential temp tables")
     a = ap.parse_args()
     if a.entry:
-        sys.exit(compare_one(a.sf_dir, a.out_dir, a.entry, a.mem, a.tmp, a.tmp_size))
+        sys.exit(compare_one(a.sf_dir, a.out_dir, a.entry, a.mem, a.tmp,
+                             a.tmp_size, a.staged))
     only = set(filter(None, a.only.split(",")))
     skip = set(filter(None, a.skip.split(",")))
     names = sorted(os.path.basename(d.rstrip("/"))
@@ -91,7 +177,7 @@ def main():
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), a.sf_dir, a.out_dir,
                  "--entry", n, "--mem", a.mem, "--tmp", a.tmp,
-                 "--tmp-size", a.tmp_size],
+                 "--tmp-size", a.tmp_size] + (["--staged"] if a.staged else []),
                 timeout=a.timeout, capture_output=True, text=True)
             line = (r.stdout.strip().splitlines() or ["(no output)"])[-1]
             print(line, flush=True)
