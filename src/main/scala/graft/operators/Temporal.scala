@@ -675,19 +675,25 @@ object Temporal {
       * Structured Streaming with watermarked state eviction). Spark
       * defines a session's end as last event + gap, so the oracle is
       * q39's gap construction with `end_ms = max(ts) + 30 min` — the
-      * window-semantics equivalence IS the gate. Boundary nuance the
-      * oracle mirrors: session windows are half-open [t, t+gap), so an
-      * EXACTLY-30-min gap starts a new session (`>=` in the flag) —
-      * where q39's convention (`>`) keeps it. Exact cents totals;
-      * integer-ms bounds. Scale: one session-assigning shuffle per
-      * user partition — the q39 class (q39b's sharding argument covers
-      * the hot user). */
+      * window-semantics equivalence IS the gate. Boundary nuance,
+      * established EMPIRICALLY by the r12 seed-fuzz sweep (seed 401
+      * produced three exactly-30-min gaps and Spark MERGED all three):
+      * session_window merges an event landing exactly at the previous
+      * session's end — per-event windows [t, t+gap) that merely TOUCH
+      * are coalesced — so a new session starts only when the gap is
+      * STRICTLY greater than 30 min (`>` in the flag, the same
+      * convention as q39). The oracle's original `>=` transcription
+      * was wrong and invisible to every fixed fixture (no exact-gap
+      * pair exists in them); FUZZ_r12 is the regression evidence.
+      * Exact cents totals; integer-ms bounds. Scale: one
+      * session-assigning shuffle per user partition — the q39 class
+      * (q39b's sharding argument covers the hot user). */
     QueryDef.sql(
       "q144_session_window",
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts, value,
         |         CASE WHEN LAG(ts) OVER w IS NULL
-        |                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+        |                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1
         |              ELSE 0 END AS new_session
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -758,7 +758,27 @@ class AdvancedSpec extends GraftSpec {
     }
   }
 
-  test("q144 session window: native sessions match a naive gap replay with the half-open boundary") {
+  test("q144 session window: native sessions match a naive gap replay; exact-gap events MERGE") {
+    // the boundary pin (r12 fuzz finding, seed 401): an event exactly
+    // 30 min after the previous one is MERGED by session_window —
+    // touching [t, t+gap) windows coalesce — so the replay splits on
+    // STRICTLY-greater gaps only. The `>=` transcription survived
+    // every fixed fixture because none contains an exact-gap pair.
+    val boundary = Seq(
+      (1L, 0L, 1.0),                  // t0
+      (1L, 1800L * 1000000, 1.0),     // exactly +30 min -> same session
+      (1L, 3601L * 1000000, 1.0),     // +30:01 past the 2nd -> new session
+      (2L, 0L, 1.0)
+    ).toDF("user_id", "us", "value")
+      .select($"user_id", timestamp_micros($"us").as("ts"), $"value")
+    val sess = boundary
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .count().collect()
+    assert(sess.count(_.getLong(0) == 1L) === 2,
+      "user 1 must have exactly 2 sessions: {t0, t0+30m} and {t0+60m1s}")
+    assert(sess.find(r => r.getLong(0) == 1L && r.getLong(2) == 2L).isDefined,
+      "the exact-gap event must merge into the first session")
+
     val dir = sf("sf0.001")
     val ev = graft.Tables.events(spark, dir)
       .select($"user_id", unix_micros($"ts").as("us"),
@@ -770,7 +790,7 @@ class AdvancedSpec extends GraftSpec {
       val sessions = scala.collection.mutable.ArrayBuffer[Seq[(Long, Long, Long)]]()
       var cur = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
       sorted.foreach { e =>
-        if (cur.nonEmpty && e._2 - cur.last._2 >= gap) {
+        if (cur.nonEmpty && e._2 - cur.last._2 > gap) {
           sessions += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer()
         }
         cur += e
