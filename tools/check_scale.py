@@ -88,23 +88,32 @@ def split_ctes(sql):
     return staged, final
 
 
-def run_oracle(con, sql, staged):
+def run_oracle(con, sql, staged, on_disk=False):
     """Execute the oracle; with staged=True, materialize each top-level
     CTE as a TEMP TABLE first so DuckDB holds one stage's pipeline at a
-    time instead of the whole CTE DAG (the sf10 memory/temp-cap fix)."""
+    time instead of the whole CTE DAG (the sf10 memory/temp-cap fix).
+    With on_disk=True the stages are persistent tables in a file-backed
+    database (the connection must be file-backed), which DuckDB flushes
+    to disk under memory pressure — TEMP tables prefer memory."""
     plan = split_ctes(sql) if staged else None
     if plan is None:
         return con.execute(sql)
     ctes, final = plan
+    kind = "TABLE" if on_disk else "TEMP TABLE"
     for name, body in ctes:
-        con.execute(f'CREATE TEMP TABLE "{name}" AS {body}')
+        con.execute(f'CREATE OR REPLACE {kind} "{name}" AS {body}')
+        if on_disk:
+            con.execute("CHECKPOINT")
     return con.execute(final)
 
 
-def compare_one(sf_dir, out_dir, name, mem, tmp, tmp_size, staged=False):
+def compare_one(sf_dir, out_dir, name, mem, tmp, tmp_size, staged=False,
+                dbfile=""):
     import duckdb
     import pyarrow.parquet as pq
-    con = duckdb.connect()
+    if dbfile and os.path.exists(dbfile):
+        os.remove(dbfile)
+    con = duckdb.connect(dbfile) if dbfile else duckdb.connect()
     con.execute(f"SET threads={os.environ.get('DUCK_THREADS', '8')}")
     con.execute(f"SET memory_limit='{mem}'")
     if tmp:
@@ -129,7 +138,7 @@ def compare_one(sf_dir, out_dir, name, mem, tmp, tmp_size, staged=False):
         print(f"  {name}: rows-only {'OK' if ok else 'EMPTY'} ({st.num_rows} rows)")
         return 0 if ok else 1
     try:
-        res = run_oracle(con, oracles[name], staged)
+        res = run_oracle(con, oracles[name], staged, on_disk=bool(dbfile))
         d_names = [c[0] for c in res.description]
         d_rows = res.fetchall()
     except Exception as e:
@@ -161,10 +170,13 @@ def main():
     ap.add_argument("--entry", default="")
     ap.add_argument("--staged", action="store_true",
                     help="materialize oracle CTEs as sequential temp tables")
+    ap.add_argument("--dbfile", default="",
+                    help="with --staged: file-backed db, stages as "
+                         "persistent tables (flushed to disk per stage)")
     a = ap.parse_args()
     if a.entry:
         sys.exit(compare_one(a.sf_dir, a.out_dir, a.entry, a.mem, a.tmp,
-                             a.tmp_size, a.staged))
+                             a.tmp_size, a.staged, a.dbfile))
     only = set(filter(None, a.only.split(",")))
     skip = set(filter(None, a.skip.split(",")))
     names = sorted(os.path.basename(d.rstrip("/"))
@@ -177,7 +189,9 @@ def main():
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), a.sf_dir, a.out_dir,
                  "--entry", n, "--mem", a.mem, "--tmp", a.tmp,
-                 "--tmp-size", a.tmp_size] + (["--staged"] if a.staged else []),
+                 "--tmp-size", a.tmp_size]
+                + (["--staged"] if a.staged else [])
+                + (["--dbfile", a.dbfile] if a.dbfile else []),
                 timeout=a.timeout, capture_output=True, text=True)
             line = (r.stdout.strip().splitlines() or ["(no output)"])[-1]
             print(line, flush=True)
