@@ -134,9 +134,19 @@ class PlanSpec extends GraftSpec {
     }
   }
 
-  test("q84 stats: exact NDV costs one Expand; the approx twin runs Expand-free (E45)") {
-    assert(plan(q("q84_table_stats")).contains("Expand"),
-      "exact multi-column NDV should plan the (documented) single Expand")
+  test("q84 stats: one scan + value-histogram chain, no Expand; approx twin Expand-free (E45)") {
+    // r12 job-floor rewrite: the exact stats derive from ONE exploded
+    // (column, value) histogram — a single lineitem scan feeding a
+    // Generate + two-level aggregate chain. No Expand (the old
+    // countDistinct branch), no second scan, no 1-row crossJoin.
+    val ep = plan(q("q84_table_stats"))
+    assert(!ep.contains("Expand"),
+      s"exact stats must use the histogram chain, not Expand:\n${ep.linesIterator.take(20).mkString("\n")}")
+    assert(ep.contains("Generate"),
+      "the (column, value) pair stream is an explode (Generate)")
+    assert("Scan parquet".r.findAllIn(ep).size == 1,
+      s"exact stats must scan lineitem exactly once:\n${ep.linesIterator.take(20).mkString("\n")}")
+    assert(!ep.contains("Join"), "no branch-join: one aggregation chain")
     val ap = plan(q("q84b_table_stats_approx"))
     assert(!ap.contains("Expand"),
       s"approx stats must profile all columns in one un-expanded pass:\n${ap.linesIterator.take(20).mkString("\n")}")
