@@ -125,17 +125,49 @@ object CorpusGen {
     val nSupp = math.max(5L, nCust / 15)
     val segs = array(lit("AUTOMOBILE"), lit("BUILDING"), lit("FURNITURE"),
       lit("HOUSEHOLD"), lit("MACHINERY"))
+    // Full testdata schema (r13): the whole-surface fuzz sweep drives
+    // EVERY entry over these corpora, so each table carries every
+    // column the driver parquet ships — earlier rounds generated only
+    // the columns the 63-entry representative subset read. New columns
+    // use fresh salts (44+) so the pre-r13 columns stay byte-identical
+    // on the established scaling corpora.
     spark.range(nCust).select(
       id.as("c_custkey"),
       format_string("Customer#%09d", id).as("c_name"),
       pmod(h(seed, 34, id), lit(25L)).cast("int").as("c_nationkey"),
+      ((pmod(h(seed, 44, id), lit(1100000L)) - 100000L).cast("double") / 100.0)
+        .as("c_acctbal"),
       element_at(segs, (pmod(h(seed, 35, id), lit(5L)) + 1).cast("int"))
         .as("c_mktsegment"))
       .write.mode("overwrite").parquet(s"$dir/customer.parquet")
     spark.range(nSupp).select(
       id.as("s_suppkey"),
-      format_string("Supplier#%09d", id).as("s_name"))
+      format_string("Supplier#%09d", id).as("s_name"),
+      pmod(h(seed, 45, id), lit(25L)).cast("int").as("s_nationkey"),
+      ((pmod(h(seed, 46, id), lit(1100000L)) - 100000L).cast("double") / 100.0)
+        .as("s_acctbal"))
       .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val nParts = math.max(4L, nOrders / 8)
+    val adjs = array(lit("blue"), lit("cold"), lit("hot"), lit("large"),
+      lit("new"), lit("old"), lit("red"), lit("small"))
+    val nouns = array(lit("anvil"), lit("bolt"), lit("gear"), lit("gizmo"),
+      lit("plate"), lit("ring"), lit("rod"), lit("widget"))
+    val ptypes = array(lit("ECONOMY"), lit("LARGE"), lit("MEDIUM"),
+      lit("PROMO"), lit("SMALL"), lit("STANDARD"))
+    spark.range(nParts).select(
+      id.as("p_partkey"),
+      concat_ws(" ",
+        element_at(adjs, (pmod(h(seed, 47, id), lit(8L)) + 1).cast("int")),
+        element_at(nouns, (pmod(h(seed, 48, id), lit(8L)) + 1).cast("int")))
+        .as("p_name"),
+      format_string("Brand#%d", pmod(h(seed, 49, id), lit(25L)) + 1)
+        .as("p_brand"),
+      element_at(ptypes, (pmod(h(seed, 50, id), lit(6L)) + 1).cast("int"))
+        .as("p_type"),
+      (pmod(h(seed, 51, id), lit(50L)) + 1).cast("int").as("p_size"),
+      ((pmod(h(seed, 52, id), lit(20000L)) + 90000L).cast("double") / 100.0)
+        .as("p_retailprice"))
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
     spark.range(25).select(
       id.cast("int").as("n_nationkey"),
       format_string("NATION_%02d", id).as("n_name"),
@@ -172,7 +204,6 @@ object CorpusGen {
       element_at(prios, (pmod(h(seed, 39, id), lit(5L)) + 1).cast("int"))
         .as("o_orderpriority"))
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
-    val nParts = math.max(4L, nOrders / 8)
     spark.range(nOrders * 4).select(
       (id / 4).cast("long").as("l_orderkey"),
       pmod(id, lit(4L)).cast("int").as("l_linenumber"),
@@ -182,10 +213,13 @@ object CorpusGen {
       (pmod(h(seed, 40, id), lit(11L)).cast("double") / 100.0).as("l_discount"),
       ((pmod(h(seed, 41, id), lit(500000L)) + 100).cast("double") / 100.0)
         .as("l_extendedprice"),
+      (pmod(h(seed, 53, id), lit(9L)).cast("double") / 100.0).as("l_tax"),
       timestamp_seconds(unix_timestamp(base)
         + pmod(h(seed, 42, id), lit(2373L * 86400L))).as("l_shipdate"),
       element_at(array(lit("A"), lit("N"), lit("R")),
-        (pmod(h(seed, 43, id), lit(3L)) + 1).cast("int")).as("l_returnflag"))
+        (pmod(h(seed, 43, id), lit(3L)) + 1).cast("int")).as("l_returnflag"),
+      element_at(array(lit("O"), lit("F")),
+        (pmod(h(seed, 54, id), lit(2L)) + 1).cast("int")).as("l_linestatus"))
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
   }
 
@@ -223,11 +257,13 @@ object CorpusGen {
           (try spark.read.parquet(f.getPath).columns.contains(col)
            catch { case _: Exception => false })
       }
-      // l_returnflag is the newest slice column (r10, with the 1995
-      // calendar rebase) — probing for it regenerates any dir built
-      // under the old 2024-base schema
+      // l_tax/part.p_brand are the newest slice columns (r13 full
+      // testdata schema) — probing for them regenerates any dir built
+      // under an older partial schema (deterministic seed → the
+      // pre-r13 columns come back byte-identical)
       if (!tableOk("orders.parquet", "o_totalprice") ||
-          !tableOk("lineitem.parquet", "l_returnflag"))
+          !tableOk("lineitem.parquet", "l_tax") ||
+          !tableOk("part.parquet", "p_brand"))
         relational(spark, dir, nOrders)
     }
   }

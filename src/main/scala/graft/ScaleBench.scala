@@ -174,6 +174,11 @@ object ScaleBench {
     // rewrite made the histogram the family's stored kernel and the
     // judge grades the rewritten plans on measured points
     "q103_mad_outliers", "q118_robust_means",
+    // r13: the r12 one-scan value-histogram rewrite of table stats —
+    // its shuffle volume is Σ per-column NDV, corpus-sized for the
+    // near-unique columns (l_orderkey), so the 100× posture must be
+    // MEASURED, not argued (r12 verdict Next #4)
+    "q84_table_stats",
     // share-of-parent rollup (fact join+agg, dims broadcast, nation-
     // grain everything after), chi2 independence (one hash agg +
     // grid-sized margins), random-projection ANN (scan-shaped project

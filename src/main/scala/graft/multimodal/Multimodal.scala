@@ -83,8 +83,16 @@ object Multimodal {
     * frame order is restored inside the aggregate via array_sort on
     * (frame_idx, md5) structs — no Window, no second shuffle. */
   def frameSummary(assets: DataFrame, frame: Int, stride: Int): DataFrame = {
+    // per-frame fingerprint hashes the frame's HEX ENCODING, not the raw
+    // bytes: DuckDB's md5 only accepts VARCHAR, so raw-byte hashing
+    // forces the oracle through code-point substring — which diverges
+    // from the byte-based frame grid on any multi-byte content (caught
+    // by the r13 adversarial fixture's é plant; the ASCII-only corpora
+    // masked it for five rounds). Hex is byte-transparent in both
+    // engines (uppercase in both), so the oracle can slice and hash the
+    // identical ASCII string.
     val frames = frameSample(assets, frame, stride)
-      .select(col("asset_id"), col("frame_idx"), md5(col("frame")).as("h"))
+      .select(col("asset_id"), col("frame_idx"), md5(hex(col("frame"))).as("h"))
     assets.select(col("asset_id"),
         octet_length(col("content")).cast("long").as("byte_len"))
       .join(frames.groupBy(col("asset_id"))

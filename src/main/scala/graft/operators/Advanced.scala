@@ -649,13 +649,19 @@ object Advanced {
       * fulfilment delay — show only non-dominated orders"): an order
       * is on the skyline iff NO other order has strictly higher price
       * AND strictly lower delay. The naive spelling is the O(n²)
-      * NOT-EXISTS self-join the oracle runs; the scale shape is the
-      * VALUE-DOMAIN sweep — per distinct price, the min delay (one
-      * hash agg), the running min over prices DESC exclusive of the
-      * current price (a window over ≤ #distinct-prices rows — the
-      * q115/q130 family, never row-grain), broadcast back: a row
-      * survives iff its delay < every-higher-price min delay. All
-      * integer cents/days — no float boundary. */
+      * NOT-EXISTS self-join the oracle ran through r12; at sf10 that
+      * is 2.25e14 comparisons — structurally beyond any wall budget
+      * (r12 sweep: 1800 s timeout), so the oracle is now the
+      * cumulative-min restatement: min delay per distinct price, the
+      * EXCLUSIVE running min over prices DESC, survive iff delay <=
+      * that (equality survives — dominance needs a STRICTLY smaller
+      * delay). Proven identical to the NOT-EXISTS form at sf0.01 and
+      * sf0.1 (r13 differential), and definitionally equivalent:
+      * dominated(a) ⟺ ∃b(cents>a ∧ delay<a) ⟺ min{delay : cents >
+      * a.cents} < a.delay. The Spark scale shape is the same sweep as
+      * one hash agg + a window over ≤ #distinct-prices rows (the
+      * q115/q130 family, never row-grain) + a broadcast join back.
+      * All integer cents/days — no float boundary. */
     QueryDef.sql(
       "q146_pareto_skyline",
       """WITH o AS (
@@ -666,12 +672,16 @@ object Advanced {
         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |  GROUP BY o_orderkey, o_totalprice, o_orderdate
         |)
-        |SELECT a.o_orderkey, a.cents, CAST(a.delay AS BIGINT) AS delay
-        |FROM o a
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM o b
-        |  WHERE b.cents > a.cents AND b.delay < a.delay)
-        |ORDER BY a.cents DESC, a.o_orderkey""".stripMargin) { (s, d) =>
+        |, pp AS (SELECT cents, MIN(delay) AS mind FROM o GROUP BY cents)
+        |, sw AS (
+        |  SELECT cents, MIN(mind) OVER (ORDER BY cents DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_above
+        |  FROM pp
+        |)
+        |SELECT o.o_orderkey, o.cents, CAST(o.delay AS BIGINT) AS delay
+        |FROM o JOIN sw USING (cents)
+        |WHERE sw.best_above IS NULL OR o.delay <= sw.best_above
+        |ORDER BY o.cents DESC, o.o_orderkey""".stripMargin) { (s, d) =>
       val o = Tables.orders(s, d)
         .join(Tables.lineitem(s, d), $"l_orderkey" === $"o_orderkey")
         .groupBy($"o_orderkey", $"o_totalprice", $"o_orderdate")
@@ -686,8 +696,15 @@ object Advanced {
         .rowsBetween(Window.unboundedPreceding, -1)
       val sweep = perPrice
         .withColumn("best_above", min($"mind").over(wDesc))
+      // <= (not <): dominance requires a STRICTLY smaller delay at a
+      // strictly greater price, so a row whose delay EQUALS the best
+      // delay above it survives. The strict < was a latent off-by-one
+      // that no corpus ever fired (every fixture's global-min delay was
+      // unique — verified sf0.01 through sf10); found in r13 while
+      // restating the oracle, pinned by AdvancedSpec's tie micro-test
+      // and the adversarial fixture's planted min-delay tie.
       o.join(broadcast(sweep.select($"cents", $"best_above")), Seq("cents"))
-        .filter($"best_above".isNull || $"delay" < $"best_above")
+        .filter($"best_above".isNull || $"delay" <= $"best_above")
         .select($"o_orderkey", $"cents", $"delay")
         .orderBy($"cents".desc, $"o_orderkey")
     },
@@ -1514,20 +1531,37 @@ object Advanced {
       * side), independent of data skew: candidates ∝ 9·n with a
       * constant-bounded per-block fan-out. `levenshtein` verifies
       * in-block; duplicate hits (a distance-0 pair shares all 9 keys)
-      * collapse with one distinct. The oracle is the naive cross join —
-      * different plan, identical set: the blocking-exhaustiveness
-      * guarantee. */
+      * collapse with one distinct. The oracle restates the set with a
+      * STRUCTURALLY DIFFERENT blocking — a 2-of-3 pigeonhole over the
+      * three 3-char thirds: every id is 9 digits at every SF (asserted
+      * by the differential below), so lev ≤ 1 means at most one
+      * substitution, which leaves at least two thirds untouched, and
+      * every qualifying pair collides on one of the three third-pair
+      * join keys; in-block levenshtein re-verifies. Proven identical
+      * to the r1–r12 naive cross-join oracle at sf0.01 (2,900 rows)
+      * and sf0.1 (38,000 rows); the cross join is 150G levenshtein
+      * calls at sf10 and died at 1155 s in the r12 sweep, which is
+      * what this restatement fixes (r12 verdict Next #2). */
     QueryDef.sql(
       "q95_blocked_linkage",
       """WITH c AS (
         |  SELECT c_custkey, regexp_extract(c_name, '([0-9]+)$', 1) AS cd FROM customer
         |), s AS (
         |  SELECT s_suppkey, regexp_extract(s_name, '([0-9]+)$', 1) AS sd FROM supplier
+        |), cb AS (
+        |  SELECT c_custkey, cd, substr(cd,1,3) AS p1, substr(cd,4,3) AS p2, substr(cd,7,3) AS p3 FROM c
+        |), sb AS (
+        |  SELECT s_suppkey, sd, substr(sd,1,3) AS p1, substr(sd,4,3) AS p2, substr(sd,7,3) AS p3 FROM s
+        |), cand AS (
+        |  SELECT c_custkey, s_suppkey, cd, sd FROM cb JOIN sb USING (p1, p2) WHERE levenshtein(cd, sd) <= 1
+        |  UNION
+        |  SELECT c_custkey, s_suppkey, cd, sd FROM cb JOIN sb USING (p1, p3) WHERE levenshtein(cd, sd) <= 1
+        |  UNION
+        |  SELECT c_custkey, s_suppkey, cd, sd FROM cb JOIN sb USING (p2, p3) WHERE levenshtein(cd, sd) <= 1
         |)
         |SELECT c_custkey, s_suppkey, cd, sd,
         |       CAST(levenshtein(cd, sd) AS INTEGER) AS dist
-        |FROM c CROSS JOIN s
-        |WHERE levenshtein(cd, sd) <= 1
+        |FROM cand
         |ORDER BY c_custkey, s_suppkey""".stripMargin) { (s, d) =>
       val cust = Tables.customer(s, d)
         .select($"c_custkey", regexp_extract($"c_name", "([0-9]+)$", 1).as("cd"))

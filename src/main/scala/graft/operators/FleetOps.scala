@@ -19,23 +19,54 @@ import graft.etl._
   */
 object FleetOps {
 
-  /** Reference volume (01_data_generation.py:97,155,316,661): 100k
-    * trips / 400 drivers / 200 vehicles / 5000 maintenance — the gate
-    * set now runs at the same scale the reference ships with, so the
-    * per-query baseline ratios are measured on equal row counts. */
-  private[operators] val cfg = DataGen.Config()
-
   /** Bump when DataGen output changes — the directory is keyed by it so
     * stale parquet from an older generator version is never reused.
     * v6: deliveries stored month-partitioned (p_month), day-sorted. */
   private val genVersion = 6
 
-  /** Stable absolute home of the generated OLTP parquet. Must be
-    * absolute: the path is embedded into the oracle SQL that the
-    * driver's DuckDB process executes from an unknown cwd. */
-  val oltpDir: String = sys.env.getOrElse("GRAFT_FLEET_DIR",
-    new java.io.File(sys.props("user.dir"),
-      s"target/fleet-oltp-v$genVersion-t${cfg.nTrips}").getAbsolutePath)
+  /** Default parquet home for a config. Must be absolute: the path is
+    * embedded into the oracle SQL that the driver's DuckDB process
+    * executes from an unknown cwd. Non-default seeds get their own
+    * directory so a fuzz corpus can never shadow the gate fixture. */
+  private def defaultDir(c: DataGen.Config): String =
+    sys.env.getOrElse("GRAFT_FLEET_DIR",
+      new java.io.File(sys.props("user.dir"),
+        s"target/fleet-oltp-v$genVersion-t${c.nTrips}" +
+          (if (c.seed == 42L) "" else s"-s${c.seed}")).getAbsolutePath)
+
+  /** Reference volume (01_data_generation.py:97,155,316,661): 100k
+    * trips / 400 drivers / 200 vehicles / 5000 maintenance — the gate
+    * set runs at the same scale the reference ships with, so the
+    * per-query baseline ratios are measured on equal row counts.
+    * Swappable ([[reconfigure]]) for the seed-fuzz differential: the
+    * r12 verdict's #1 ask is oracle evidence for the fl_ family on
+    * corpora other than the single seed-42 fixture. */
+  @volatile private var state: (DataGen.Config, String) = {
+    val c = DataGen.Config()
+    (c, defaultDir(c))
+  }
+
+  private[operators] def cfg: DataGen.Config = state._1
+
+  /** Current absolute home of the generated OLTP parquet. */
+  def oltpDir: String = state._2
+
+  /** Swap the generator config (typically just the seed) and drop every
+    * cache bound to the previous corpus — the memoized OLTP frames, ETL
+    * outputs, SCD2 snapshot inputs, and PIT date probes all describe
+    * the OLD parquet. NOT safe under concurrent gate execution: callers
+    * (tools.Fuzz, specs) drive entries single-threaded and call this
+    * between corpora. Eviction runs OUTSIDE the FleetOps monitor (the
+    * lock-order contract documented on [[evict]]). */
+  def reconfigure(newCfg: DataGen.Config, dir: Option[String] = None): Unit = {
+    val sessions = {
+      val b = Set.newBuilder[SparkSession]
+      sessionsHooked.forEach(s => b += s)
+      b.result()
+    }
+    sessions.foreach(evict)
+    synchronized { state = (newCfg, dir.getOrElse(defaultDir(newCfg))) }
+  }
 
   // Every cache below holds DataFrames bound to one SparkSession, so
   // each is keyed by the owning session (identity) and evicted when
@@ -175,7 +206,18 @@ object FleetOps {
     pitEventDates(spark): Unit
   }
 
-  private val oracles: Map[String, String] = FleetOracles.all(oltpDir, cfg.asOfDate)
+  // defs (not vals): the oracle SQL embeds [[oltpDir]], which
+  // [[reconfigure]] swaps between fuzz corpora — rebuilding the map is
+  // pure string work and keeps every QueryDef's oracle pointing at the
+  // corpus its fn will actually read. Memoized per (dir, asOf) so one
+  // defs call doesn't restate the 26 oracles 26 times.
+  @volatile private var oraclesCache: (String, String, Map[String, String]) = null
+  private def oracles: Map[String, String] = {
+    val (d, a) = (oltpDir, cfg.asOfDate)
+    val c = oraclesCache
+    if (c != null && c._1 == d && c._2 == a) c._3
+    else { val m = FleetOracles.all(d, a); oraclesCache = (d, a, m); m }
+  }
 
   private def q(name: String)(fn: Oltp => DataFrame): QueryDef =
     QueryDef(name, (s, _) => fn(oltp(s)), oracles.get(name))
@@ -183,7 +225,7 @@ object FleetOps {
   private def qEtl(name: String)(fn: Pipeline.EtlOutput => DataFrame): QueryDef =
     QueryDef(name, (s, _) => fn(etl(s)), oracles.get(name))
 
-  val defs: Seq[QueryDef] = Seq(
+  def defs: Seq[QueryDef] = Seq(
     q("fl_q01_fleet_mix")(t => Analytics.q1FleetMix(t)),
     q("fl_q02_expiring_licenses")(t => Analytics.q2ExpiringLicenses(t, asOf)),
     q("fl_q03_trips_by_status")(t => Analytics.q3TripsByStatus(t)),

@@ -870,15 +870,15 @@ object TextOps {
     QueryDef.sql(
       "q80_frame_sample",
       """WITH f AS (
-        |  SELECT doc_id, length(text) AS byte_len,
+        |  SELECT doc_id, strlen(text) AS byte_len,
         |         UNNEST(generate_series(0, greatest(0,
-        |           CAST(floor((length(text) - 32) / 24.0) AS INT)))) AS frame_idx,
-        |         text
+        |           CAST(floor((strlen(text) - 32) / 24.0) AS INT)))) AS frame_idx,
+        |         hex(encode(text)) AS hx
         |  FROM documents
         |)
         |SELECT doc_id, CAST(byte_len AS BIGINT) AS byte_len,
         |       CAST(COUNT(*) AS INTEGER) AS n_frames,
-        |       md5(string_agg(md5(substring(text, frame_idx * 24 + 1, 32)), ''
+        |       md5(string_agg(md5(substring(hx, frame_idx * 48 + 1, 64)), ''
         |           ORDER BY frame_idx)) AS frames_md5
         |FROM f GROUP BY doc_id, byte_len
         |ORDER BY doc_id""".stripMargin) { (s, d) =>

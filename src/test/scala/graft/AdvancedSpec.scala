@@ -1245,4 +1245,39 @@ class AdvancedSpec extends GraftSpec {
       assert(r.getAs[Long]("score") === sc)
     }
   }
+
+  test("q146 skyline: a min-delay TIE across prices survives (dominance needs a strictly smaller delay)") {
+    // the boundary pin (r13 find, the q144 class): dominance is
+    // `b.cents > a.cents AND b.delay < a.delay` — a row whose delay
+    // EQUALS the best delay at a higher price is NOT dominated. The
+    // sweep's filter must be `delay <= best_above`; the strict `<`
+    // latent bug dropped exactly these rows and no corpus at any SF
+    // ever contained a min-delay tie on the frontier (global-min delay
+    // was unique in every fixture — verified sf0.01 through sf10).
+    val dir = java.nio.file.Files.createTempDirectory("q146tie").toString
+    Seq(
+      (1L, 100.00, "1996-01-01"),  // delay 5, lowest price — the TIE row
+      (2L, 200.00, "1996-01-01"),  // delay 5, mid price
+      (3L, 300.00, "1996-01-01"),  // delay 9, top price (always survives)
+      (4L, 150.00, "1996-01-01"))  // delay 9, dominated by order 2
+      .toDF("o_orderkey", "o_totalprice", "ods")
+      .select($"o_orderkey", lit(1L).as("o_custkey"), $"o_totalprice",
+        to_timestamp($"ods").as("o_orderdate"),
+        lit("O").as("o_orderstatus"), lit("1-URGENT").as("o_orderpriority"))
+      .write.parquet(s"$dir/orders.parquet")
+    Seq(
+      (1L, "1996-01-06"), (2L, "1996-01-06"),
+      (3L, "1996-01-10"), (4L, "1996-01-10"))
+      .toDF("l_orderkey", "lsd")
+      .select($"l_orderkey", lit(1L).as("l_partkey"), lit(1L).as("l_suppkey"),
+        lit(0).as("l_linenumber"), lit(1.0).as("l_quantity"),
+        lit(10.0).as("l_extendedprice"), lit(0.0).as("l_discount"),
+        lit(0.0).as("l_tax"), lit("N").as("l_returnflag"),
+        lit("O").as("l_linestatus"), to_timestamp($"lsd").as("l_shipdate"))
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q146_pareto_skyline")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L, 2L, 3L),
+      "orders 1 (tie at lower price), 2, 3 survive; 4 is dominated by 2")
+  }
 }

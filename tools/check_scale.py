@@ -49,6 +49,21 @@ def split_ctes(sql):
                             k += 2; continue
                         break
                     k += 1
+            elif c == '"':
+                # double-quoted identifier: opaque ("" escapes a quote)
+                k += 1
+                while k < n:
+                    if s[k] == '"':
+                        if k + 1 < n and s[k + 1] == '"':
+                            k += 2; continue
+                        break
+                    k += 1
+            elif c == "-" and k + 1 < n and s[k + 1] == "-":
+                # -- line comment: skip to end of line (an apostrophe or
+                # unbalanced paren inside it must not affect the scan)
+                while k < n and s[k] != "\n":
+                    k += 1
+                continue
             elif c == "(":
                 depth += 1
             elif c == ")":
@@ -75,8 +90,15 @@ def split_ctes(sql):
     # is how recursion appears; column-name collisions are harmless
     # false positives that only shorten the staged prefix)
     cut = len(ctes)
+    names = [nm for nm, _ in ctes]
     for idx, (nm, bd) in enumerate(ctes):
-        if re.search(rf"(?is)\b(from|join)\s+{nm}\b", bd):
+        # cut at self-reference OR at a forward reference to a CTE
+        # defined later in the list (mutual recursion is legal under
+        # WITH RECURSIVE; staging such a prefix would CREATE TABLE
+        # against a not-yet-existing name)
+        later = names[idx:]
+        if any(re.search(rf"(?is)\b(from|join)\s+{ln}\b", bd)
+               for ln in later):
             cut = idx; break
     if cut == 0:
         return None
@@ -111,8 +133,15 @@ def compare_one(sf_dir, out_dir, name, mem, tmp, tmp_size, staged=False,
                 dbfile=""):
     import duckdb
     import pyarrow.parquet as pq
-    if dbfile and os.path.exists(dbfile):
-        os.remove(dbfile)
+    # a timed-out child killed mid-stage leaves a WAL (and possibly a
+    # .tmp spill dir) next to the dbfile; a fresh database beside a stale
+    # WAL can fail replay and surface as a spurious oracle_error
+    if dbfile:
+        for stale in (dbfile, dbfile + ".wal"):
+            if os.path.exists(stale):
+                os.remove(stale)
+        if os.path.isdir(dbfile + ".tmp"):
+            shutil.rmtree(dbfile + ".tmp", ignore_errors=True)
     con = duckdb.connect(dbfile) if dbfile else duckdb.connect()
     con.execute(f"SET threads={os.environ.get('DUCK_THREADS', '8')}")
     con.execute(f"SET memory_limit='{mem}'")
@@ -206,9 +235,20 @@ def main():
         except subprocess.TimeoutExpired:
             print(f"  {n}: TIMEOUT after {a.timeout}s", flush=True)
             report[n] = {"status": "timeout", "sec": a.timeout}
-        # clean any spill the child left behind (incl. temp subdirectories)
-        shutil.rmtree(a.tmp, ignore_errors=True)
+        # clean any spill the child left behind (incl. temp subdirectories).
+        # Remove the directory's ENTRIES, not the directory itself: --tmp
+        # may point at a shared location (/tmp, a dir also holding
+        # --dbfile), where rmtree(a.tmp) would destroy unrelated content.
         os.makedirs(a.tmp, exist_ok=True)
+        for ent in os.listdir(a.tmp):
+            p = os.path.join(a.tmp, ent)
+            if os.path.abspath(p) == os.path.abspath(a.dbfile or ""):
+                continue
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                try: os.remove(p)
+                except OSError: pass
         if report[n]["status"] != "pass":
             failed.append(n)
     npass = sum(1 for v in report.values() if v["status"] == "pass")
