@@ -198,7 +198,15 @@ object AdversarialGen {
       (8000093L, ts("2025-03-13 11:00:00"), 8000010L, "view", 29.0, "{\"k\":29}"),
       // consecutive same-type events (self-loop transition)
       (8000101L, ts("2025-03-14 09:00:00"), 8000011L, "gps", 30.0, "{\"k\":30}"),
-      (8000102L, ts("2025-03-14 09:01:00"), 8000011L, "gps", 31.0, "{\"k\":31}"))
+      (8000102L, ts("2025-03-14 09:01:00"), 8000011L, "gps", 31.0, "{\"k\":31}"),
+      // route-deviation 5 km threshold (strict >, distance rounded to 3
+      // decimals): user 8000013 is route 0 (id % 3); gps position is
+      // (value/100, (event_id%100)/100). value 8.36 @ lon 0.08 lands
+      // 4.99988 km from waypoint (0.05, 0.05) → round3 = 5.000 → NOT an
+      // alert; value 8.37 lands 5.00817 → 5.008 → alert. Both are
+      // 12.8 km from waypoint (0, 0), so the near waypoint governs.
+      (8000108L, ts("2025-03-15 09:00:00"), 8000013L, "gps", 8.36, "{\"k\":32}"),
+      (8000208L, ts("2025-03-15 09:05:00"), 8000013L, "gps", 8.37, "{\"k\":33}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     plus(evBase, evPlanted)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")

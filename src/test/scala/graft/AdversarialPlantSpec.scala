@@ -95,6 +95,14 @@ class AdversarialPlantSpec extends GraftSpec {
       "the planted identical vectors must pair at cosine exactly 1.0")
   }
 
+  test("plant audit: deviation rounding to EXACTLY 5.000 km is not an alert; 5.008 is (strict > 5.0)") {
+    val rows = SparkEntry.queries("st_route_deviation_alerts")(spark, corpusDir)
+      .filter($"vehicle_id" === 8000013L)
+      .select($"min_distance_km").as[Double].collect().toSeq
+    assert(rows === Seq(5.008),
+      "vehicle 8000013's 4.99988-km point rounds ONTO the 5.0 boundary (excluded); only its 5.008-km point alerts")
+  }
+
   test("plant audit: license expiring at EXACTLY asOf+30d is excluded by fl_q02's strict <") {
     val out = Analytics.q2ExpiringLicenses(fleet, asOf)
       .select($"license_number").as[String].collect().toSet
