@@ -152,6 +152,20 @@ class PlanSpec extends GraftSpec {
       s"approx stats must profile all columns in one un-expanded pass:\n${ap.linesIterator.take(20).mkString("\n")}")
   }
 
+  test("q146 skyline: value-domain sweep broadcasts back, no row-grain window, no join loops (E110)") {
+    // the scale shape (r13-pinned after the <= tie fix): per-price min
+    // (hash agg), one window over the <= #distinct-prices frame, and a
+    // BROADCAST join back to the fact rows. A nested-loop/cartesian
+    // here would be the O(n²) NOT-EXISTS shape the oracle abandoned;
+    // a sort-merge join back would shuffle the full fact for a
+    // dim-sized sweep table.
+    val ep = plan(q("q146_pareto_skyline"))
+    assert(ep.contains("BroadcastHashJoin"),
+      s"the sweep table must broadcast-hash-join back to the fact:\n${ep.linesIterator.take(25).mkString("\n")}")
+    assert(!ep.contains("CartesianProduct") && !ep.contains("BroadcastNestedLoopJoin"),
+      "no all-pairs shape anywhere in the skyline plan")
+  }
+
   test("q73 quality classifier: broadcast weights, one corpus shuffle (E36)") {
     // feature explode + md5-bucket projection stay scan-local; the
     // model joins as a broadcast (never a shuffle of the feature
