@@ -60,8 +60,44 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    val failJson = failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
-      .mkString("{", ",", "}")
+    // A RESTRICTED dump must not hide failures a previous full dump of
+    // this dir recorded for entries it didn't re-run: carry forward the
+    // existing map's other entries, drop ones this run fixed, add this
+    // run's failures. (Parsing matches the writer below: one-line JSON,
+    // string values, escapes produced by q().)
+    val carried: Map[String, String] =
+      if (only.isEmpty) Map.empty
+      else {
+        val f = Paths.get(s"$outDir/failures.json")
+        if (!Files.exists(f)) Map.empty
+        else {
+          val re = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+          // sequential unescape (chained replaces double-decode "\\n")
+          def unq(s: String): String = {
+            val b = new StringBuilder; var i = 0
+            while (i < s.length) {
+              if (s(i) == '\\' && i + 1 < s.length) {
+                s(i + 1) match {
+                  case 'n' => b += '\n'; case 'r' => b += '\r'
+                  case 't' => b += '\t'
+                  case 'u' if i + 5 < s.length =>
+                    b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+                    i += 4
+                  case other => b += other
+                }
+                i += 2
+              } else { b += s(i); i += 1 }
+            }
+            b.toString
+          }
+          re.findAllMatchIn(Files.readString(f))
+            .map(m => unq(m.group(1)) -> unq(m.group(2)))
+            .filterNot { case (k, _) => only(k) }
+            .toMap
+        }
+      }
+    val failJson = (carried ++ failures)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/failures.json"), failJson)
     if (failures.nonEmpty)
       System.err.println(s"[verify] ${failures.size} entries FAILED: " +
