@@ -386,6 +386,11 @@ object AdversarialGen {
       "vehicles" -> vehicles, "drivers" -> drivers,
       "routes" -> base("routes"), "trips" -> trips,
       "deliveries" -> deliveries, "maintenance" -> maintenance)
+    // every table overwrites, so the audit log must too — an append
+    // here would accumulate one generation's rows per re-run and the
+    // fixture claims byte-stability (modulo the log's timestamps)
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"$dir/load_logs"), true): Unit
     withPlants.foreach { case (name, df) =>
       if (name == "deliveries") {
         val parted = df
