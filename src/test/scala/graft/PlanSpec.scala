@@ -585,6 +585,43 @@ class PlanSpec extends GraftSpec {
       p71.linesIterator.take(30).mkString("\n"))
   }
 
+  test("q127 scale dispatch flips exactly at the wedge budget, both directions") {
+    // r13 Next #1: the exact→DOULION policy now lives IN the engine.
+    // Prove the flip fires AT the threshold: budget == the measured
+    // oriented-wedge volume → exact path (<=); one below → sampled.
+    val dir = sf("sf0.001")
+    val wv = operators.Advanced.q127WedgeVolume(spark, dir)
+    assert(wv > 0)
+    // the pure decision function, at the boundary
+    assert(operators.Advanced.exactTrianglePath(wv, wv))
+    assert(!operators.Advanced.exactTrianglePath(wv, wv - 1))
+    val exact = operators.Advanced
+      .triangleCensus(spark, dir, broadcastEdges = None).collect().head
+    try {
+      // budget exactly AT the volume → exact path, byte-identical census
+      spark.conf.set(operators.Advanced.WedgeBudgetConf, wv.toString)
+      val (tookExact, df) = operators.Advanced.triangleCensusAuto(spark, dir)
+      assert(tookExact)
+      assert(df.collect().head === exact)
+      // one below → DOULION path: n_parts/n_edges/n_wedges stay EXACT,
+      // n_triangles is the 8·t_sampled estimate — cross-checked against
+      // the independently-gated q127b entry (same coin, same closure)
+      spark.conf.set(operators.Advanced.WedgeBudgetConf, (wv - 1).toString)
+      val (tookExact2, df2) = operators.Advanced.triangleCensusAuto(spark, dir)
+      assert(!tookExact2)
+      val r = df2.collect().head
+      assert(r.getLong(0) === exact.getLong(0)) // n_parts
+      assert(r.getLong(1) === exact.getLong(1)) // n_edges
+      assert(r.getLong(2) === exact.getLong(2)) // n_wedges
+      val tEst = SparkEntry.queries("q127b_triangle_sample")(spark, dir)
+        .select(col("t_est")).collect().head.getLong(0)
+      assert(r.getLong(3) === tEst, "estimate must equal q127b's t_est")
+      // default budget (no conf): sf0.001's volume is far below 2e9 →
+      // the gate's dispatch stays exact at every oracle-gated scale
+      assert(wv < operators.Advanced.WedgeBudgetDefault)
+    } finally spark.conf.unset(operators.Advanced.WedgeBudgetConf)
+  }
+
   test("q127 adaptive strategy choice flips exactly at the broadcast-edge cap") {
     // the gate passes broadcastEdges = None and sizes the choice from
     // the pinned edge count (the sf10 dump failed the hardcoded

@@ -62,18 +62,30 @@ def main():
     else:
         con.execute(f'CREATE OR REPLACE TABLE __oracle_res AS {sql}')
     con.execute("CHECKPOINT")
-    cols = sorted(r[0] for r in con.execute(
-        "SELECT column_name FROM information_schema.columns "
+    d_types = dict(con.execute(
+        "SELECT column_name, data_type FROM information_schema.columns "
         "WHERE table_name='__oracle_res'").fetchall())
+    cols = sorted(d_types)
     digest = ("count(*), sum(hash(" +
               ", ".join(f'CAST("{c}" AS VARCHAR)' for c in cols) + "))")
     d_n, d_h = con.execute(f"SELECT {digest} FROM __oracle_res").fetchone()
     spark_glob = f"{a.out_dir}/{a.entry}/*.parquet"
-    s_cols = sorted(r[0] for r in con.execute(
+    s_types = dict(con.execute(
         f"DESCRIBE SELECT * FROM read_parquet('{spark_glob}')").fetchall())
+    s_cols = sorted(s_types)
     if s_cols != cols:
         print(f"{a.entry}: SCHEMA MISMATCH spark={s_cols} duck={cols}")
         sys.exit(1)
+    # types too: a DECIMAL-vs-DOUBLE divergence renders differently under
+    # CAST AS VARCHAR and would otherwise surface as a confusing hashsum
+    # mismatch; name the first differing column up front for triage
+    type_diffs = [(c, s_types[c], d_types[c])
+                  for c in cols if s_types[c] != d_types[c]]
+    if type_diffs:
+        c, st, dt = type_diffs[0]
+        print(f"{a.entry}: WARNING type divergence on {len(type_diffs)} "
+              f"column(s), first: \"{c}\" spark={st} duck={dt} — a hashsum "
+              f"mismatch below is likely a VARCHAR-rendering artifact")
     s_n, s_h = con.execute(
         f"SELECT {digest} FROM read_parquet('{spark_glob}')").fetchone()
     ok = (d_n, d_h) == (s_n, s_h)

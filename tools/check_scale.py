@@ -146,8 +146,13 @@ def compare_one(sf_dir, out_dir, name, mem, tmp, tmp_size, staged=False,
     con.execute(f"SET threads={os.environ.get('DUCK_THREADS', '8')}")
     con.execute(f"SET memory_limit='{mem}'")
     if tmp:
-        os.makedirs(tmp, exist_ok=True)
-        con.execute(f"SET temp_directory='{tmp}'")
+        # spill into a DEDICATED subdirectory of --tmp: the parent
+        # loop's per-entry cleanup removes spill/ wholesale, so --tmp
+        # itself may safely be a shared location (/tmp, the dbfile's
+        # directory) without the cleanup destroying unrelated files
+        spill = os.path.join(tmp, "spill")
+        os.makedirs(spill, exist_ok=True)
+        con.execute(f"SET temp_directory='{spill}'")
         con.execute(f"SET max_temp_directory_size='{tmp_size}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -235,20 +240,11 @@ def main():
         except subprocess.TimeoutExpired:
             print(f"  {n}: TIMEOUT after {a.timeout}s", flush=True)
             report[n] = {"status": "timeout", "sec": a.timeout}
-        # clean any spill the child left behind (incl. temp subdirectories).
-        # Remove the directory's ENTRIES, not the directory itself: --tmp
-        # may point at a shared location (/tmp, a dir also holding
-        # --dbfile), where rmtree(a.tmp) would destroy unrelated content.
-        os.makedirs(a.tmp, exist_ok=True)
-        for ent in os.listdir(a.tmp):
-            p = os.path.join(a.tmp, ent)
-            if os.path.abspath(p) == os.path.abspath(a.dbfile or ""):
-                continue
-            if os.path.isdir(p):
-                shutil.rmtree(p, ignore_errors=True)
-            else:
-                try: os.remove(p)
-                except OSError: pass
+        # clean any spill the child left behind: the child spills ONLY
+        # into the dedicated --tmp/spill subdirectory, so remove exactly
+        # that — a shared --tmp location (/tmp, a dir also holding
+        # --dbfile) keeps every unrelated entry it contains
+        shutil.rmtree(os.path.join(a.tmp, "spill"), ignore_errors=True)
         if report[n]["status"] != "pass":
             failed.append(n)
     npass = sum(1 for v in report.values() if v["status"] == "pass")
