@@ -208,7 +208,104 @@ object AdversarialGen {
       (8000108L, ts("2025-03-15 09:00:00"), 8000013L, "gps", 8.36, "{\"k\":32}"),
       (8000208L, ts("2025-03-15 09:05:00"), 8000013L, "gps", 8.37, "{\"k\":33}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-    plus(evBase, evPlanted)
+
+    // ---- STREAMING boundary plants (r13 Next #2): the 11 st_* oracles
+    // restate watermark arithmetic that had only ever been exercised
+    // off-boundary. Fixed-timestamp anchors ABOVE the base range
+    // (base max 2025-05-31) pin every max the watermarks derive from,
+    // so each boundary below is exact by construction.
+    //
+    // st_windowed_late_counts / st_windowed_topk (user%5==0, batch
+    // split on event_id parity, lateness 10 min, 5-min windows):
+    //  - 8100002 (EVEN id → batch 1) at 2027-01-01 12:00:00 is the
+    //    even-side max ⇒ WM₁ = 11:50:00 exactly (a multiple of the
+    //    window size, so a window END can land ON it);
+    //  - 8100013 (odd → batch 2) at 11:47 ⇒ window [11:45,11:50) end
+    //    == WM₁ EXACTLY ⇒ late-dropped (emission needs end > WM);
+    //  - 8100015 (odd) at 11:52 ⇒ end 11:55 > WM₁ ⇒ kept;
+    //  - 8100011 (odd) at 13:00 lifts WM₂ to 12:50 so the kept window
+    //    (and the anchor's own) emit, while its own window holds back.
+    //
+    // st_interval_join / st_outer_interval_join (purchase⋈view within
+    // [l−4h, l], lateness 10 min, WM_final = min(max_l, max_r) − 10m):
+    //  - 8200002/8200003 (user 8200001) purchase+view both at
+    //    2026-06-01 12:00:00 pin max_l = max_r ⇒ WM_final = 11:50:00
+    //    exactly, and match each other at r_ms == l_ms (upper endpoint);
+    //  - 8200004 (user 8200007, viewless) unmatched purchase at
+    //    EXACTLY 11:50:00.000 == WM_final ⇒ NOT null-emitted (the
+    //    outer rule is strict l_ms < WM);
+    //  - 8200006 (user 8200013, viewless) at 11:49:59.999 ⇒ the last
+    //    millisecond that DOES null-emit;
+    //  - user 8200021: purchase at 2025-06-02 12:00:00 with views at
+    //    08:00:00.000 (EXACTLY l−4h ⇒ matched, BETWEEN is inclusive),
+    //    07:59:59.999 (1 ms out ⇒ unmatched) and 12:00:00.001 (1 ms
+    //    past the purchase ⇒ unmatched).
+    val evAnchors = Seq(
+      (8100002L, ts("2027-01-01 12:00:00"), 8100000L, "click", 50.0, "{\"k\":40}"),
+      (8100011L, ts("2027-01-01 13:00:00"), 8100000L, "click", 51.0, "{\"k\":41}"),
+      (8100013L, ts("2027-01-01 11:47:00"), 8100000L, "click", 52.0, "{\"k\":42}"),
+      (8100015L, ts("2027-01-01 11:52:00"), 8100000L, "click", 53.0, "{\"k\":43}"),
+      (8200002L, ts("2026-06-01 12:00:00"), 8200001L, "purchase", 54.0, "{\"k\":44}"),
+      (8200003L, ts("2026-06-01 12:00:00"), 8200001L, "view", 55.0, "{\"k\":45}"),
+      (8200004L, ts("2026-06-01 11:50:00"), 8200007L, "purchase", 56.0, "{\"k\":46}"),
+      (8200006L, ts("2026-06-01 11:49:59.999"), 8200013L, "purchase", 57.0, "{\"k\":47}"),
+      (8200022L, ts("2025-06-02 12:00:00"), 8200021L, "purchase", 58.0, "{\"k\":48}"),
+      (8200023L, ts("2025-06-02 08:00:00"), 8200021L, "view", 59.0, "{\"k\":49}"),
+      (8200024L, ts("2025-06-02 07:59:59.999"), 8200021L, "view", 60.0, "{\"k\":50}"),
+      (8200025L, ts("2025-06-02 12:00:00.001"), 8200021L, "view", 61.0, "{\"k\":51}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val ev1 = plus(plus(evBase, evPlanted), evAnchors)
+
+    // st_sessionize: the harness splits micro-batches at the midpoint
+    // cutoff = lo + (hi − lo)/2 ms (runFileFedSessionize's formula —
+    // replicated here on the composed frame, and the plants below stay
+    // strictly inside (lo, hi) so they cannot move it). Three users
+    // put the SPLIT ITSELF on the 30:00 session-gap boundary:
+    //  - 8300001: cutoff−10m | cutoff+20m (gap EXACTLY 30:00 ACROSS
+    //    the split ⇒ the open state must absorb the batch-2 event into
+    //    ONE session), then +31m opens session 2 so it emits;
+    //  - 8300002: cutoff−10m | cutoff+20m+1s (30:01 across the split ⇒
+    //    state closes, two sessions), then +31m;
+    //  - 8300003: cutoff−30m | EXACTLY cutoff (the batch-2 boundary
+    //    row, gap exactly 30:00 ⇒ same session), then +45m.
+    val (loMs, hiMs) = ev1
+      .agg(min(unix_millis($"ts")), max(unix_millis($"ts")))
+      .as[(Long, Long)].head()
+    val cutoffMs = loMs + (hiMs - loMs) / 2
+    def atMs(ms: Long) = new java.sql.Timestamp(ms)
+    val sessPlants = Seq(
+      (8300101L, atMs(cutoffMs - 10 * M), 8300001L, "click", 62.0, "{\"k\":52}"),
+      (8300102L, atMs(cutoffMs + 20 * M), 8300001L, "click", 63.0, "{\"k\":53}"),
+      (8300103L, atMs(cutoffMs + 51 * M), 8300001L, "click", 64.0, "{\"k\":54}"),
+      (8300201L, atMs(cutoffMs - 10 * M), 8300002L, "click", 65.0, "{\"k\":55}"),
+      (8300202L, atMs(cutoffMs + 20 * M + 1000), 8300002L, "click", 66.0, "{\"k\":56}"),
+      (8300203L, atMs(cutoffMs + 51 * M + 1000), 8300002L, "click", 67.0, "{\"k\":57}"),
+      (8300301L, atMs(cutoffMs - 30 * M), 8300003L, "click", 68.0, "{\"k\":58}"),
+      (8300302L, atMs(cutoffMs), 8300003L, "click", 69.0, "{\"k\":59}"),
+      (8300303L, atMs(cutoffMs + 45 * M), 8300003L, "click", 70.0, "{\"k\":60}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val ev2 = plus(ev1, sessPlants)
+
+    // st_dedup_ttl: the harness splits the user%5==0 stream at
+    // us·2 ≤ (min_us + max_us) and REDELIVERS every 100th batch-1 row
+    // in batch 2. Batch 2 opens with WM₁ = floor_ms(max batch-1 event
+    // time) − 30:00 — plant a redelivered-eligible row (event_id and
+    // user_id ≡ 0 mod 100·5) with ts EXACTLY at that horizon: its
+    // redelivery is the knife-edge between the two drop paths (state
+    // live ⇒ duplicate-drop vs ts < WM ⇒ late-drop); either way the
+    // contract is that redelivery changes NOTHING.
+    val ttlSub = ev2.filter(pmod($"user_id", lit(5L)) === 0)
+    val (mnUs, mxUs) = ttlSub
+      .agg(min(unix_micros($"ts")), max(unix_micros($"ts")))
+      .as[(Long, Long)].head()
+    val midUs = mnUs + mxUs
+    val maxB1Us = ttlSub.filter(unix_micros($"ts") * 2 <= lit(midUs))
+      .agg(max(unix_micros($"ts"))).as[Long].head()
+    val ttlPlant = Seq(
+      (8400000L, atMs(maxB1Us / 1000 - 30 * M), 8400000L, "click", 71.0,
+        "{\"k\":61}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    plus(ev2, ttlPlant)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
 
     // ---- relational slice: base via CorpusGen + planted boundary rows

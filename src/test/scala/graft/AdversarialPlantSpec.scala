@@ -103,6 +103,107 @@ class AdversarialPlantSpec extends GraftSpec {
       "vehicle 8000013's 4.99988-km point rounds ONTO the 5.0 boundary (excluded); only its 5.008-km point alerts")
   }
 
+  test("plant audit: unmatched purchase EXACTLY at the final watermark is not null-emitted; 1 ms below is (st_outer)") {
+    val ev = Tables.events(spark, corpusDir)
+    // data-level: the planted anchors really pin WM_final, and the
+    // boundary purchase sits EXACTLY on it
+    val wm = ev.filter($"event_type".isin("purchase", "view"))
+      .groupBy($"event_type").agg(max(unix_millis($"ts")).as("mx"))
+      .agg(min($"mx") - 600000L).head.getLong(0)
+    val atMs = ev.filter($"event_id" === 8200004L)
+      .select(unix_millis($"ts")).head.getLong(0)
+    assert(atMs === wm, "purchase 8200004 must sit EXACTLY at WM_final")
+    val out = SparkEntry.queries("st_outer_interval_join")(spark, corpusDir)
+      .select($"l_id", $"r_id").collect()
+    assert(!out.exists(_.getLong(0) == 8200004L),
+      "l_ms == WM_final sits ON the strict < — never emitted")
+    assert(out.exists(r => r.getLong(0) == 8200006L && r.isNullAt(1)),
+      "l_ms == WM_final − 1 ms is the last row that null-emits")
+  }
+
+  test("plant audit: interval-join matches flip EXACTLY at the ±4h endpoint and at distance zero (st_interval_join)") {
+    val ev = Tables.events(spark, corpusDir)
+    val lMs = ev.filter($"event_id" === 8200022L)
+      .select(unix_millis($"ts")).head.getLong(0)
+    val rIn = ev.filter($"event_id" === 8200023L)
+      .select(unix_millis($"ts")).head.getLong(0)
+    assert(rIn === lMs - 14400000L,
+      "view 8200023 must sit EXACTLY at l_ms − 4h")
+    val pairs = SparkEntry.queries("st_interval_join")(spark, corpusDir)
+      .select($"l_id", $"r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((8200022L, 8200023L)),
+      "r_ms == l_ms − 4h is INSIDE (BETWEEN is inclusive)")
+    assert(!pairs.contains((8200022L, 8200024L)),
+      "r_ms == l_ms − 4h − 1 ms is outside")
+    assert(!pairs.contains((8200022L, 8200025L)),
+      "r_ms == l_ms + 1 ms is outside the upper endpoint")
+    assert(pairs.contains((8200002L, 8200003L)),
+      "r_ms == l_ms (distance zero, the upper endpoint itself) matches")
+  }
+
+  test("plant audit: late row whose window END equals the watermark is dropped; the next window survives (st_windowed_late_counts)") {
+    val ev = Tables.events(spark, corpusDir)
+      .filter(pmod($"user_id", lit(5L)) === 0)
+    // WM₁ derives from the even-event_id (batch 1) max — assert the
+    // planted anchor IS that max and the late plant's window end lands
+    // EXACTLY on the watermark it implies
+    val evenMaxUs = ev.filter(pmod($"event_id", lit(2L)) === 0)
+      .agg(max(unix_micros($"ts"))).head.getLong(0)
+    val wm1 = (evenMaxUs / 1000 - 600000L) * 1000
+    val lateUs = ev.filter($"event_id" === 8100013L)
+      .select(unix_micros($"ts")).head.getLong(0)
+    assert(lateUs / 300000000L * 300000000L + 300000000L === wm1,
+      "plant 8100013's 5-min window must END exactly at WM₁")
+    val rows = SparkEntry.queries("st_windowed_late_counts")(spark, corpusDir)
+      .filter($"key" === 8100000L)
+      .select($"window_start_ms").collect().map(_.getLong(0)).toSet
+    val wm1Ms = wm1 / 1000
+    assert(!rows.contains(wm1Ms - 300000L),
+      "the window ending EXACTLY at WM₁ is late-dropped (emission needs end > WM)")
+    assert(rows.contains(wm1Ms),
+      "the window ending at WM₁ + 5 min survives and emits")
+  }
+
+  test("plant audit: the micro-batch split lands EXACTLY on a 30:00 session gap (st_sessionize)") {
+    val ev = Tables.events(spark, corpusDir)
+    val (lo, hi) = ev.agg(min(unix_millis($"ts")), max(unix_millis($"ts")))
+      .as[(Long, Long)].head()
+    val cutoff = lo + (hi - lo) / 2
+    // the plants really straddle the harness's midpoint cutoff
+    val s3 = ev.filter($"user_id" === 8300003L)
+      .select(unix_millis($"ts")).collect().map(_.getLong(0)).sorted
+    assert(s3(1) === cutoff, "plant 8300302 sits EXACTLY at the split cutoff")
+    assert(s3(1) - s3(0) === 1800000L, "and exactly 30:00 after its batch-1 predecessor")
+    val out = SparkEntry.queries("st_sessionize")(spark, corpusDir)
+      .select($"user_id", $"n_events", $"end_ms").collect()
+    def sess(u: Long) = out.filter(_.getLong(0) == u).map(r =>
+      (r.getLong(1), r.getLong(2)))
+    assert(sess(8300001L).map(_._1).toSeq === Seq(2L),
+      "gap EXACTLY 30:00 across the split merges into ONE cross-batch session")
+    assert(sess(8300002L).map(_._1).toSeq === Seq(1L, 1L),
+      "gap 30:01 across the split closes the batch-1 session")
+    assert(sess(8300003L) === Array((2L, cutoff)),
+      "the batch-2 boundary row (ts == cutoff, gap exactly 30:00) joins the open session")
+  }
+
+  test("plant audit: redelivery EXACTLY at the TTL horizon changes nothing (st_dedup_ttl)") {
+    val ev = Tables.events(spark, corpusDir)
+      .filter(pmod($"user_id", lit(5L)) === 0)
+    val (mn, mx) = ev.agg(min(unix_micros($"ts")), max(unix_micros($"ts")))
+      .as[(Long, Long)].head()
+    val maxB1 = ev.filter(unix_micros($"ts") * 2 <= lit(mn + mx))
+      .agg(max(unix_micros($"ts"))).as[Long].head()
+    val plantMs = ev.filter($"event_id" === 8400000L)
+      .select(unix_millis($"ts")).head.getLong(0)
+    assert(plantMs === maxB1 / 1000 - 1800000L,
+      "plant 8400000 must sit EXACTLY at WM₁ = floor_ms(max batch-1 ts) − 30:00")
+    assert(plantMs * 2000 <= mn + mx, "and inside batch 1, so it IS redelivered")
+    val n = SparkEntry.queries("st_dedup_ttl")(spark, corpusDir)
+      .filter($"event_id" === 8400000L).count()
+    assert(n === 1L, "the horizon redelivery must be dropped — emitted exactly once")
+  }
+
   test("plant audit: license expiring at EXACTLY asOf+30d is excluded by fl_q02's strict <") {
     val out = Analytics.q2ExpiringLicenses(fleet, asOf)
       .select($"license_number").as[String].collect().toSet
