@@ -52,6 +52,40 @@ object StreamingOps {
     * engines at binary halfway points, which the sf0.1 feed hits. */
   private def round3Sql(x: String) = graft.functions.Shims.roundPortableSql(x, 3)
 
+  /** Micro-batch SPLIT-AXIS override (r13 Next #3): where a micro-batch
+    * boundary lands relative to a session gap / watermark advance is a
+    * semantic axis — same-batch-dedup vs cross-batch-state-drop vs
+    * late-drop are different code paths that data seeds alone never
+    * toggle. Conf `spark.graft.streaming.split` takes
+    * `par:<shift>:<mod>` (modulus-split harnesses: batch 1 =
+    * (id+shift) % mod == 0, batch 2 = the rest) or `frac:<f>` (event-
+    * time-split harnesses: cutoff at lo + (hi−lo)·f). UNSET, every
+    * harness reproduces its legacy split bit-for-bit (parity, the
+    * interval joins' 2024-01-16 constant, the TTL midpoint's exact
+    * us·2 ≤ min+max arithmetic), so gate and fixture behavior are
+    * unchanged unless tools.SplitFuzz sets the conf. */
+  private[graft] val SplitConf = "spark.graft.streaming.split"
+
+  private def splitSpec(s: SparkSession): String =
+    s.conf.getOption(SplitConf).getOrElse("")
+
+  /** Batch index (0 or 1) of an id column under the modulus split. */
+  private[operators] def parExpr(s: SparkSession, id: Column): Column =
+    splitSpec(s) match {
+      case sp if sp.startsWith("par:") =>
+        val p = sp.split(":")
+        when(pmod(id + lit(p(1).toLong), lit(p(2).toLong)) === 0, lit(0L))
+          .otherwise(lit(1L))
+      case _ => pmod(id, lit(2L))
+    }
+
+  private def fracSplit(s: SparkSession): Option[Double] =
+    splitSpec(s) match {
+      case sp if sp.startsWith("frac:") =>
+        Some(sp.stripPrefix("frac:").toDouble)
+      case _ => None
+    }
+
   /** Shared scaffolding of the genuine Structured-Streaming gates:
     * narrowed state partitions (state-store commits per micro-batch
     * dominate at gate feed size; a production job sizes partitions to
@@ -162,7 +196,7 @@ object StreamingOps {
       .filter(pmod(col("user_id"), lit(5L)) === 0)
       .select(col("user_id").as("key"), col("ts"),
         round(col("value") * 100, 0).cast("long").as("value"),
-        pmod(col("event_id"), lit(2L)).as("par"))
+        parExpr(s, col("event_id")).as("par"))
     def batch(par: Int) = ev.filter(col("par") === par).drop("par")
     runFileFed(s, Map("spark.sql.shuffle.partitions" -> "2"), sinkName,
       Seq(batch(0), batch(1)))(src => Streams.windowedEventCounts(src, "ts", "key"))
@@ -181,7 +215,15 @@ object StreamingOps {
       .filter(col("event_type").isin("purchase", "view"))
       .select(col("event_type"), col("user_id").as("key"),
         timestamp_millis(unix_millis(col("ts"))).as("ts_ms"), col("event_id"))
-    val split = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+    val split = fracSplit(s) match {
+      case Some(f) =>
+        import s.implicits._
+        val (lo, hi) = ev
+          .agg(min(unix_millis(col("ts_ms"))), max(unix_millis(col("ts_ms"))))
+          .as[(Long, Long)].head()
+        timestamp_millis(lit(lo + ((hi - lo) * f).toLong))
+      case None => lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+    }
     def side(tpe: String, tsName: String, idName: String, second: Boolean) =
       ev.filter(col("event_type") === tpe)
         .filter(if (second) col("ts_ms") >= split else col("ts_ms") < split)
@@ -212,7 +254,7 @@ object StreamingOps {
     val docs = base.unionByName(
       base.filter(pmod(col("doc_id"), lit(10L)) === 0)
         .select((col("doc_id") + 1000001L).as("doc_id"), col("text")))
-    def batch(par: Int) = docs.filter(pmod(col("doc_id"), lit(2L)) === par)
+    def batch(par: Int) = docs.filter(parExpr(s, col("doc_id")) === par)
     runFileFed(s,
       Map("spark.sql.shuffle.partitions" -> "2",
         // NoTimeout keyed state can't fire on a no-data batch and
@@ -241,7 +283,10 @@ object StreamingOps {
     val (lo, hi) = ev.agg(
       min(unix_millis(col("ts"))), max(unix_millis(col("ts"))))
       .as[(Long, Long)].head()
-    val cutoff = lo + (hi - lo) / 2
+    val cutoff = fracSplit(s) match {
+      case Some(f) => lo + ((hi - lo) * f).toLong
+      case None    => lo + (hi - lo) / 2
+    }
     def batch(p: Int) =
       ev.filter(if (p == 0) unix_millis(col("ts")) < cutoff
                 else unix_millis(col("ts")) >= cutoff)
@@ -262,7 +307,7 @@ object StreamingOps {
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"),
         round(col("value") * 100, 0).cast("long").as("value_cents"),
-        pmod(col("event_id"), lit(2L)).as("par"))
+        parExpr(s, col("event_id")).as("par"))
     def batch(p: Int) = facts.filter(col("par") === p).drop("par")
     val dim = Tables.customer(s, d)
       .select(col("c_custkey").as("user_id"),
@@ -284,10 +329,21 @@ object StreamingOps {
       .filter(pmod(col("user_id"), lit(5L)) === 0)
       .select(col("event_id").as("key"), col("ts"),
         round(col("value") * 100, 0).cast("long").as("value"))
-    val mid = ev.agg((min(unix_micros(col("ts")))
-      + max(unix_micros(col("ts")))).as("m2")).first().getLong(0)
-    val b1 = ev.filter(unix_micros(col("ts")) * 2 <= mid)
-    val b2 = ev.filter(unix_micros(col("ts")) * 2 > mid)
+    val (mnUs, mxUs) = {
+      import s.implicits._
+      ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .as[(Long, Long)].head()
+    }
+    // legacy midpoint spelled EXACTLY as us*2 <= min+max (the fixture's
+    // plant math replicates it); frac overrides use a plain cutoff
+    val inB1 = fracSplit(s) match {
+      case Some(f) =>
+        val cut = mnUs + ((mxUs - mnUs) * f).toLong
+        unix_micros(col("ts")) <= cut
+      case None => unix_micros(col("ts")) * 2 <= mnUs + mxUs
+    }
+    val b1 = ev.filter(inB1)
+    val b2 = ev.filter(!inB1)
       .unionByName(b1.filter(pmod(col("key"), lit(100L)) === 0))
     runFileFed(s, Map("spark.sql.shuffle.partitions" -> "2"),
       "st_ttl_sink", Seq(b1, b2)) { src =>
@@ -310,7 +366,7 @@ object StreamingOps {
     val requests = Tables.events(s, d)
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("delivery_id"),
-        pmod(col("event_id"), lit(2L)).as("par"))
+        parExpr(s, col("event_id")).as("par"))
     def batch(p: Int) = requests.filter(col("par") === p).drop("par")
     runFileFed(s, Map("spark.sql.shuffle.partitions" -> "2"),
       "st_verify_sink", Seq(batch(0), batch(1))) { src =>
@@ -325,7 +381,7 @@ object StreamingOps {
       s: SparkSession, d: String): (org.apache.spark.sql.DataFrame, Seq[String]) = {
     import s.implicits._
     val gps = gpsFromEvents(s, d)
-    def batch(p: Int) = gps.filter(pmod(col("vehicle_id"), lit(2L)) === p)
+    def batch(p: Int) = gps.filter(parExpr(s, col("vehicle_id")) === p)
     val dest = Seq((0L, 0.5, 0.5), (1L, 0.6, 0.1), (2L, 0.2, 0.9))
       .toDF("route_id", "dest_lat", "dest_lon")
     runFileFed(s, Map("spark.sql.shuffle.partitions" -> "2"),
@@ -575,7 +631,7 @@ object StreamingOps {
         |ORDER BY fp""".stripMargin) { (s, d) =>
       runFileFedStreamDedup(s, d)._1
         .select(col("fp"), col("doc_id").as("keeper_doc_id"),
-          pmod(col("doc_id"), lit(2L)).cast("long").as("first_batch"))
+          parExpr(s, col("doc_id")).cast("long").as("first_batch"))
         .orderBy(col("fp"))
     },
 
