@@ -15,6 +15,13 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // optional session-conf injection (e.g. forcing the q127 wedge-
+    // budget dispatch for a restated-oracle differential dump):
+    // SPARK_GRAFT_CONF="k=v;k2=v2"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
     dump(spark, sfDir, outDir, only)
     spark.stop()
   }
