@@ -59,4 +59,30 @@ class OracleSqlSpec extends org.scalatest.funsuite.AnyFunSuite {
     val scaled = SparkEntry.oracleSql.values.count(_.contains("* 1e"))
     assert(scaled >= 15, s"expected >=15 oracles using the integer-scaled form, found $scaled")
   }
+
+  test("SplitFuzz oracle rewrites still match the registry SQL (split-axis fuzz contract)") {
+    // oracleFor() guards each rewrite with a pattern-presence require —
+    // if an oracle's split predicate is ever respelled, this trips at
+    // test time instead of mid-sweep. Also pin that the non-default
+    // specs actually CHANGE exactly the three split-dependent entries.
+    import graft.tools.SplitFuzz
+    val base = SparkEntry.oracleSql
+    for (spec <- Seq("par:1:2", "par:0:3")) {
+      val rewritten = SplitFuzz.oracleFor(spec) // requires fire on drift
+      val changed = base.keySet.filter(k => rewritten(k) != base(k))
+      assert(changed === Set("st_windowed_late_counts", "st_windowed_topk",
+        "st_stream_dedup"), s"$spec changed: $changed")
+    }
+    // frac specs and the default parity spec rewrite nothing
+    assert(SplitFuzz.oracleFor("frac:0.25") === base)
+    assert(SplitFuzz.oracleFor("par:0:2") === base)
+  }
+
+  test("restate_q127.py's splice marker exists in the q127b oracle (sf10 restatement contract)") {
+    // tools/restate_q127.py cuts q127b's SQL at this exact marker to
+    // build the above-budget census oracle — if q127b's shape drifts,
+    // fail here, not in an overnight sf10 budget run
+    assert(SparkEntry.oracleSql("q127b_triangle_sample")
+      .contains("), ne AS (SELECT COUNT(*) AS n FROM es)"))
+  }
 }
