@@ -544,6 +544,13 @@ object Dedup {
         var prev = checksum(labels)
         var converged = false
         var round = 0
+        // node-sized fixpoint rounds run under the narrow non-adaptive
+        // loop scope (graft.operators.IterScope): AQE billed a
+        // scheduling barrier + one job per materialized stage per
+        // round on label frames it can never re-optimize, and the
+        // narrow width cuts per-stage task scheduling on tiny stages.
+        // The E-sized edge build above stays at full adaptive width.
+        graft.operators.IterScope(pairs.sparkSession) {
         while (!converged && round < maxRounds) {
           // min over the closed neighborhood…
           val msgs = edges
@@ -576,6 +583,7 @@ object Dedup {
           prev = cur
           labels = jumped
           round += 1
+        }
         }
         if (!converged) throw new IllegalStateException(
           s"connectedComponents did not converge in $maxRounds rounds")

@@ -209,9 +209,14 @@ object Advanced {
     // the edge list; past broadcast size it shuffles with it
     def hint(df: org.apache.spark.sql.DataFrame) =
       if (broadcastEdges) broadcast(df) else df
-    val ed = e
-      .join(hint(deg.select($"n".as("u"), $"dg".as("du"))), Seq("u"))
-      .join(hint(deg.select($"n".as("v"), $"dg".as("dv"))), Seq("v"))
+    // both degree lookups join the IDENTICAL deg subtree (aliased, not
+    // re-projected): the two BroadcastExchanges canonicalize equal, so
+    // ReuseExchange builds the degree broadcast once instead of twice
+    val ed = e.as("e0")
+      .join(hint(deg).as("da"), $"e0.u" === $"da.n")
+      .join(hint(deg).as("db"), $"e0.v" === $"db.n")
+      .select($"e0.u".as("u"), $"e0.v".as("v"),
+        $"da.dg".as("du"), $"db.dg".as("dv"))
       .select(
         when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u")
           .otherwise($"v").as("s"),
@@ -236,8 +241,24 @@ object Advanced {
     val edR = if (broadcastEdges) broadcast(edC) else edC
     val wedges = edC.as("e1").join(edR.as("e2"), $"e1.t" === $"e2.s")
       .select($"e1.s".as("wa"), $"e2.t".as("wc"))
-    wedges.join(edR.as("e3"),
-        $"wa" === $"e3.s" && $"wc" === $"e3.t")
+    // The closing probe joins the ~Σ outdeg² wedge stream against the
+    // edge list keyed by the (s, t) PAIR. A two-column equi-key builds
+    // a generic UnsafeHashedRelation; re-keying the probe on the
+    // single-long xxhash64 of the pair gets a LongHashedRelation
+    // (dense long-keyed map) — measured 5.0 → 1.6 s on the 49M-wedge
+    // sf0.1 stream, identical count. The exact pair equality is
+    // re-checked as a subtraction residual (NOT `wa === s`: Catalyst
+    // would extract attribute equalities back into the join key and
+    // rebuild the multi-column relation), so a 64-bit collision can
+    // only surface candidate rows the residual then drops —
+    // count-exact for any id domain; ids are non-negative so the
+    // subtraction cannot overflow under ANSI.
+    val e3k = edR.as("e3").select($"e3.s".as("es"), $"e3.t".as("et"),
+      xxhash64($"e3.s", $"e3.t").as("eh"))
+    wedges
+      .join(if (broadcastEdges) broadcast(e3k) else e3k,
+        xxhash64($"wa", $"wc") === $"eh" &&
+          $"wa" - $"es" === 0 && $"wc" - $"et" === 0)
       .agg(count(lit(1)).as("t"))
   }
 
@@ -2981,13 +3002,13 @@ object Advanced {
           count(lit(1)).as("n")).first()
         val k = 7L * st.getLong(0) / (10L * st.getLong(1))
         var nPrev = deg.count()
-        // the loop's shuffles move ≤ n node rows — 8 partitions cut
-        // per-stage task-scheduling overhead 4× vs the session's 32
-        // (the BUILD above keeps the full width for the E-sized fan-
-        // out); restored in the finally with the other cleanup
-        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        try {
+        // the loop's shuffles move ≤ n node rows — IterScope narrows
+        // the width (8 partitions cut per-stage task-scheduling
+        // overhead 4× vs the session's 32); AQE STAYS ON here: its
+        // partition coalescing collapses the tiny frontier shuffles
+        // to single tasks, measured faster than the stage-job
+        // barriers it costs (4.17 vs 4.65 s medians — see IterScope)
+        IterScope(s, disableAqe = false) {
         var round = 0
         var done = false
         // one relaxation: remove the sub-k frontier, decrement its
@@ -3048,8 +3069,6 @@ object Advanced {
             lit(k).as("k"))
           .orderBy($"part")
         out
-        } finally {
-          s.conf.set("spark.sql.shuffle.partitions", savedParts)
         }
       } finally { adj.unpersist(blocking = false): Unit }
     },
