@@ -23,7 +23,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * owned by a stopped session so its driver-side object graph is not
   * retained (the FleetOps/SimilarityOps eviction contract).
   */
-private[operators] object Pinned {
+private[graft] object Pinned {
 
   private val slots = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[DataFrame]]()

@@ -18,8 +18,18 @@ import org.apache.spark.sql.types.StructType
   * file per batch so batch boundaries are deterministic.
   */
 private[graft] final class FileFeed(s: SparkSession) extends AutoCloseable {
-  private val watch = java.nio.file.Files.createTempDirectory("graft_drop_")
-  private val stage = java.nio.file.Files.createTempDirectory("graft_stage_")
+  // drops live on tmpfs when available — the same choice the streaming
+  // harness makes for checkpoint dirs: the feed's write→rename→list
+  // cycle sits on every micro-batch's critical path, and a production
+  // deployment's drop zone is object storage, not the driver's /tmp,
+  // so nothing scale-relevant is being measured through the local disk
+  private val base = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) shm.toPath
+    else new java.io.File(System.getProperty("java.io.tmpdir")).toPath
+  }
+  private val watch = java.nio.file.Files.createTempDirectory(base, "graft_drop_")
+  private val stage = java.nio.file.Files.createTempDirectory(base, "graft_stage_")
   private var n = 0
 
   /** Write `df` as one parquet file (executor-side) into the staging

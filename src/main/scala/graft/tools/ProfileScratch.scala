@@ -19,78 +19,46 @@ object ProfileScratch {
       .getOrCreate()
     import spark.implicits._
     spark.sparkContext.setLogLevel("ERROR")
-    val jobs = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onJobStart(
-            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-          jobs.incrementAndGet(): Unit
-      })
     def time(label: String)(body: => Any): Unit = {
-      val j0 = jobs.get()
       val t0 = System.nanoTime(); val r = body
-      println(f"-- $label%-44s ${(System.nanoTime() - t0) / 1e9}%8.3f s  ${jobs.get() - j0}%3d jobs ($r)")
+      println(f"-- $label%-44s ${(System.nanoTime() - t0) / 1e9}%8.3f s  ($r)")
     }
+    val li = graft.Tables.lineitem(spark, dir)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
 
-    for (pass <- 1 to 2) {
-      println(s"== kcore pass $pass ==")
-      val perOrder = graft.Tables.lineitem(spark, dir)
-        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
-        .groupBy($"ok").agg(collect_set($"pk").as("parts"))
-      val adj = perOrder
-        .select(explode($"parts").as("node"), $"parts")
-        .select($"node", explode($"parts").as("v"))
-        .filter($"v" =!= $"node")
-        .groupBy($"node", pmod($"v", lit(8L)).as("slot"))
-        .agg(collect_set($"v").as("nbrs"))
-        .persist()
-      time("adj build+materialize")(adj.count())
-      var deg = adj.groupBy($"node")
-        .agg(sum(size($"nbrs")).cast("long").as("dg"))
-        .localCheckpoint()
-      time("deg checkpoint")(deg.count())
-      val st = deg.agg(sum($"dg").as("sd"), count(lit(1)).as("n")).first()
-      val k = 7L * st.getLong(0) / (10L * st.getLong(1))
-      var nPrev = deg.count()
-      val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      def relax(d0: org.apache.spark.sql.DataFrame) = {
-        val removals = adj
-          .join(broadcast(d0.filter($"dg" < k).select($"node")), Seq("node"))
-          .select(explode($"nbrs").as("node"))
-          .groupBy($"node").agg(count(lit(1)).as("rm"))
-        d0.filter($"dg" >= k)
-          .join(removals.hint("SHUFFLE_HASH"), Seq("node"), "left")
-          .select($"node", ($"dg" - coalesce($"rm", lit(0L))).as("dg"))
+    for (pass <- 1 to 3) {
+      println(s"== pass $pass ==")
+      time("adj A: collect_set + double explode") {
+        val perOrder = li.groupBy($"ok").agg(collect_set($"pk").as("parts"))
+        val adj = perOrder
+          .select(explode($"parts").as("node"), $"parts")
+          .select($"node", explode($"parts").as("v"))
+          .filter($"v" =!= $"node")
+          .groupBy($"node", pmod($"v", lit(8L)).as("slot"))
+          .agg(collect_set($"v").as("nbrs"))
+        adj.count()
       }
-      var round = 0
-      var done = false
-      while (!done && round < 40) {
-        time(s"chain ${round + 1}") {
-          val steps = 3
-          val inter = scala.collection.mutable.ArrayBuffer
-            .empty[org.apache.spark.sql.DataFrame]
-          var nxt = deg
-          for (i <- 1 to steps) {
-            nxt = relax(nxt)
-            if (i < steps) { nxt = nxt.localCheckpoint(false); inter += nxt }
-          }
-          val next = nxt.localCheckpoint(false)
-          val n2 = next.count()
-          inter.foreach(df =>
-            scala.util.Try(df.rdd.unpersist(blocking = false)): Unit)
-          scala.util.Try(deg.rdd.unpersist(blocking = false)): Unit
-          deg = next
-          round += 1
-          done = n2 == nPrev || n2 == 0
-          nPrev = n2
-          n2
-        }
+      time("adj B: broadcast self-join + one agg") {
+        val adj = li.as("a").join(broadcast(li).as("b"),
+            $"a.ok" === $"b.ok" && $"a.pk" =!= $"b.pk")
+          .select($"a.pk".as("node"), $"b.pk".as("v"))
+          .groupBy($"node", pmod($"v", lit(8L)).as("slot"))
+          .agg(collect_set($"v").as("nbrs"))
+        adj.count()
       }
-      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
-      time("final orderBy collect")(
-        deg.select($"node", $"dg").orderBy($"node").count())
-      adj.unpersist()
+      time("pairs A: bcast self-join + distinct") {
+        li.as("a").join(broadcast(li).as("b"),
+            $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+          .select($"a.pk".as("u"), $"b.pk".as("v")).distinct().count()
+      }
+      time("pairs B: collect_set + pair explode") {
+        val perOrder = li.groupBy($"ok")
+          .agg(sort_array(collect_set($"pk")).as("ps"))
+        perOrder.select(explode(expr(
+            "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"))
+            .as("p"))
+          .select($"p.u", $"p.v").distinct().count()
+      }
     }
     spark.stop()
   }
