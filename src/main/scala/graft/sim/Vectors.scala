@@ -805,8 +805,14 @@ object Vectors {
                 k: Int, lambda: Double = 0.7): DataFrame = {
     val spark = data.sparkSession
     import spark.implicits._
+    // pinned for the selection loop: the centroid pass + all k argmax
+    // rounds scan this same model-decoded frame — caching it turns k+1
+    // parquet scans + vector decodes into one (released in the finally;
+    // the blocks never outlive the invocation)
     val base = data.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
+      .persist()
+    try {
     val dim = base.head()._2.length
     val parts = base.mapPartitions { it =>
       val sums = new Array[Long](dim); var n = 0L
@@ -857,6 +863,7 @@ object Vectors {
       (i + 1, id, roundPortableD(rel, 6), roundPortableD(ms, 6),
         roundPortableD(mmr, 6))
     }.toDF("rnk", "vec_id", "relevance", "max_sim_selected", "mmr_score")
+    } finally base.unpersist(blocking = false): Unit
   }
 
   // ---------------------------------------------------------------
