@@ -32,6 +32,14 @@ private[graft] object IterScope {
 
   private[graft] val LoopPartitionsConf = "spark.graft.loop.partitions"
 
+  /** The loop width as an Int — for loops that CO-PARTITION their
+    * static sides (adjacency tables) by the loop key up front so the
+    * per-round joins reuse the partitioning instead of broadcasting
+    * or reshuffling (kcore's relaxations measured 3.1 → 2.4 s warm at
+    * sf0.1 from this alone). */
+  def width(s: SparkSession): Int =
+    s.conf.getOption(LoopPartitionsConf).getOrElse("8").toInt
+
   /** @param disableAqe turn AQE off inside the scope. Measured per
     *   loop, not assumed: the CC label rounds win with it off (2-4
     *   tiny exchanges per round, nothing for AQE to re-optimize;
