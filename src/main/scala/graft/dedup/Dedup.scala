@@ -522,6 +522,13 @@ object Dedup {
     val edges = fwd
       .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .dropDuplicates("src", "dst")
+      // co-partitioned by src at the loop width before pinning (the
+      // kcore r14 pattern): every round's neighborhood join then
+      // reuses the cached partitioning as a shuffle-hash join — the
+      // edge set never moves again and no per-round broadcast of the
+      // label frontier is built
+      .repartition(graft.operators.IterScope.width(pairs.sparkSession),
+        col("src"))
       .persist()
     try {
       // seed with the CLOSED-neighborhood minimum — the first
@@ -553,8 +560,13 @@ object Dedup {
         graft.operators.IterScope(pairs.sparkSession) {
         while (!converged && round < maxRounds) {
           // min over the closed neighborhood…
+          // the label frontier is SHUFFLE_HASH-joined against the
+          // co-partitioned edge cache: only the node-sized labels
+          // shuffle; a broadcast here would rebuild and ship the
+          // frontier via a driver-synchronous job every round
           val msgs = edges
-            .join(labels.withColumnRenamed("node", "src"), "src")
+            .join(labels.withColumnRenamed("node", "src")
+              .hint("SHUFFLE_HASH"), "src")
             .select(col("dst").as("node"), col("label"))
           val mins = labels.unionByName(msgs)
             .groupBy("node").agg(min("label").as("label"))
@@ -570,7 +582,7 @@ object Dedup {
           // materializes it — one job per round, not two
           val jumped = mins
             .withColumnRenamed("label", "jump_key")
-            .join(lookup, Seq("jump_key"), "left")
+            .join(lookup.hint("SHUFFLE_HASH"), Seq("jump_key"), "left")
             .select(col("node"),
               coalesce(col("jump_label"), col("jump_key")).as("label"))
             .localCheckpoint(false)
