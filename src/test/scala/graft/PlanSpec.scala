@@ -665,4 +665,26 @@ class PlanSpec extends GraftSpec {
       }
     }
   }
+
+  test("q127 closing probe keys on the single-long pair hash (r14 optimization pin)") {
+    // The wedge-closing join must key on xxhash64(s, t) — the
+    // LongHashedRelation form (measured 5.0 → 1.6 s on the sf0.1
+    // wedge stream) — with the exact pair equality carried as a
+    // subtraction RESIDUAL in the join condition, not as extra
+    // attribute equi-keys (Catalyst would fold those back into a
+    // multi-column key and rebuild the generic relation). Pin both:
+    // the hash appears among the join keys, and the residual appears
+    // in the condition.
+    val p127 = plan(q("q127_triangle_count"))
+    assert(p127.contains("xxhash64"),
+      p127.linesIterator.take(40).mkString("\n"))
+    val joinLines = p127.linesIterator
+      .filter(l => l.contains("HashJoin") && l.contains("xxhash64"))
+      .toSeq
+    assert(joinLines.nonEmpty, "no join keyed on xxhash64 found:\n" +
+      p127.linesIterator.take(40).mkString("\n"))
+    // residual: the pair-equality check survives as (wa - es) = 0
+    assert(joinLines.exists(_.contains("= 0")),
+      joinLines.mkString("\n"))
+  }
 }
