@@ -546,8 +546,23 @@ object Dedup {
       else {
         // decimal(38,0) accumulator: a 100 TB corpus's Σ of 2^63-range
         // ids overflows long; ANSI mode would fail the job mid-round
-        def checksum(df: DataFrame): java.math.BigDecimal =
-          df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
+        // RAW-job checksum over the internal RDD (r15): the per-round
+        // convergence probe is the loop's only driver action, and a
+        // full SQL aggregate action costs ~4-6x the raw job in driver
+        // machinery (fresh QueryExecution + stage scheduling + listener
+        // events — measured 0.15 vs 0.024 s per action on this box).
+        // Same arbitrary-precision Σlabel (labels are node ids; a
+        // 100 TB corpus's Σ of 2^63-range ids overflows long), same
+        // materialize-the-lazy-checkpoint side effect.
+        def checksum(df: DataFrame): java.math.BigInteger = {
+          val ord = df.schema.fieldIndex("label")
+          df.queryExecution.toRdd.mapPartitions { it =>
+            var acc = java.math.BigInteger.ZERO
+            while (it.hasNext)
+              acc = acc.add(java.math.BigInteger.valueOf(it.next().getLong(ord)))
+            Iterator.single(acc)
+          }.fold(java.math.BigInteger.ZERO)(_.add(_))
+        }
         var prev = checksum(labels)
         var converged = false
         var round = 0

@@ -359,7 +359,17 @@ object DataGen {
           .repartition(col("p_month"))
           .sortWithinPartitions(col("p_month"), col("delivered_datetime"))
         graft.sources.Lake.writePartitioned(parted, s"$dir/$name", Seq("p_month"))
-      } else df.write.mode("overwrite").parquet(s"$dir/$name")
+      } else {
+        // r15 (guide §6): ONE file per non-partitioned table. The
+        // generator's spark.range parallelism was leaking into the
+        // at-rest layout as 32 ~100 KB files per table, so every scan
+        // of a 4 MB OLTP table launched ~32 tasks (openCostInBytes
+        // packs 4 MB per split). Row content is a pure function of row
+        // id (header doc), so the layout choice is semantics-free; at
+        // 10M-trip stress volume one file is ~370 MB — still inside
+        // the guide's 128 MB–1 GB per-file target.
+        df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name")
+      }
       val n = spark.read.parquet(s"$dir/$name").count()
       loadLog(spark, name, n).write.mode("append").parquet(s"$dir/load_logs")
       name -> n

@@ -1494,24 +1494,32 @@ object Advanced {
         .select($"user_id", $"event_id", $"event_type", $"value",
           unix_micros($"ts").as("us"))
       val ext = ev.agg(min($"us").as("lo"), max($"us").as("hi"))
-      def snapshot(cutoff: Column, prefix: String) = ev
-        .crossJoin(broadcast(ext))
-        .filter($"us" <= cutoff)
+      // BOTH snapshots from ONE scan + ONE user-keyed hash agg (r15,
+      // guide §2.3 "aggregate before you shuffle" / §2.4): T2 = hi is
+      // the range MAX, so every event passes the T2 cutoff and the new
+      // state is the plain max(struct); the old state is the same max
+      // under a conditional (max ignores the nulls the condition
+      // produces). The former two-scan/two-shuffle plan's FULL OUTER
+      // join is degenerate by construction — any user with a T1 event
+      // has events, hence a T2 row — so old-only rows cannot exist and
+      // the single aggregate's null old-struct IS the 'insert' case.
+      val stCols = struct($"us", $"event_id", $"event_type", $"value")
+      ev.crossJoin(broadcast(ext))
         .groupBy($"user_id")
-        .agg(max(struct($"us", $"event_id", $"event_type", $"value")).as("st"))
+        .agg(
+          max(stCols).as("new_st"),
+          max(when($"us" <= expr("lo + (hi - lo) DIV 2"), stCols))
+            .as("old_st"))
         .select($"user_id",
-          $"st.event_id".as(s"${prefix}_event_id"),
-          $"st.event_type".as(s"${prefix}_type"),
-          $"st.value".as(s"${prefix}_value"))
-      val olds = snapshot(expr("lo + (hi - lo) DIV 2"), "old")
-      val news = snapshot($"hi", "new")
-      news.join(olds, Seq("user_id"), "full_outer")
-        .select($"user_id",
-          when($"old_event_id".isNull, "insert")
-            .when($"old_event_id" === $"new_event_id", "unchanged")
+          when($"old_st".isNull, "insert")
+            .when($"old_st.event_id" === $"new_st.event_id", "unchanged")
             .otherwise("update").as("change_type"),
-          $"old_event_id", $"new_event_id",
-          $"old_type", $"new_type", $"old_value", $"new_value")
+          $"old_st.event_id".as("old_event_id"),
+          $"new_st.event_id".as("new_event_id"),
+          $"old_st.event_type".as("old_type"),
+          $"new_st.event_type".as("new_type"),
+          $"old_st.value".as("old_value"),
+          $"new_st.value".as("new_value"))
         .orderBy($"user_id")
     },
 
@@ -3027,7 +3035,9 @@ object Advanced {
         val st = deg.agg(sum($"dg").as("sd"),
           count(lit(1)).as("n")).first()
         val k = 7L * st.getLong(0) / (10L * st.getLong(1))
-        var nPrev = deg.count()
+        // the same aggregate already counted the nodes — a separate
+        // deg.count() was one redundant SQL action (r15)
+        var nPrev = st.getLong(1)
         // the loop's shuffles move ≤ n node rows — IterScope narrows
         // the width (8 partitions cut per-stage task-scheduling
         // overhead 4× vs the session's 32); AQE STAYS ON here: its
@@ -3084,7 +3094,14 @@ object Advanced {
             if (i < steps) { nxt = nxt.localCheckpoint(false); inter += nxt }
           }
           val next = nxt.localCheckpoint(false)
-          val n2 = next.count() // materializes the checkpoint chain
+          // materialize the checkpoint chain with a RAW job over the
+          // internal RDD: the convergence test only needs a row count,
+          // and a full SQL count action costs ~4-6x the raw job in
+          // driver machinery (fresh QueryExecution + AQE stage
+          // scheduling + listener events) — measured 0.15 vs 0.024 s
+          // per action on this box (r15, guide §5 "the driver should
+          // do almost no data work")
+          val n2 = next.queryExecution.toRdd.count()
           inter.foreach(df =>
             scala.util.Try(df.rdd.unpersist(blocking = false)): Unit)
           scala.util.Try(deg.rdd.unpersist(blocking = false)): Unit

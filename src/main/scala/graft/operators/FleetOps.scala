@@ -21,8 +21,11 @@ object FleetOps {
 
   /** Bump when DataGen output changes — the directory is keyed by it so
     * stale parquet from an older generator version is never reused.
-    * v6: deliveries stored month-partitioned (p_month), day-sorted. */
-  private val genVersion = 6
+    * v6: deliveries stored month-partitioned (p_month), day-sorted.
+    * v7: non-partitioned tables coalesced to one right-sized file
+    * (guide §6 — the 32-file-per-4MB-table layout cost ~32 scan tasks
+    * per query over the fixture). */
+  private val genVersion = 7
 
   /** Default parquet home for a config. Must be absolute: the path is
     * embedded into the oracle SQL that the driver's DuckDB process
