@@ -39,17 +39,16 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // r15: respect the advisory partition size when AQE coalesces
-      // (guide §2.2/§9). The default parallelismFirst=true refuses to
-      // coalesce below defaultParallelism, so a KB-sized post-shuffle
-      // stage still runs `cpus` tasks — pure task-launch overhead at
-      // any core count, and the reason several gate queries ran SLOWER
-      // at 32 cores than at 8 (PERF_r14 scaling column). The advisory
-      // size is the scale knob: at cluster volume it yields exactly
-      // the wide layout AQE would pick anyway.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_MB", "64") + "m")
+      // r15 tried parallelismFirst=false + advisory sizing here and
+      // REVERTED it same-session: KB-sized tiny stages already
+      // coalesce under the default policy (minPartitionSize floors
+      // them), while the compute-heavy small-BYTE shuffles (the q33
+      // Jaccard block join, the q127 wedge closure, q135's decrement
+      // probes) collapsed to 1 task by pure size and serialized —
+      // q33 0.72→2.07 s, q135 3.6→5.6 s in the mid-round sweep.
+      // parallelismFirst=true is the right default for mixed
+      // compute-per-byte workloads; per-loop widths stay governed by
+      // IterScope (spark.graft.loop.partitions).
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
