@@ -34,4 +34,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dderby.system.home=/tmp/graft_derby",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // GC selector for the forked Spark JVM (A/B hook; unset = JVM default)
+) ++ sys.env.get("SPARK_GRAFT_GC").map(gc => s"-XX:+Use${gc}GC").toSeq

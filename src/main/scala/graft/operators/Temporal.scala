@@ -369,25 +369,35 @@ object Temporal {
         |  UNION ALL
         |  SELECT 3, 'purchase', COUNT(*) FROM t3
         |) ORDER BY step""".stripMargin) { (s, d) =>
-      val ev = Tables.events(s, d)
+      // ONE event scan + ONE user-keyed shuffle (r15; guide §2.4 —
+      // the former spelling scanned events three times and joined the
+      // step frontiers back twice). Each step time is a conditional
+      // MIN over the user's whole partition — an UNORDERED window
+      // frame, so the three steps are three window passes on the same
+      // exchange with no sort — and a later step's condition reads the
+      // previous step's window column directly (null t1 ⇒ the view
+      // comparison is null ⇒ never counted, exactly the old inner
+      // join's gate). The step counts then fold to one global agg row
+      // exploded into the 3-row funnel.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id")
+      val perRow = Tables.events(s, d)
         .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
-      def step(tpe: String, prev: Option[DataFrame]): DataFrame = {
-        val typed = ev.filter($"event_type" === tpe)
-        val gated = prev match {
-          case None    => typed
-          case Some(p) => typed.join(p, Seq("user_id")).filter($"us" >= $"t").drop("t")
-        }
-        gated.groupBy($"user_id").agg(min($"us").as("t"))
-      }
-      val t1 = step("click", None)
-      val t2 = step("view", Some(t1))
-      val t3 = step("purchase", Some(t2))
-      Seq((t1, 1, "click"), (t2, 2, "view"), (t3, 3, "purchase"))
-        .map { case (df, i, nm) =>
-          df.agg(count(lit(1)).as("n_users"))
-            .select(lit(i).as("step"), lit(nm).as("step_name"), $"n_users")
-        }
-        .reduce(_.unionByName(_))
+        .withColumn("t1", min(when($"event_type" === "click", $"us")).over(w))
+        .withColumn("t2", min(when($"event_type" === "view" && $"us" >= $"t1",
+          $"us")).over(w))
+        .withColumn("t3", min(when($"event_type" === "purchase" && $"us" >= $"t2",
+          $"us")).over(w))
+      perRow
+        .groupBy($"user_id")
+        .agg(max($"t1").as("t1"), max($"t2").as("t2"), max($"t3").as("t3"))
+        .agg(count($"t1").as("n1"), count($"t2").as("n2"), count($"t3").as("n3"))
+        .select(explode(array(
+          struct(lit(1).as("step"), lit("click").as("step_name"), $"n1".as("n_users")),
+          struct(lit(2).as("step"), lit("view").as("step_name"), $"n2".as("n_users")),
+          struct(lit(3).as("step"), lit("purchase").as("step_name"), $"n3".as("n_users"))))
+          .as("r"))
+        .select($"r.step", $"r.step_name", $"r.n_users")
         .orderBy($"step")
     },
 
