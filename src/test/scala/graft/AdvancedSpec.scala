@@ -330,6 +330,29 @@ class AdvancedSpec extends GraftSpec {
     }
   }
 
+  test("q104 funnel: one-pass window formulation matches a naive per-user replay (r15 rewrite pin)") {
+    val dir = sf("sf0.001")
+    val got = SparkEntry.queries("q104_funnel")(spark, dir).collect()
+      .map(r => r.getAs[Int]("step") -> r.getAs[Long]("n_users")).toMap
+    val ev = graft.Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    var (n1, n2, n3) = (0L, 0L, 0L)
+    byUser.values.foreach { rows =>
+      val t1 = rows.filter(_._2 == "click").map(_._3).minOption
+      val t2 = t1.flatMap(t =>
+        rows.filter(e => e._2 == "view" && e._3 >= t).map(_._3).minOption)
+      val t3 = t2.flatMap(t =>
+        rows.filter(e => e._2 == "purchase" && e._3 >= t).map(_._3).minOption)
+      if (t1.isDefined) n1 += 1
+      if (t2.isDefined) n2 += 1
+      if (t3.isDefined) n3 += 1
+    }
+    assert(got === Map(1 -> n1, 2 -> n2, 3 -> n3))
+    assert(n3 > 0, "fixture should exercise the full funnel")
+  }
+
   test("q104/q105/q106 behavioral invariants: funnel monotone, cohort day-0 complete, shares sum to 1") {
     val dir = sf("sf0.001")
     // funnel: step counts can only shrink, and step 1 = distinct clickers

@@ -90,6 +90,22 @@ class DataGenSpec extends GraftSpec {
     assert(logged === counts)
   }
 
+  test("writeAll lays out each non-partitioned table as ONE parquet file (r15, guide §6)") {
+    // the optimization pin: the generator's spark.range parallelism must
+    // never leak into the at-rest layout again (32 ~100 KB files per
+    // 4 MB table = ~32 scan tasks per query over the fixture)
+    val dir = java.nio.file.Files.createTempDirectory("graft_gen_layout").toString
+    val small = DataGen.Config(nTrips = 300, nMaintenance = 30)
+    DataGen.writeAll(spark, small, dir)
+    for (t <- Seq("vehicles", "drivers", "routes", "trips", "maintenance")) {
+      val files = new java.io.File(s"$dir/$t").listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      assert(files.length === 1, s"$t should be one file, got ${files.length}")
+    }
+    // deliveries keeps its month-partitioned lake layout (S8)
+    assert(new java.io.File(s"$dir/deliveries").listFiles().exists(_.getName.startsWith("p_month=")))
+  }
+
   test("per-type capacity ranges hold (ref 01:102-107)") {
     val bad = t.vehicles.filter(
       (col("vehicle_type") === "Camión Grande" && !col("capacity_kg").between(10000, 20000)) ||
