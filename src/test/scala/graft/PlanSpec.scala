@@ -466,10 +466,19 @@ class PlanSpec extends GraftSpec {
     val p103 = plan(q("q103_mad_outliers"))
     assert("BroadcastHashJoin".r.findAllIn(p103).size >= 3,
       p103.linesIterator.take(30).mkString("\n"))
-    // q104 funnel: NO window/sort-per-user anywhere — ordering lives in
-    // the us >= t_prev predicates
+    // q104 funnel (r15 one-pass rewrite): ONE events scan, ONE
+    // user-keyed exchange, ZERO joins — the three step times are
+    // conditional MINs over UNORDERED per-user window frames (three
+    // Window operators, each reading the previous step's column; the
+    // only Sort is the partition-key clustering sort, never a
+    // per-user event-time order). The former join-back spelling
+    // scanned events three times.
     val p104 = plan(q("q104_funnel"))
-    assert(!p104.contains("Window"),
+    assert(!p104.contains("Join"),
+      p104.linesIterator.take(25).mkString("\n"))
+    assert("Window".r.findAllIn(p104).size === 3,
+      p104.linesIterator.take(25).mkString("\n"))
+    assert("Scan parquet".r.findAllIn(p104).size === 1,
       p104.linesIterator.take(25).mkString("\n"))
     // q110 market basket: the count tables broadcast-hash join; no
     // CartesianProduct (the only nested-loop allowed is the broadcast
