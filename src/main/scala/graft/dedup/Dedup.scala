@@ -541,29 +541,38 @@ object Dedup {
         .agg(min(col("dst")).as("nmin"))
         .select(col("src").as("node"),
           least(col("src"), col("nmin")).as("label"))
-        .localCheckpoint()
-      if (labels.isEmpty) labels
-      else {
-        // decimal(38,0) accumulator: a 100 TB corpus's Σ of 2^63-range
-        // ids overflows long; ANSI mode would fail the job mid-round
-        // RAW-job checksum over the internal RDD (r15): the per-round
-        // convergence probe is the loop's only driver action, and a
-        // full SQL aggregate action costs ~4-6x the raw job in driver
-        // machinery (fresh QueryExecution + stage scheduling + listener
-        // events — measured 0.15 vs 0.024 s per action on this box).
-        // Same arbitrary-precision Σlabel (labels are node ids; a
-        // 100 TB corpus's Σ of 2^63-range ids overflows long), same
-        // materialize-the-lazy-checkpoint side effect.
-        def checksum(df: DataFrame): java.math.BigInteger = {
-          val ord = df.schema.fieldIndex("label")
-          df.queryExecution.toRdd.mapPartitions { it =>
-            var acc = java.math.BigInteger.ZERO
-            while (it.hasNext)
-              acc = acc.add(java.math.BigInteger.valueOf(it.next().getLong(ord)))
-            Iterator.single(acc)
-          }.fold(java.math.BigInteger.ZERO)(_.add(_))
+        .localCheckpoint(false)
+      // RAW-job checksum over the internal RDD (r15): the per-round
+      // convergence probe is the loop's only driver action, and a
+      // full SQL aggregate action costs ~4-6x the raw job in driver
+      // machinery (fresh QueryExecution + stage scheduling + listener
+      // events — measured 0.15 vs 0.024 s per action on this box).
+      // Arbitrary-precision Σlabel (labels are node ids; a 100 TB
+      // corpus's Σ of 2^63-range ids overflows long — the former
+      // decimal(38,0) SQL accumulator, now a BigInteger fold), same
+      // materialize-the-lazy-checkpoint side effect. The SEED pass
+      // also carries the row count, folding what used to be three
+      // driver actions on the seed frame (eager-checkpoint job +
+      // isEmpty + checksum) into ONE materializing raw job.
+      def checksumCount(df: DataFrame): (Long, java.math.BigInteger) = {
+        val ord = df.schema.fieldIndex("label")
+        df.queryExecution.toRdd.mapPartitions { it =>
+          var n = 0L
+          var acc = java.math.BigInteger.ZERO
+          while (it.hasNext) {
+            n += 1
+            acc = acc.add(java.math.BigInteger.valueOf(it.next().getLong(ord)))
+          }
+          Iterator.single((n, acc))
+        }.fold((0L, java.math.BigInteger.ZERO)) {
+          case ((na, sa), (nb, sb)) => (na + nb, sa.add(sb))
         }
-        var prev = checksum(labels)
+      }
+      val (nSeed, seedSum) = checksumCount(labels)
+      if (nSeed == 0L) labels
+      else {
+        def checksum(df: DataFrame): java.math.BigInteger = checksumCount(df)._2
+        var prev = seedSum
         var converged = false
         var round = 0
         // node-sized fixpoint rounds run under the narrow non-adaptive
